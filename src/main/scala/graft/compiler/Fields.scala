@@ -1,0 +1,161 @@
+package graft.compiler
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, DoubleType, BooleanType}
+import graft.gripql.{GValue, HasExpr, CondOp}
+
+/** Field addressing — the reference's mini JSON-path with mark namespaces
+  * (reference: jsonpath/jsonpath.go:21-60):
+  *   "name" / "$.name"   → current element, data field `name`
+  *   "$m.field.sub"      → mark `m`, nested data field
+  *   reserved: _gid _label _from _to _data
+  */
+object FieldRef {
+  /** (namespace, dotted parts). namespace "" = current element. */
+  def parse(key: String): (String, Seq[String]) = {
+    if (key.startsWith("$")) {
+      val body = key.stripPrefix("$")
+      val parts = body.split('.').toSeq
+      if (body.startsWith(".")) ("", parts.drop(1).filter(_.nonEmpty))
+      else (parts.head, parts.tail)
+    } else ("", key.split('.').toSeq)
+  }
+
+  /** The element struct column for a namespace. */
+  def elem(ns: String): Column =
+    if (ns.isEmpty) col("cur") else element_at(col("marks"), ns)
+
+  /** Raw value of a field as a string column:
+    * reserved fields come straight off the struct; data fields via
+    * get_json_object (strings unquoted, numbers/bools as text, containers
+    * as JSON text) — Catalyst keeps all of this inside codegen.
+    */
+  def resolve(key: String): Column = {
+    val (ns, parts) = parse(key)
+    val e = elem(ns)
+    parts.headOption.getOrElse("") match {
+      case "_gid" => e.getField("gid")
+      case "_label" => e.getField("label")
+      case "_from" => e.getField("from")
+      case "_to" => e.getField("to")
+      case "_data" => e.getField("data")
+      case "" => e.getField("data")
+      case _ => get_json_object(e.getField("data"), "$." + parts.mkString("."))
+    }
+  }
+
+  /** Does the field EXIST (a JSON-null value still exists; a missing key
+    * does not) — needed by distinct's drop-missing rule
+    * (reference: engine/core/processors.go:737-750). */
+  def exists(key: String): Column = {
+    val (ns, parts) = parse(key)
+    val e = elem(ns)
+    parts.headOption.getOrElse("") match {
+      case "_gid" | "_label" | "_from" | "_to" | "_data" | "" => e.getField("gid").isNotNull
+      case _ =>
+        val parent =
+          if (parts.length == 1) e.getField("data")
+          else get_json_object(e.getField("data"), "$." + parts.dropRight(1).mkString("."))
+        coalesce(array_contains(json_object_keys(parent), parts.last), lit(false))
+    }
+  }
+
+  /** Type-faithful JSON fragment of a field (strings stay quoted, numbers
+    * stay numbers) — used by render templates. Reserved string fields are
+    * JSON-encoded via to_json; data fields via variant extraction. */
+  def resolveAsJson(key: String): Column = {
+    val (ns, parts) = parse(key)
+    val e = elem(ns)
+    def quote(c: Column): Column =
+      when(c.isNull, lit("null")).otherwise(to_json(map(lit("k"), c)).substr(lit(6), length(to_json(map(lit("k"), c))) - lit(6)))
+    parts.headOption.getOrElse("") match {
+      case "_gid" => quote(e.getField("gid"))
+      case "_label" => quote(e.getField("label"))
+      case "_from" => quote(e.getField("from"))
+      case "_to" => quote(e.getField("to"))
+      case "_data" | "" => coalesce(e.getField("data"), lit("null"))
+      case _ => coalesce(
+        to_json(try_variant_get(try_parse_json(e.getField("data")), "$." + parts.mkString("."), "variant")),
+        lit("null"))
+    }
+  }
+}
+
+/** HasExpression → boolean Column
+  * (reference: engine/logic/match.go:14-255; numeric comparisons cast both
+  * sides to float64 and a failed cast is FALSE, not an error — we mirror
+  * that with non-ANSI cast-to-null + coalesce(false)).
+  */
+object Conditions {
+  import GValue._
+
+  private def num(c: Column): Column = c.cast("double")
+
+  private def valueNum(v: GValue): Option[Double] = v match {
+    case GNum(d) => Some(d)
+    case GInt(i) => Some(i.toDouble)
+    case GString(s) => scala.util.Try(s.toDouble).toOption
+    case GBool(b) => Some(if (b) 1d else 0d)
+    case _ => None
+  }
+
+  /** Deep-equal leaf — null-safe, missing field never matches non-null. */
+  private def eqExpr(raw: Column, v: GValue): Column = v match {
+    case GString(s) => raw === lit(s)
+    case GNum(d) => num(raw) === lit(d)
+    case GInt(i) => num(raw) === lit(i.toDouble)
+    case GBool(b) => raw === lit(b.toString)
+    case GNull => raw.isNull
+    case arr: GArray => raw === lit(GValue.toJson(arr))
+    case obj: GObj => raw === lit(GValue.toJson(obj))
+  }
+
+  private def rangePair(v: GValue): (Double, Double) = v match {
+    case GArray(Seq(a, b)) => (valueNum(a).getOrElse(Double.NaN), valueNum(b).getOrElse(Double.NaN))
+    case _ => (Double.NaN, Double.NaN)
+  }
+
+  private def leaf(key: String, v: GValue, op: CondOp): Column = {
+    val raw = FieldRef.resolve(key)
+    val c = op match {
+      case CondOp.EQ => eqExpr(raw, v)
+      case CondOp.NEQ => !coalesce(eqExpr(raw, v), lit(false))
+      case CondOp.GT => num(raw) > lit(valueNum(v).getOrElse(Double.NaN))
+      case CondOp.GTE => num(raw) >= lit(valueNum(v).getOrElse(Double.NaN))
+      case CondOp.LT => num(raw) < lit(valueNum(v).getOrElse(Double.NaN))
+      case CondOp.LTE => num(raw) <= lit(valueNum(v).getOrElse(Double.NaN))
+      case CondOp.INSIDE =>
+        val (a, b) = rangePair(v); num(raw) > lit(a) && num(raw) < lit(b)
+      case CondOp.OUTSIDE =>
+        val (a, b) = rangePair(v); num(raw) < lit(a) || num(raw) > lit(b)
+      case CondOp.BETWEEN =>
+        val (a, b) = rangePair(v); num(raw) >= lit(a) && num(raw) < lit(b)
+      case CondOp.WITHIN => v match {
+        case GArray(vs) if vs.nonEmpty => vs.map(x => coalesce(eqExpr(raw, x), lit(false))).reduce(_ || _)
+        case _ => lit(false)
+      }
+      case CondOp.WITHOUT => v match {
+        case GArray(vs) if vs.nonEmpty => !vs.map(x => coalesce(eqExpr(raw, x), lit(false))).reduce(_ || _)
+        case _ => lit(true)
+      }
+      case CondOp.CONTAINS =>
+        // raw is the JSON text of an array-valued field
+        v match {
+          case GString(s) => array_contains(from_json(raw, ArrayType(StringType)), s)
+          case GNum(d) => array_contains(from_json(raw, ArrayType(DoubleType)), d)
+          case GInt(i) => array_contains(from_json(raw, ArrayType(DoubleType)), i.toDouble)
+          case GBool(b) => array_contains(from_json(raw, ArrayType(BooleanType)), b)
+          case _ => lit(false)
+        }
+    }
+    coalesce(c, lit(false))
+  }
+
+  def toColumn(e: HasExpr): Column = e match {
+    case HasExpr.And(cs) => cs.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+    case HasExpr.Or(cs) => cs.map(toColumn).reduceOption(_ || _).getOrElse(lit(false))
+    case HasExpr.Not(c) => !toColumn(c)
+    case HasExpr.Cond(k, v, op) => leaf(k, v, op)
+  }
+}

@@ -1,0 +1,332 @@
+package graft.compiler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.gripql._
+import graft.model.GraphFrame
+import graft.functions.GJson
+
+/** Element kind flowing through the pipeline — the reference's pipeline
+  * type-state (reference: gdbi/interface.go:87-99). */
+sealed trait Kind
+case object VertexK extends Kind
+case object EdgeK extends Kind
+
+/** Compiles a GripQL statement list into ONE composed DataFrame plan and
+  * lets Catalyst optimize the whole traversal — the same architectural move
+  * as the reference's Mongo backend, which compiles a full traversal into a
+  * single aggregation pipeline (reference: mongo/compile.go:57-951), except
+  * here the "database" is Spark itself.
+  *
+  * Traveler = one row (reference: gdbi/interface.go:56-65):
+  *   cur   STRUCT<gid,label,from,to,data>   — current element
+  *   marks MAP<STRING, STRUCT<...>>          — saved positions (only if used)
+  *   path  ARRAY<STRUCT<vertex,edge>>        — visited elements (only if used)
+  *
+  * Scale notes (100 TB design):
+  *  - every hop is an equi-join on gid keys → shuffle hash / SMJ, AQE picks;
+  *    a small vertex/edge side gets broadcast automatically.
+  *  - marks/path columns are materialized ONLY when the query uses them —
+  *    the static `needMarks`/`needPath` pass below is the analogue of the
+  *    reference's load-data inspection (reference: engine/inspect/inspect.go:80-138),
+  *    except Catalyst additionally prunes `data` out of scans when unused.
+  *  - jump loops are driver-side frontier iteration with localCheckpoint to
+  *    cut lineage (GraphX-Pregel shape).
+  */
+class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
+  import Traversal._
+
+  private val needMarks: Boolean = stmts.exists {
+    case _: Stmt.As | _: Stmt.SelectOne | _: Stmt.SelectMany => true
+    case Stmt.Has(e) => usesMarks(e)
+    case Stmt.Jump(_, Some(e), _) => usesMarks(e)
+    case Stmt.SetField(k, _) => k.startsWith("$") && !k.startsWith("$.")
+    case Stmt.Increment(k, _) => k.startsWith("$") && !k.startsWith("$.")
+    case Stmt.Render(t) => renderUsesMarks(t)
+    case Stmt.Distinct(fs) => fs.exists(f => f.startsWith("$") && !f.startsWith("$."))
+    case _ => false
+  }
+  private val needPath: Boolean = stmts.exists { case _: Stmt.Path => true; case _ => false }
+
+  private val elemType = StructType(Seq(
+    StructField("gid", StringType), StructField("label", StringType),
+    StructField("from", StringType), StructField("to", StringType),
+    StructField("data", StringType)))
+
+  private def vertexStruct(df: DataFrame): Column = struct(
+    df("gid").as("gid"), df("label").as("label"),
+    lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
+    df("data").as("data"))
+
+  private def edgeStruct(df: DataFrame): Column = struct(
+    df("gid").as("gid"), df("label").as("label"),
+    df("from").as("from"), df("to").as("to"), df("data").as("data"))
+
+  /** Travelers' fixed column set. */
+  private def shape(df: DataFrame, cur: Column, marks: Column, path: Column): DataFrame = {
+    val cols = Seq(cur.as("cur")) ++
+      (if (needMarks) Seq(marks.as("marks")) else Nil) ++
+      (if (needPath) Seq(path.as("path")) else Nil)
+    df.select(cols: _*)
+  }
+
+  private def keep(df: DataFrame, cur: Column, pathAppend: Option[Column]): DataFrame =
+    shape(df, cur,
+      if (needMarks) col("marks") else lit(null),
+      if (needPath) pathAppend.map(p => concat(col("path"), array(p))).getOrElse(col("path")) else lit(null))
+
+  private def pathVertexEntry(gid: Column): Column =
+    struct(gid.as("vertex"), lit(null).cast(StringType).as("edge"))
+  private def pathEdgeEntry(gid: Column): Column =
+    struct(lit(null).cast(StringType).as("vertex"), gid.as("edge"))
+
+  /** Seed travelers from the vertex/edge tables. */
+  private def seed(ids: Seq[String], fromVerts: Boolean): DataFrame = {
+    val base0 = if (fromVerts) g.vertices else g.edges
+    val base = if (ids.nonEmpty) base0.filter(col("gid").isin(ids: _*)) else base0
+    val cur = if (fromVerts) vertexStruct(base) else edgeStruct(base)
+    shape(base, cur,
+      from_json(lit("{}"), MapType(StringType, elemType)),
+      array(if (fromVerts) pathVertexEntry(base("gid")) else pathEdgeEntry(base("gid"))))
+  }
+
+  // Adjacency step. dir: true=out (follow from→to), false=in.
+  // toEdge: land on the edge instead of the far vertex.
+  private def hop(df: DataFrame, kind: Kind, labels: Seq[String], dir: Boolean,
+                  toEdge: Boolean, emitNull: Boolean): (DataFrame, Kind) = {
+    val joinType = if (emitNull) "left_outer" else "inner"
+    kind match {
+      case EdgeK if !toEdge =>
+        // edge state: out() jumps to head (`to`), in() to tail (`from`)
+        // (reference: engine/core/processors.go:202-236, 281-315)
+        val v = g.vertices.alias("__v")
+        val key = if (dir) col("cur.to") else col("cur.from")
+        val joined = df.join(v, key === col("__v.gid"), joinType)
+        val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
+          lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
+          col("__v.data").as("data"))
+        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid")))), VertexK)
+      case _ =>
+        val e0 = g.edges.alias("__e")
+        val e = if (labels.nonEmpty) e0.filter(col("__e.label").isin(labels: _*)) else e0
+        val eKey = if (dir) col("__e.from") else col("__e.to")
+        val joined = df.join(e, col("cur.gid") === eKey, joinType)
+        if (toEdge) {
+          val cur = struct(col("__e.gid").as("gid"), col("__e.label").as("label"),
+            col("__e.from").as("from"), col("__e.to").as("to"), col("__e.data").as("data"))
+          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid")))), EdgeK)
+        } else {
+          val v = g.vertices.alias("__v")
+          val vKey = if (dir) col("__e.to") else col("__e.from")
+          val j2 = joined.join(v, vKey === col("__v.gid"), joinType)
+          val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
+            lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
+            col("__v.data").as("data"))
+          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid")))), VertexK)
+        }
+    }
+  }
+
+  /** Rebuild `cur`'s data (or a mark's data) through a JSON-mutating fn. */
+  private def mutateData(df: DataFrame, key: String, f: Column => Column): DataFrame = {
+    val (ns, parts) = FieldRef.parse(key)
+    val fieldPath = parts.mkString(".")
+    require(fieldPath.nonEmpty && !fieldPath.startsWith("_"), s"cannot set reserved field $key")
+    if (ns.isEmpty) {
+      val c = col("cur")
+      val newCur = struct(c.getField("gid").as("gid"), c.getField("label").as("label"),
+        c.getField("from").as("from"), c.getField("to").as("to"),
+        f(c.getField("data")).as("data"))
+      keep(df, newCur, None)
+    } else {
+      require(needMarks)
+      val m = element_at(col("marks"), ns)
+      val newElem = struct(m.getField("gid").as("gid"), m.getField("label").as("label"),
+        m.getField("from").as("from"), m.getField("to").as("to"),
+        f(m.getField("data")).as("data"))
+      val newMarks = map_concat(col("marks"), map(lit(ns), newElem))
+      shape(df, col("cur"), newMarks, if (needPath) col("path") else lit(null))
+    }
+  }
+
+  private def applySimple(df: DataFrame, kind: Kind, s: Stmt): (DataFrame, Kind) = s match {
+    case Stmt.Out(labels, nul) => hop(df, kind, labels, dir = true, toEdge = false, emitNull = nul)
+    case Stmt.In(labels, nul) => hop(df, kind, labels, dir = false, toEdge = false, emitNull = nul)
+    case Stmt.OutE(labels, nul) => hop(df, kind, labels, dir = true, toEdge = true, emitNull = nul)
+    case Stmt.InE(labels, nul) => hop(df, kind, labels, dir = false, toEdge = true, emitNull = nul)
+    case Stmt.Both(labels) =>
+      val (a, _) = hop(df, kind, labels, dir = true, toEdge = false, emitNull = false)
+      val (b, _) = hop(df, kind, labels, dir = false, toEdge = false, emitNull = false)
+      (a.unionByName(b), VertexK)
+    case Stmt.BothE(labels) =>
+      val (a, _) = hop(df, kind, labels, dir = true, toEdge = true, emitNull = false)
+      val (b, _) = hop(df, kind, labels, dir = false, toEdge = true, emitNull = false)
+      (a.unionByName(b), EdgeK)
+
+    case Stmt.Has(e) => (df.filter(Conditions.toColumn(e)), kind)
+    case Stmt.HasLabel(ls) => (df.filter(col("cur.label").isin(ls: _*)), kind)
+    case Stmt.HasId(ids) => (df.filter(col("cur.gid").isin(ids: _*)), kind)
+    case Stmt.HasKey(ks) =>
+      val conds = ks.map { k =>
+        val (_, parts) = FieldRef.parse(k)
+        if (parts.length == 1) array_contains(json_object_keys(col("cur.data")), parts.head)
+        else array_contains(
+          json_object_keys(get_json_object(col("cur.data"), "$." + parts.dropRight(1).mkString("."))),
+          parts.last)
+      }
+      (df.filter(conds.map(c => coalesce(c, lit(false))).reduce(_ && _)), kind)
+
+    case Stmt.Limit(n) => (df.limit(n.toInt), kind)
+    case Stmt.Skip(n) => (df.offset(n.toInt), kind)
+    case Stmt.Range(start, stop) =>
+      val skipped = if (start > 0) df.offset(start.toInt) else df
+      (if (stop >= 0) skipped.limit((stop - start).toInt) else skipped, kind)
+
+    case Stmt.Distinct(fields) =>
+      // missing-field travelers are dropped; first-wins on the key tuple
+      // (reference: engine/core/processors.go:723-756)
+      val fs = if (fields.nonEmpty) fields else Seq("_gid")
+      val keyCols = fs.map(FieldRef.resolve)
+      val kept = df.filter(fs.map(FieldRef.exists).reduce(_ && _))
+      (kept.withColumn("__dk", struct(keyCols: _*))
+        .dropDuplicates("__dk").drop("__dk"), kind)
+
+    case Stmt.As(name) =>
+      (shape(df, col("cur"), map_concat(col("marks"), map(lit(name), col("cur"))),
+        if (needPath) col("path") else lit(null)), kind)
+
+    case Stmt.SelectOne(name) =>
+      val m = element_at(col("marks"), name)
+      val entry = when(m.getField("from").isNull, pathVertexEntry(m.getField("gid")))
+        .otherwise(pathEdgeEntry(m.getField("gid")))
+      (keep(df, m, Some(entry)), kind)
+
+    case Stmt.Fields(fs) =>
+      val (exc, inc) = fs.partition(_.startsWith("-"))
+      val newData = GJson.json_select(col("cur.data"),
+        typedLit(inc.toArray), typedLit(exc.map(_.stripPrefix("-")).toArray))
+      val c = col("cur")
+      (keep(df, struct(c.getField("gid").as("gid"), c.getField("label").as("label"),
+        c.getField("from").as("from"), c.getField("to").as("to"), newData.as("data")), None), kind)
+
+    case Stmt.Unwind(field) =>
+      val (_, parts) = FieldRef.parse(field)
+      val fieldPath = parts.mkString(".")
+      val elems = GJson.json_array_elems(col("cur.data"), lit(fieldPath))
+      // explode_outer: empty/missing array → one traveler with field = null
+      // (reference: engine/core/processors.go:464-503)
+      val exploded = df.withColumn("__uw", explode_outer(elems))
+      val out = exploded.withColumn("cur", struct(
+        col("cur.gid").as("gid"), col("cur.label").as("label"),
+        col("cur.from").as("from"), col("cur.to").as("to"),
+        GJson.json_set(col("cur.data"), lit(fieldPath), coalesce(col("__uw"), lit("null"))).as("data")))
+        .drop("__uw")
+      (out, kind)
+
+    case Stmt.SetField(key, value) =>
+      (mutateData(df, key, d => GJson.json_set(d, lit(FieldRef.parse(key)._2.mkString(".")), lit(GValue.toJson(value)))), kind)
+
+    case Stmt.Increment(key, delta) =>
+      (mutateData(df, key, d => GJson.json_incr(d, lit(FieldRef.parse(key)._2.mkString(".")), lit(delta))), kind)
+
+    case Stmt.Render(template) => (df.select(Render.column(template).as("render")), kind)
+    case Stmt.Path() => (df.select(col("path")), kind)
+    case Stmt.SelectMany(names) =>
+      (df.select(names.map(n => element_at(col("marks"), n).as(n)): _*), kind)
+    case Stmt.Count() => (df.agg(count(lit(1)).as("count")), kind)
+    case Stmt.Aggregate(aggs) => (Aggregations.run(df, aggs), kind)
+
+    case other => throw new IllegalArgumentException(s"unhandled statement $other at this position")
+  }
+
+  /** Execute with control-flow (mark/jump) handled as driver-side frontier
+    * iteration (reference: engine/logic/jump.go — signal-token termination
+    * becomes frontier-emptiness + localCheckpoint). */
+  def run(maxIters: Int = 100): DataFrame = {
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val markPos: Map[String, Int] = stmts.zipWithIndex.collect { case (Stmt.Mark(n), i) => n -> i }.toMap
+
+    var kind: Kind = VertexK
+    var df: DataFrame = stmts.head match {
+      case Stmt.V(ids) => kind = VertexK; seed(ids, fromVerts = true)
+      case Stmt.E(ids) => kind = EdgeK; seed(ids, fromVerts = false)
+      case other => throw new IllegalArgumentException(s"query must start with V() or E(), got $other")
+    }
+
+    // forward-jump injections: mark position → travelers arriving there
+    val injections = scala.collection.mutable.Map.empty[Int, List[DataFrame]]
+    var i = 1
+    while (i < stmts.length) {
+      stmts(i) match {
+        case Stmt.Mark(_) =>
+          for (in <- injections.remove(i); d <- in) df = df.unionByName(d)
+
+        case Stmt.Jump(mark, cond, emit) =>
+          val target = markPos.getOrElse(mark, throw new IllegalArgumentException(s"unknown mark $mark"))
+          if (target > i) { // forward jump: route matching travelers ahead
+            val jumpers = cond.map(c => df.filter(Conditions.toColumn(c))).getOrElse(df)
+            injections(target) = jumpers :: injections.getOrElse(target, Nil)
+            df = if (emit) df else df.limit(0)
+          } else { // backward jump: iterate the mark..jump segment
+            val body = stmts.slice(target + 1, i)
+            val downstreamLimit = stmts.drop(i + 1).takeWhile {
+              case _: Stmt.Limit => true
+              case _ => false
+            }.collectFirst { case Stmt.Limit(n) => n }
+            var arrivals = df
+            var emitted: Option[DataFrame] = if (emit) Some(df) else None
+            var emittedCount = if (emit) df.count() else 0L
+            var frontier = cond.map(c => arrivals.filter(Conditions.toColumn(c))).getOrElse(arrivals)
+              .localCheckpoint(true)
+            var iter = 0
+            while (!frontier.isEmpty && iter < maxIters &&
+                   downstreamLimit.forall(n => emittedCount < n)) {
+              var (d2, k2) = (frontier, kind)
+              for (s <- body) { val r = applySimple(d2, k2, s); d2 = r._1; k2 = r._2 }
+              arrivals = d2.localCheckpoint(true)
+              if (emit) {
+                emitted = Some(emitted.get.unionByName(arrivals))
+                emittedCount += arrivals.count()
+              }
+              frontier = cond.map(c => arrivals.filter(Conditions.toColumn(c))).getOrElse(arrivals)
+              iter += 1
+            }
+            df = emitted.getOrElse(df.limit(0))
+          }
+
+        case s =>
+          val r = applySimple(df, kind, s)
+          df = r._1; kind = r._2
+      }
+      i += 1
+    }
+
+    // default output: flatten current element (reference: pipes.go:118-243 Convert)
+    stmts.last match {
+      case _: Stmt.Count | _: Stmt.Aggregate | _: Stmt.Render | _: Stmt.Path | _: Stmt.SelectMany => df
+      case _ => df.select(col("cur.gid").as("gid"), col("cur.label").as("label"),
+        col("cur.from").as("from"), col("cur.to").as("to"), col("cur.data").as("data"))
+    }
+  }
+}
+
+object Traversal {
+  def run(spark: SparkSession, g: GraphFrame, q: Query): DataFrame =
+    new Traversal(g, q.stmts.toIndexedSeq, spark).run()
+
+  private[compiler] def usesMarks(e: HasExpr): Boolean = e match {
+    case HasExpr.And(cs) => cs.exists(usesMarks)
+    case HasExpr.Or(cs) => cs.exists(usesMarks)
+    case HasExpr.Not(c) => usesMarks(c)
+    case HasExpr.Cond(k, _, _) => k.startsWith("$") && !k.startsWith("$.")
+  }
+
+  private[compiler] def renderUsesMarks(t: GValue): Boolean = t match {
+    case GValue.GString(s) => s.startsWith("$") && !s.startsWith("$.")
+    case GValue.GArray(vs) => vs.exists(renderUsesMarks)
+    case GValue.GObj(fs) => fs.exists(f => renderUsesMarks(f._2))
+    case _ => false
+  }
+}

@@ -1,0 +1,154 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ObjectNode, JsonNodeFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import scala.jdk.CollectionConverters._
+
+/** JSON document surgery for the schemaless `data` column.
+  *
+  * The reference's property bag is arbitrary JSON (protobuf Struct); a few
+  * operators mutate or reshape it in ways Spark's built-in JSON functions
+  * can't express (set nested field, include/exclude projection, typed array
+  * explode) — reference: jsonpath/jsonpath.go:169-355,
+  * engine/core/processors.go:464-503,812-853.
+  *
+  * These run OFF the hot path (projection/transform steps, not scans or
+  * joins); predicates and traversals stay on codegen'd built-ins.
+  */
+object GJson extends Serializable {
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val nf = JsonNodeFactory.instance
+
+  private def parse(s: String): JsonNode =
+    if (s == null || s.isEmpty) nf.objectNode() else mapper.readTree(s)
+
+  private def navParent(root: JsonNode, path: Seq[String], create: Boolean): JsonNode = {
+    var node = root
+    for (p <- path.dropRight(1)) {
+      val next = node match {
+        case o: ObjectNode =>
+          if (o.get(p) == null || !o.get(p).isObject) {
+            if (!create) return null
+            val n = nf.objectNode(); o.set[JsonNode](p, n); n
+          } else o.get(p)
+        case _ => return null
+      }
+      node = next
+    }
+    node
+  }
+
+  /** Set a (possibly nested, dot-separated) field to a JSON value. */
+  def setField(data: String, path: String, valueJson: String): String = {
+    val root = parse(data)
+    val parts = path.split('.').toSeq
+    val parent = navParent(root, parts, create = true)
+    parent match {
+      case o: ObjectNode => o.set[JsonNode](parts.last, mapper.readTree(valueJson))
+      case _ =>
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Add delta to a numeric field (missing/non-numeric treated as 0),
+    * preserving integer-ness (reference: engine/core/processors.go:832-853). */
+  def incrField(data: String, path: String, delta: Long): String = {
+    val root = parse(data)
+    val parts = path.split('.').toSeq
+    val parent = navParent(root, parts, create = true)
+    parent match {
+      case o: ObjectNode =>
+        val cur = o.get(parts.last)
+        if (cur != null && cur.isNumber && !cur.canConvertToLong)
+          o.put(parts.last, cur.asDouble() + delta)
+        else {
+          val base = if (cur != null && cur.isNumber) cur.asLong() else 0L
+          o.put(parts.last, base + delta)
+        }
+      case _ =>
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Elements of an array field, each as JSON text; null when the field is
+    * missing or not an array (unwind's null-emit case). */
+  def arrayElems(data: String, path: String): Array[String] = {
+    if (data == null) return null
+    var node = parse(data)
+    for (p <- path.split('.')) {
+      if (node == null || !node.isObject) return null
+      node = node.get(p)
+    }
+    if (node == null || !node.isArray) return null
+    node.elements().asScala.map(mapper.writeValueAsString).toArray
+  }
+
+  /** Keep only `includes` paths (dot-nested allowed) minus `excludes`
+    * (reference: jsonpath/jsonpath.go:254-355). Empty includes = keep all. */
+  def selectFields(data: String, includes: Array[String], excludes: Array[String]): String = {
+    val root = parse(data)
+    if (!root.isObject) return data
+    val out: JsonNode =
+      if (includes.isEmpty) root.deepCopy[JsonNode]()
+      else {
+        val o = nf.objectNode()
+        for (inc <- includes) {
+          val parts = inc.split('.').toSeq
+          var src: JsonNode = root
+          var ok = true
+          for (p <- parts if ok) {
+            src = if (src != null && src.isObject) src.get(p) else null
+            if (src == null) ok = false
+          }
+          if (ok) {
+            val parent = navParent(o, parts, create = true).asInstanceOf[ObjectNode]
+            parent.set[JsonNode](parts.last, src.deepCopy[JsonNode]())
+          }
+        }
+        o
+      }
+    for (exc <- excludes) {
+      val parts = exc.split('.').toSeq
+      val parent = navParent(out, parts, create = false)
+      parent match {
+        case o: ObjectNode => o.remove(parts.last)
+        case _ =>
+      }
+    }
+    mapper.writeValueAsString(out)
+  }
+
+  /** Runtime type of a field — the reference's FieldType enum
+    * (reference: gripql/gripql.proto:282-289). */
+  def typeName(data: String, path: String): String = {
+    if (data == null) return "UNKNOWN"
+    var node = parse(data)
+    for (p <- path.split('.') if p.nonEmpty) {
+      if (node == null || !node.isObject) return "UNKNOWN"
+      node = node.get(p)
+    }
+    if (node == null) "UNKNOWN"
+    else if (node.isTextual) "STRING"
+    else if (node.isNumber) "NUMERIC"
+    else if (node.isBoolean) "BOOL"
+    else if (node.isObject) "MAP"
+    else if (node.isArray) "ARRAY"
+    else "UNKNOWN"
+  }
+
+  // ---- Column wrappers ----
+  private val setFieldUdf = udf(setField _)
+  private val incrFieldUdf = udf(incrField _)
+  private val arrayElemsUdf = udf(arrayElems _)
+  private val selectFieldsUdf = udf(selectFields _)
+  private val typeNameUdf = udf(typeName _)
+
+  def json_set(data: Column, path: Column, valueJson: Column): Column = setFieldUdf(data, path, valueJson)
+  def json_incr(data: Column, path: Column, delta: Column): Column = incrFieldUdf(data, path, delta)
+  def json_array_elems(data: Column, path: Column): Column = arrayElemsUdf(data, path)
+  def json_select(data: Column, includes: Column, excludes: Column): Column = selectFieldsUdf(data, includes, excludes)
+  def json_type(data: Column, path: Column): Column = typeNameUdf(data, path)
+}

@@ -1,0 +1,68 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A property graph as a pair of DataFrames — the Spark-native analogue of
+  * the reference's Graph (reference: gripql/gripql.proto:10-14,194-206).
+  *
+  * Schema:
+  *   vertices: gid STRING, label STRING, data STRING (JSON document)
+  *   edges:    gid STRING, label STRING, from STRING, to STRING, data STRING
+  *
+  * `data` stays a schemaless JSON text column (the reference's property bag
+  * is protobuf Struct = arbitrary JSON); typed extraction happens lazily in
+  * query predicates via `get_json_object`, which Catalyst prunes/pushes.
+  * At 100 TB scale the backing store is label-partitioned Parquet so
+  * hasLabel() becomes partition pruning rather than a scan.
+  */
+case class GraphFrame(vertices: DataFrame, edges: DataFrame) {
+  /** Persist as label-partitioned parquet (the "label index" of the
+    * reference's KV backends becomes partition pruning). */
+  def save(dir: String): Unit = {
+    vertices.write.mode("overwrite").partitionBy("label").parquet(s"$dir/vertices")
+    edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
+  }
+}
+
+object GraphFrame {
+  val vertexSchema: StructType = StructType(Seq(
+    StructField("gid", StringType, nullable = false),
+    StructField("label", StringType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("gid", StringType, nullable = false),
+    StructField("label", StringType, nullable = false),
+    StructField("from", StringType, nullable = false),
+    StructField("to", StringType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  /** Load a saved graph. */
+  def load(spark: SparkSession, dir: String): GraphFrame = GraphFrame(
+    spark.read.parquet(s"$dir/vertices").select("gid", "label", "data"),
+    spark.read.parquet(s"$dir/edges").select("gid", "label", "from", "to", "data"))
+
+  /** Load from JSON-lines vertex/edge files (the reference's bulk-load
+    * format, e.g. conformance/graphs/swapi.vertices — reference:
+    * conformance/README.md:10-33). `data` is kept as raw JSON text.
+    */
+  def fromJsonLines(spark: SparkSession, vertexFile: String, edgeFile: String): GraphFrame = {
+    // Read whole lines as text, extract top-level keys; keeping `data` as the
+    // original JSON substring preserves value types exactly.
+    val vRaw = spark.read.text(vertexFile)
+    val v = vRaw.select(
+      get_json_object(col("value"), "$.gid").as("gid"),
+      get_json_object(col("value"), "$.label").as("label"),
+      get_json_object(col("value"), "$.data").as("data"))
+    val eRaw = spark.read.text(edgeFile)
+    val e = eRaw.select(
+      get_json_object(col("value"), "$.gid").as("gid"),
+      get_json_object(col("value"), "$.label").as("label"),
+      get_json_object(col("value"), "$.from").as("from"),
+      get_json_object(col("value"), "$.to").as("to"),
+      get_json_object(col("value"), "$.data").as("data"))
+    GraphFrame(v, e)
+  }
+}
