@@ -1,13 +1,274 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gripql.{Query, P, GValue, Agg}
+import graft.compiler.Traversal
+import graft.model.TpchGraph
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Events}
+
+/** Driver contract — one oracle-checked entry per operator (SURVEY.md §2)
+  * plus the LLM-data-pipeline operators, all runnable on the TESTDATA
+  * parquet via the TpchGraph property-graph view so every GripQL operator
+  * has an exact DuckDB-SQL equivalent. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private def runQ(s: SparkSession, dir: String)(build: Query => Query): DataFrame =
+    Traversal.run(s, TpchGraph(s, dir), build(Query()))
+
+  /** Traversal result flattened to (gid, label) — the stable comparable
+    * projection (data JSON text layout is engine-specific). */
+  private def gl(df: DataFrame): DataFrame = df.select("gid", "label")
+  private def g1(df: DataFrame): DataFrame = df.select("gid")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    runQ(spark, "/root/testdata/sf0.001") {
+      _.V().hasLabel("orders").out("customer").has(P.gt("c_acctbal", 1000)).distinct()
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources / scans
+    "q01_v_count" -> ((s, d) => runQ(s, d)(_.V().count())),
+    "q02_e_count" -> ((s, d) => runQ(s, d)(_.E().count())),
+    "q03_v_ids" -> ((s, d) => gl(runQ(s, d)(_.V("c:1", "o:2", "p:3")))),
+    // ---- filters
+    "q04_haslabel" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer", "supplier").count())),
+    "q05_hasid" -> ((s, d) => g1(runQ(s, d)(_.E().hasId("oc:1", "oc:2", "cn:5")))),
+    "q06_has_eq" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(P.eq_("c_mktsegment", "BUILDING")).count())),
+    "q07_has_gt" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(P.gt("c_acctbal", 5000)).count())),
+    "q08_has_and_or" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(
+      P.and_(P.gte("c_acctbal", 1000), P.or_(P.eq_("c_mktsegment", "BUILDING"), P.eq_("c_mktsegment", "AUTOMOBILE")))).count())),
+    "q09_has_between" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(P.between("c_acctbal", 1000, 3000)).count())),
+    "q10_has_inside" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").has(P.inside("o_totalprice", 30000, 60000)).count())),
+    "q11_has_outside" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").has(P.outside("o_totalprice", 30000, 60000)).count())),
+    "q12_has_within" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(P.within("c_mktsegment", "BUILDING", "MACHINERY")).count())),
+    "q13_has_without" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(P.without("c_mktsegment", "BUILDING", "MACHINERY")).count())),
+    "q14_has_contains" -> ((s, d) => runQ(s, d)(_.V().hasLabel("part").has(P.contains("words", "red")).count())),
+    "q15_has_neq" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").has(P.neq("c_mktsegment", "BUILDING")).count())),
+    "q16_haskey" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").hasKey("big_balance").count())),
+    // ---- traversal joins
+    "q17_out" -> ((s, d) => gl(runQ(s, d)(_.V().hasLabel("orders").out("customer")))),
+    "q18_in" -> ((s, d) => runQ(s, d)(_.V().hasLabel("nation").in("nation").count())),
+    "q19_edge_out" -> ((s, d) => g1(runQ(s, d)(_.E().hasLabel("item").out()))),
+    "q20_edge_in" -> ((s, d) => g1(runQ(s, d)(_.E().hasLabel("customer").in()))),
+    "q21_oute" -> ((s, d) => g1(runQ(s, d)(_.V().hasLabel("orders").outE("item")))),
+    "q22_ine" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").inE("customer").count())),
+    "q23_both" -> ((s, d) => g1(runQ(s, d)(_.V("n:3").both()))),
+    "q24_bothe" -> ((s, d) => g1(runQ(s, d)(_.V("n:3").bothE()))),
+    "q25_in_null" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").inNull("customer").count())),
+    "q26_out_null" -> ((s, d) => runQ(s, d)(_.V().hasLabel("part").outNull("supplier").count())),
+    // ---- dedup / paging
+    "q27_distinct_field" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").distinct("c_mktsegment").count())),
+    "q28_distinct_default" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").out("customer").distinct().count())),
+    "q29_limit" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").limit(100).count())),
+    "q30_skip" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").skip(100).count())),
+    "q31_range" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").range(10, 60).count())),
+    // ---- marks / selection / projection
+    "q32_as_select" -> ((s, d) => g1(runQ(s, d)(_.V().hasLabel("orders").as("o").out("customer").select("o")))),
+    "q33_select_render" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").as("o").out("customer").as("c")
+      .render(GValue.GObj(Seq("o" -> GValue.GString("$o._gid"), "c" -> GValue.GString("$c._gid")))))),
+    "q34_fields_include" -> ((s, d) => runQ(s, d)(_.V("c:1").fields("c_name")).select("gid", "data")),
+    "q35_fields_exclude" -> ((s, d) => runQ(s, d)(_.V("n:1").fields("-n_name")).select("gid", "data")),
+    "q36_unwind" -> ((s, d) => runQ(s, d)(_.V().hasLabel("part").unwind("words").count())),
+    "q37_set_render" -> ((s, d) => runQ(s, d)(_.V("c:1").set("flag", GValue.GString("x"))
+      .render(GValue.GObj(Seq("flag" -> GValue.GString("$.flag"), "gid" -> GValue.GString("$._gid")))))),
+    "q38_increment_render" -> ((s, d) => runQ(s, d)(_.V("c:1").set("n", GValue.GInt(0)).increment("n", 5)
+      .render(GValue.GObj(Seq("n" -> GValue.GString("$.n")))))),
+    "q47_path" -> ((s, d) => runQ(s, d)(_.V("n:3").out("region").path())
+      .select(to_json(col("path")).as("path_json"))),
+    "q48_select_many" -> ((s, d) => runQ(s, d)(_.V("n:3").as("a").out("region").as("b").select("a", "b"))
+      .select(col("a.gid").as("a_gid"), col("b.gid").as("b_gid"))),
+    // ---- aggregations
+    "q39_term" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.Term("seg", "c_mktsegment", 0)))),
+    "q40_histogram" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.Histogram("bal", "c_acctbal", 1000)))),
+    "q41_percentile" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").aggregate(Agg.Percentile("p", "o_totalprice", Seq(25, 50, 75, 99))))),
+    "q42_field_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.FieldAgg("keys", "_data")))),
+    "q43_type_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.TypeAgg("t", "c_acctbal")))),
+    "q44_count_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.CountAgg("n"), Agg.Term("seg", "c_mktsegment", 0)))),
+    // ---- control flow (mark/jump)
+    "q45_jump_walk" -> ((s, d) => runQ(s, d)(_.V().hasLabel("region").mark("a").in("nation", "region").jump("a", None, emit = true).count())),
+    "q46_jump_counter" -> ((s, d) => runQ(s, d)(_.V("c:1").set("n", GValue.GInt(0)).mark("a").increment("n", 1)
+      .has(P.lt("n", 4)).jump("a", None, emit = true)
+      .render(GValue.GObj(Seq("n" -> GValue.GString("$.n")))))),
+
+    // ---- LLM-data-pipeline operators
+    "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
+    "p02_dedup_minhash" -> ((s, d) => Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")),
+    "p03_dedup_simhash" -> ((s, d) => Dedup.nearDupSimhash(docs(s, d), "doc_id", "text")),
+    "p04_dedup_ngram" -> ((s, d) => Dedup.nearDupNgram(docs(s, d), "doc_id", "text")),
+    "p05_sim_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteTopK(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "p06_sim_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.annLsh(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "p07_lang_id" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "p08_quality" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "p09_tokens" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+      TextAnalysis.reTokens(col("text")).cast("long").as("re_tokens"))),
+    "p10_fingerprint" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "p11_events_hourly" -> ((s, d) => Events.hourly(events(s, d))),
+    "p12_events_sessions" -> ((s, d) => Events.sessionize(events(s, d))),
+    "p13_events_topk" -> ((s, d) => Events.topKByValue(events(s, d), 3)
+      .withColumn("rank", col("rank").cast("long"))),
+    "p14_multimodal" -> ((s, d) => Multimodal.extractFeatures(s,
+      Multimodal.asBinaryColumn(docs(s, d), "doc_id", "text", "text"))
+      .select(col("id"), col("n_bytes"), col("first_code"))),
+  )
+
+  /** Shared SQL fragments for the document-shingle oracles. */
+  private val shingleCte =
+    """WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id FROM p WHERE j >= 0.5""".stripMargin
+
+  /** Lang-id oracle generated from the SAME stopword profiles as the Scala
+    * implementation, so the two can never drift apart. */
+  private def langIdSql: String = {
+    val hits = TextAnalysis.stopwords.map { case (lang, list) =>
+      val arr = list.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($arr, x))) AS h_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val cases = langs.map { lang =>
+      val ge = langs.filter(_ != lang).map(o => s"h_$lang >= h_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$lang'"
+    }.dropRight(1).mkString(" ")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |h AS (SELECT doc_id,
+       |  $hits
+       |FROM t)
+       |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred FROM h""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_v_count" -> ("SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM orders) + (SELECT count(*) FROM part) + " +
+      "(SELECT count(*) FROM supplier) + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS count"),
+    "q02_e_count" -> ("SELECT (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + " +
+      "(SELECT count(*) FROM nation) + (SELECT count(*) FROM lineitem) + " +
+      "(SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) AS count"),
+    "q03_v_ids" -> ("SELECT 'c:' || c_custkey AS gid, 'customer' AS label FROM customer WHERE c_custkey = 1 " +
+      "UNION ALL SELECT 'o:' || o_orderkey, 'orders' FROM orders WHERE o_orderkey = 2 " +
+      "UNION ALL SELECT 'p:' || p_partkey, 'part' FROM part WHERE p_partkey = 3"),
+    "q04_haslabel" -> "SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS count",
+    "q05_hasid" -> ("SELECT 'oc:' || o_orderkey AS gid FROM orders WHERE o_orderkey IN (1, 2) " +
+      "UNION ALL SELECT 'cn:' || c_custkey FROM customer WHERE c_custkey = 5"),
+    "q06_has_eq" -> "SELECT count(*) AS count FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "q07_has_gt" -> "SELECT count(*) AS count FROM customer WHERE c_acctbal > 5000",
+    "q08_has_and_or" -> ("SELECT count(*) AS count FROM customer WHERE c_acctbal >= 1000 AND " +
+      "(c_mktsegment = 'BUILDING' OR c_mktsegment = 'AUTOMOBILE')"),
+    "q09_has_between" -> "SELECT count(*) AS count FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 3000",
+    "q10_has_inside" -> "SELECT count(*) AS count FROM orders WHERE o_totalprice > 30000 AND o_totalprice < 60000",
+    "q11_has_outside" -> "SELECT count(*) AS count FROM orders WHERE o_totalprice < 30000 OR o_totalprice > 60000",
+    "q12_has_within" -> "SELECT count(*) AS count FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "q13_has_without" -> "SELECT count(*) AS count FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')",
+    "q14_has_contains" -> "SELECT count(*) AS count FROM part WHERE list_contains(string_split(p_name, ' '), 'red')",
+    "q15_has_neq" -> "SELECT count(*) AS count FROM customer WHERE c_mktsegment <> 'BUILDING'",
+    "q16_haskey" -> "SELECT count(*) AS count FROM customer WHERE c_acctbal > 5000",
+    "q17_out" -> "SELECT 'c:' || o_custkey AS gid, 'customer' AS label FROM orders JOIN customer ON o_custkey = c_custkey",
+    "q18_in" -> ("SELECT (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey) + " +
+      "(SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey) AS count"),
+    "q19_edge_out" -> "SELECT 'p:' || l_partkey AS gid FROM lineitem JOIN part ON l_partkey = p_partkey",
+    "q20_edge_in" -> "SELECT 'o:' || o_orderkey AS gid FROM orders",
+    "q21_oute" -> "SELECT 'li:' || l_orderkey || ':' || l_linenumber AS gid FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    "q22_ine" -> "SELECT count(*) AS count FROM orders JOIN customer ON o_custkey = c_custkey",
+    "q23_both" -> ("SELECT 'r:' || n_regionkey AS gid FROM nation WHERE n_nationkey = 3 " +
+      "UNION ALL SELECT 'c:' || c_custkey FROM customer WHERE c_nationkey = 3 " +
+      "UNION ALL SELECT 's:' || s_suppkey FROM supplier WHERE s_nationkey = 3"),
+    "q24_bothe" -> ("SELECT 'nr:' || n_nationkey AS gid FROM nation WHERE n_nationkey = 3 " +
+      "UNION ALL SELECT 'cn:' || c_custkey FROM customer WHERE c_nationkey = 3 " +
+      "UNION ALL SELECT 'sn:' || s_suppkey FROM supplier WHERE s_nationkey = 3"),
+    "q25_in_null" -> ("SELECT (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey) + " +
+      "(SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS count"),
+    "q26_out_null" -> ("SELECT (SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) + " +
+      "(SELECT count(*) FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS count"),
+    "q27_distinct_field" -> "SELECT count(DISTINCT c_mktsegment) AS count FROM customer",
+    "q28_distinct_default" -> "SELECT count(DISTINCT o_custkey) AS count FROM orders",
+    "q29_limit" -> "SELECT count(*) AS count FROM (SELECT * FROM customer LIMIT 100)",
+    "q30_skip" -> "SELECT count(*) AS count FROM (SELECT * FROM customer OFFSET 100)",
+    "q31_range" -> "SELECT count(*) AS count FROM (SELECT * FROM customer LIMIT 50 OFFSET 10)",
+    "q32_as_select" -> "SELECT 'o:' || o_orderkey AS gid FROM orders JOIN customer ON o_custkey = c_custkey",
+    "q33_select_render" -> ("SELECT '{\"o\":\"o:' || o_orderkey || '\",\"c\":\"c:' || o_custkey || '\"}' AS render " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "q34_fields_include" -> "SELECT 'c:1' AS gid, '{\"c_name\":\"' || c_name || '\"}' AS data FROM customer WHERE c_custkey = 1",
+    "q35_fields_exclude" -> "SELECT 'n:1' AS gid, '{}' AS data FROM nation WHERE n_nationkey = 1",
+    "q36_unwind" -> "SELECT cast(sum(len(string_split(p_name, ' '))) AS bigint) AS count FROM part",
+    "q37_set_render" -> "SELECT '{\"flag\":\"x\",\"gid\":\"c:1\"}' AS render FROM customer WHERE c_custkey = 1",
+    "q38_increment_render" -> "SELECT '{\"n\":5}' AS render FROM customer WHERE c_custkey = 1",
+    // one path entry per traversal step (reference: ot_path.py:48-57 —
+    // V.as.out.as.out.select.path() has length 4, i.e. out() appends only
+    // the landed vertex, not the traversed edge)
+    "q47_path" -> ("SELECT '[{\"vertex\":\"n:3\"},{\"vertex\":\"r:' || n_regionkey || '\"}]' AS path_json " +
+      "FROM nation WHERE n_nationkey = 3"),
+    "q48_select_many" -> "SELECT 'n:3' AS a_gid, 'r:' || n_regionkey AS b_gid FROM nation WHERE n_nationkey = 3",
+    "q39_term" -> ("SELECT 'seg' AS name, c_mktsegment AS \"key\", cast(count(*) AS double) AS value " +
+      "FROM customer GROUP BY c_mktsegment"),
+    "q40_histogram" -> ("WITH b AS (SELECT cast(floor(c_acctbal / 1000) * 1000 AS bigint) AS bucket, count(*) AS c " +
+      "FROM customer GROUP BY 1), " +
+      "r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b), 1000)) AS bucket) " +
+      "SELECT 'bal' AS name, cast(cast(r.bucket AS double) AS varchar) AS \"key\", " +
+      "cast(coalesce(b.c, 0) AS double) AS value FROM r LEFT JOIN b ON r.bucket = b.bucket"),
+    "q42_field_agg" -> ("SELECT 'keys' AS name, 'c_name' AS \"key\", cast((SELECT count(*) FROM customer) AS double) AS value " +
+      "UNION ALL SELECT 'keys', 'c_nationkey', cast((SELECT count(*) FROM customer) AS double) " +
+      "UNION ALL SELECT 'keys', 'c_acctbal', cast((SELECT count(*) FROM customer) AS double) " +
+      "UNION ALL SELECT 'keys', 'c_mktsegment', cast((SELECT count(*) FROM customer) AS double) " +
+      "UNION ALL SELECT 'keys', 'big_balance', cast((SELECT count(*) FROM customer WHERE c_acctbal > 5000) AS double)"),
+    "q43_type_agg" -> "SELECT 't' AS name, 'NUMERIC' AS \"key\", cast(count(*) AS double) AS value FROM customer",
+    "q44_count_agg" -> ("SELECT 'n' AS name, 'count' AS \"key\", cast(count(*) AS double) AS value FROM customer " +
+      "UNION ALL SELECT 'seg', c_mktsegment, cast(count(*) AS double) FROM customer GROUP BY c_mktsegment"),
+    "q45_jump_walk" -> ("SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + " +
+      "(SELECT count(*) FROM supplier) AS count"),
+    "q46_jump_counter" -> ("SELECT '{\"n\":1}' AS render FROM customer WHERE c_custkey = 1 " +
+      "UNION ALL SELECT '{\"n\":2}' FROM customer WHERE c_custkey = 1 " +
+      "UNION ALL SELECT '{\"n\":3}' FROM customer WHERE c_custkey = 1"),
+
+    "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
+    "p02_dedup_minhash" -> shingleCte,
+    "p03_dedup_simhash" -> shingleCte,
+    "p04_dedup_ngram" -> shingleCte,
+    "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS nid, cast(embedding AS double[]) AS cv FROM embeddings), " +
+      "s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim FROM q CROSS JOIN c WHERE qid <> nid), " +
+      "r AS (SELECT qid AS query_id, nid AS neighbor_id, " +
+      "cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS bigint) AS rank FROM s) " +
+      "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"),
+    "p07_lang_id" -> langIdSql,
+    "p08_quality" -> ("WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "h AS (SELECT doc_id, cast(len(w) AS double) AS n, " +
+      "cast(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS double) AS s FROM t) " +
+      "SELECT doc_id, round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS quality FROM h"),
+    "p09_tokens" -> ("SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS ws_tokens, " +
+      "cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS re_tokens FROM documents"),
+    "p10_fingerprint" -> ("SELECT doc_id, list_reduce(list_prepend(cast(7 AS bigint), " +
+      "list_transform(string_split(lower(trim(text)), ' '), w -> cast(length(w) AS bigint))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"),
+    "p11_events_hourly" -> ("SELECT event_type, cast(floor(floor(epoch(ts)) / 3600) * 3600 AS bigint) AS hour_start, " +
+      "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+    "p12_events_sessions" -> ("WITH e AS (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS es FROM events), " +
+      "l AS (SELECT user_id, es, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev FROM e) " +
+      "SELECT user_id, cast(sum(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END) AS bigint) AS n_sessions, " +
+      "count(*) AS n_events FROM l GROUP BY user_id"),
+    "p13_events_topk" -> ("SELECT user_id, event_id, cast(row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY value DESC, event_id) AS bigint) AS rank FROM events QUALIFY rank <= 3"),
+    "p14_multimodal" -> ("SELECT doc_id AS id, cast(strlen(text) AS bigint) AS n_bytes, " +
+      "cast(unicode(text[1]) AS bigint) AS first_code FROM documents"),
+  )
 }

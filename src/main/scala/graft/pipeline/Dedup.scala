@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * All variants are shuffle-bounded bucket joins — never an all-pairs
+  * cartesian — so they hold at 100 TB: candidate generation groups rows by a
+  * short key (exact hash / LSH band / simhash chunk / shared shingle) and
+  * only pairs rows *within* a bucket, then verifies candidates exactly.
+  *
+  * MinHash/banding math: P(candidate | jaccard=j) = 1-(1-j^r)^b; with the
+  * defaults (64 hashes, 32 bands × 2 rows) a 0.9-similar pair is missed with
+  * probability ~3e-24 while a 0.1-similar pair is bucketed with p < 0.03.
+  */
+object Dedup {
+  /** 2^31-1 (Mersenne prime) — hash domain for the affine min-hash family.
+    * a,b < 2^31 and x < 2^32 keep a*x+b < 2^63 (no Long overflow). */
+  private val P = 2147483647L
+  private val HASH_DOMAIN = 4294967296L // 2^32
+
+  /** Deterministic affine-permutation coefficients (fixed-seed LCG). */
+  private def coeffs(n: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) % (P - 1) }
+    val a = Array.fill(n)(next() + 1) // a != 0
+    val b = Array.fill(n)(next())
+    (a, b)
+  }
+
+  def normalize(text: Column): Column = lower(trim(text))
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(normalize(text), " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array(normalize(text)))
+  }
+
+  /** Exact dedup: one survivor (min id) per normalized-text group.
+    * At scale this is a single hash-shuffle on a 64-bit text hash; grouping
+    * by xxhash64(text) instead of the full text keeps shuffle rows narrow. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(normalize(col(textCol))).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+
+  /** MinHash signature (array<long> of length numHashes) over shingles. */
+  def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val (a, b) = coeffs(numHashes, seed)
+    val hs = transform(sh, s => pmod(xxhash64(s), lit(HASH_DOMAIN)))
+    val aCol = typedLit(a); val bCol = typedLit(b)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hs,
+        x => pmod(element_at(aCol, i + 1) * x + element_at(bCol, i + 1), lit(P)))))
+  }
+
+  /** LSH candidate pairs (a < b) from banded minhash signatures.
+    * One shuffle to bucket by (band index, band hash), pairs built only
+    * within buckets — the scale-safe alternative to all-pairs. */
+  def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
+                    bands: Int, rows: Int): DataFrame = {
+    val banded = sigDf.select(col(idCol).as("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(concat_ws(",", slice(col(sigCol), j * rows + 1, lit(rows)))))))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__bh"))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r, col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct-shingle arrays for candidate pairs. */
+  private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double): DataFrame = {
+    val sa = shingleDf.select(col("__id").as("a_id"), col("__sh").as("__sha"))
+    val sb = shingleDf.select(col("__id").as("b_id"), col("__sh").as("__shb"))
+    pairs.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("double"))
+      .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Near-dup pairs via MinHash-LSH candidates + exact Jaccard verification.
+    * Returns (a_id, b_id) with a < b and shingle-Jaccard >= threshold. */
+  def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64,
+                     bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    val sig = sh.select(col("__id"), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
+    * explode (shingle → id), bucket-join on the shingle, count shared
+    * shingles per pair, then the Jaccard from the per-doc set sizes.
+    * Exact (no probabilistic misses) but heavier than LSH — the shuffle
+    * carries one row per (pair, shared shingle). */
+  def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val l = inv.alias("l"); val r = inv.alias("r")
+    val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+      .agg(count(lit(1)).cast("double").as("__i"))
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    shared
+      .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
+      .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** 64-bit SimHash over the word multiset: bit i of the fingerprint is the
+    * majority vote of bit i across xxhash64(word) of every token. */
+  def simhash64(text: Column): Column = {
+    val tokens = split(normalize(text), " ")
+    val n = size(tokens)
+    (0 until 64).map { i =>
+      val cnt = size(filter(tokens, t => (shiftrightunsigned(xxhash64(t), i).bitwiseAND(lit(1L))) === 1))
+      when(cnt * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: pigeonhole 8×8-bit chunks for candidates
+    * (hamming <= 7 guarantees an equal chunk), verify hamming via
+    * bit_count(xor), then exact Jaccard so output matches the exact oracle. */
+  def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 7, shingleN: Int = 3,
+                     threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      simhash64(col(textCol)).as("__sim"), shingles(col(textCol), shingleN).as("__sh"))
+    val chunks = (0 until 8).map { k =>
+      base.select(col("__id"), col("__sim"), lit(k).as("__ck"),
+        shiftrightunsigned(col("__sim"), 8 * k).bitwiseAND(lit(0xFFL)).as("__cv"))
+    }.reduce(_ unionByName _)
+    val l = chunks.alias("l"); val r = chunks.alias("r")
+    val cand = l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
+        col("l.__id") < col("r.__id"))
+      .filter(bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))) <= maxHamming)
+      .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, base.select(col("__id"), col("__sh")), threshold)
+  }
+}

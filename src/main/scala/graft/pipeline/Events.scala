@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props). Batch forms of the usual streaming shapes:
+  * tumbling-window aggregation, gap sessionization, per-key top-k — each a
+  * single shuffle on its natural key. */
+object Events {
+  /** Epoch seconds (floor) from a raw INT64 nanosecond-epoch column (the
+    * events table is TIMESTAMP(NANOS) parquet, read with
+    * spark.sql.legacy.parquet.nanosAsLong=true). Integer math throughout —
+    * a double division of ~1e18 ns would lose whole seconds near
+    * boundaries. */
+  def epochSec(ts: Column): Column =
+    ((ts - pmod(ts, lit(1000000000L))).cast("decimal(38,0)") / lit(1000000000L)).cast("long")
+
+  /** Tumbling-window aggregate: (event_type, window start) → count, sum. */
+  def hourly(events: DataFrame): DataFrame = {
+    val es = epochSec(col("ts"))
+    events.groupBy(col("event_type"), (es - pmod(es, lit(3600L))).as("hour_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Gap sessionization: a new session starts when the per-user gap exceeds
+    * `gapSec`. One shuffle (window by user), no state store needed in batch;
+    * the streaming twin would be flatMapGroupsWithState with a session
+    * timeout. Returns (user_id, n_sessions, n_events). */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    // order by whole seconds (not raw ts) so the gap flags are reproducible
+    // across engines that read the nanosecond timestamps at different precision
+    val w = Window.partitionBy(col("user_id")).orderBy(epochSec(col("ts")).asc, col("event_id").asc)
+    events
+      .withColumn("__prev", lag(epochSec(col("ts")), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        epochSec(col("ts")) - col("__prev") > gapSec, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Top-k events per user by value (deterministic tie-break on event_id). */
+  def topKByValue(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+    events.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user_id"), col("event_id"), col("rank"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * `bruteTopK` is the exact baseline: broadcast the (small) query set
+  * against the corpus — one pass, no shuffle of the corpus, window top-k.
+  * `annLsh` is the scale path: random-hyperplane LSH buckets both sides so
+  * each query only scores its bucket — candidate volume drops ~2^bits×
+  * while recall stays high for near neighbors (own spec measures it).
+  */
+object Similarity {
+  /** Sum via fold — deterministic left-to-right accumulation. */
+  private def fsum(arr: Column): Column = aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * queries: (qid, qvec) — expected small; Spark broadcasts it (hinted).
+    * corpus:  (id, vec). Self-matches (qid == id) are excluded.
+    * Output: (query_id, neighbor_id, rank) with rank 1..k ordered by
+    * similarity desc, neighbor id asc as the deterministic tie-break. */
+  def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
+    val q = broadcast(queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q")))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosine(col("__q"), col("__v")))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane matrix (bits × dim). */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1 }
+    Array.fill(bits)(Array.fill(dim)(next()))
+  }
+
+  /** Random-hyperplane LSH bucket id (int of `bits` sign bits). */
+  def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
+    (0 until bits).map { i =>
+      when(dot(toDouble(vec), typedLit(planes(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: score only candidates sharing the query's LSH
+    * bucket — an equi-join on the bucket id, never a cartesian. Fewer bits
+    * → bigger buckets → higher recall and cost; own spec measures recall
+    * vs bruteTopK. */
+  def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"),
+      lshBucket(col(vecCol), bits, dim).as("__b"))
+    val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"),
+      lshBucket(col(qvecCol), bits, dim).as("__b"))
+    val scored = c.join(q, "__b")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosine(col("__q"), col("__v")))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over a document corpus: language ID, quality scoring,
+  * token counting, fingerprinting. Every function is a pure column
+  * expression (codegen-friendly, no UDFs) and each has an exact ANSI-SQL
+  * equivalent so the DuckDB oracle can verify it row-for-row.
+  */
+object TextAnalysis {
+  /** Fixed per-language stopword profiles (heuristic n-gram/stopword
+    * language ID — the classic trigram-profile method reduced to word
+    * unigrams; deterministic and SQL-mirrorable). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "zu", "auf", "von"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "con", "para", "un", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "avec", "pour", "un", "sur"),
+    "zh" -> Seq("de0", "shi", "zai", "he", "le0", "you", "wo", "bu", "ren", "zhe"))
+
+  private def words(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** Occurrences of any word from `list` in the text. */
+  def hitCount(text: Column, list: Seq[String]): Column =
+    size(filter(words(text), w => array_contains(typedLit(list), w)))
+
+  /** Predicted language: argmax of stopword hits; the chained CASE
+    * evaluates in list order, so the first-listed language wins ties —
+    * same shape as the equivalent SQL CASE expression. */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, list) => lang -> hitCount(text, list) }
+    val cases = hits.map { case (lang, h) =>
+      val geAll = hits.filter(_._1 != lang).map { case (_, o) => h >= o }.reduce(_ && _)
+      (geAll, lang)
+    }
+    cases.dropRight(1).foldRight(lit(cases.last._2): Column) {
+      case ((cond, lang), elseCol) => when(cond, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword density, the
+    * standard cheap pre-filters of a training-data pipeline. Rounded to 4
+    * decimals so float formatting is stable across engines. */
+  def qualityScore(text: Column): Column = {
+    val n = size(words(text)).cast("double")
+    val stop = hitCount(text, stopwords.head._2).cast("double")
+    round(least(lit(1.0), n / 100.0) * 0.5 + least(lit(1.0), stop / n * 5.0) * 0.5, 4)
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token count: alnum runs and single punctuation marks each
+    * count as one token (a cheap proxy for subword tokenizer cost). */
+  def reTokens(text: Column): Column = regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Rolling-hash document fingerprint: fold word lengths through
+    * h = (h*31 + len) mod 1e9+7, seeded with 7. Order-sensitive (catches
+    * shuffled copies that a bag-of-words hash would miss). */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(words(text), w => length(w).cast("long")),
+      lit(7L), (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+}

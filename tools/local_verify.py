@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify output
+parquet against the DuckDB oracle SQL, with columns sorted by name and rows
+compared as sorted multisets (the driver hashes the same way)."""
+import sys, os, json, glob
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows):
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+    return sorted(tuple(norm(v) for v in r) for r in rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        got_cols = sorted(got.columns)
+        sel = ", ".join(chr(34) + c + chr(34) for c in got_cols)
+        got_rows = canon(con.execute(
+            f"SELECT {sel} FROM (SELECT * FROM read_parquet(?))",
+            [f"{qdir}/*.parquet"]).fetchall())
+        if name not in oracle:
+            results[name] = {"rows": len(got_rows), "oracle": "none (rows-only)", "ok": len(got_rows) > 0}
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            exp_cols = sorted(exp.columns)
+            exp_rows = canon(con.execute(
+                f'SELECT {", ".join(chr(34)+c+chr(34) for c in exp_cols)} FROM ({oracle[name]})').fetchall())
+        except Exception as e:
+            results[name] = {"ok": False, "error": f"oracle failed: {e}"}
+            continue
+        ok_cols = got_cols == exp_cols
+        ok_rows = len(got_rows) == len(exp_rows)
+        ok_hash = got_rows == exp_rows
+        results[name] = {"cols": ok_cols, "nrows": ok_rows, "hash": ok_hash,
+                         "ok": ok_cols and ok_rows and ok_hash}
+        if not results[name]["ok"]:
+            results[name]["got_cols"] = got_cols
+            results[name]["exp_cols"] = exp_cols
+            results[name]["got_n"] = len(got_rows)
+            results[name]["exp_n"] = len(exp_rows)
+            # first few differing rows
+            diff_g = [r for r in got_rows if r not in exp_rows][:3]
+            diff_e = [r for r in exp_rows if r not in got_rows][:3]
+            results[name]["sample_got_only"] = [[str(v)[:60] for v in r] for r in diff_g]
+            results[name]["sample_exp_only"] = [[str(v)[:60] for v in r] for r in diff_e]
+    npass = sum(1 for r in results.values() if r.get("ok"))
+    print(json.dumps(results, indent=1, default=str))
+    print(f"PASS {npass}/{len(results)}")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
