@@ -21,19 +21,27 @@ object Aggregations {
     if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
   def run(df0: DataFrame, aggs: Seq[Agg]): DataFrame = {
-    val df = if (aggs.size > 1) df0.cache() else df0
+    val multi = aggs.size > 1
+    val df = if (multi) df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df0
     val parts = aggs.map {
       case Agg.Term(name, field, size) =>
-        // value → frequency, top-`size` (reference: processors.go:980-1019)
-        val keyed = df.select(FieldRef.resolve(field).as("key"))
-          .filter(col("key").isNotNull)
+        // value → frequency, top-`size`; container-valued (array/map) fields
+        // are skipped (reference: processors.go:980-1019, 1001-1003)
+        val (ns, pathParts) = FieldRef.parse(field)
+        val isDataField = pathParts.headOption.exists(p => p.nonEmpty && !p.startsWith("_"))
+        val typed = df.select(FieldRef.resolve(field).as("key"),
+          (if (isDataField)
+             GJson.json_type(FieldRef.elem(ns).getField("data"), lit(pathParts.mkString(".")))
+           else lit("STRING")).as("__t"))
+        val keyed = typed
+          .filter(col("key").isNotNull && !col("__t").isin("ARRAY", "MAP"))
           .groupBy("key").agg(count(lit(1)).cast("double").as("value"))
         val sized = if (size > 0) keyed.orderBy(col("value").desc, col("key")).limit(size) else keyed
         sized.select(lit(name).as("name"), col("key"), col("value"))
 
       case Agg.Histogram(name, field, interval) =>
         // dense buckets min→max including zeros (reference: processors.go:1021-1065)
-        val x = FieldRef.resolve(field).cast("double")
+        val x = FieldRef.resolve(field).try_cast("double")
         val bucketed = df.select((floor(x / interval) * interval).as("bucket"))
           .filter(col("bucket").isNotNull)
           .groupBy("bucket").agg(count(lit(1)).cast("double").as("value"))
@@ -49,7 +57,7 @@ object Aggregations {
       case Agg.Percentile(name, field, percents) =>
         // t-digest approximate quantiles; conformance tolerance ±15%
         // (reference: processors.go:1067-1091, ot_aggregations.py:108-116)
-        val x = FieldRef.resolve(field).cast("double")
+        val x = FieldRef.resolve(field).try_cast("double")
         val vals = df.select(x.as("x")).filter(col("x").isNotNull)
         val aggCols = percents.zipWithIndex.map { case (p, i) =>
           percentile_approx(col("x"), lit(p / 100.0), lit(10000)).as(s"q$i") }
@@ -78,6 +86,15 @@ object Aggregations {
         df.agg(count(lit(1)).cast("double").as("value"))
           .select(lit(name).as("name"), lit("count").as("key"), col("value"))
     }
-    parts.reduce(_ unionByName _)
+    val out = parts.reduce(_ unionByName _)
+    if (multi) {
+      // aggregate() is terminal and its output is small: materialize the
+      // fan-out eagerly, then release the shared upstream cache so long-lived
+      // sessions don't leak blocks (the reference's per-query temp KV store
+      // is likewise dropped at query end).
+      val res = out.localCheckpoint(true)
+      df.unpersist(false)
+      res
+    } else out
   }
 }

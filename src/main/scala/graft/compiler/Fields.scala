@@ -90,7 +90,10 @@ object FieldRef {
 object Conditions {
   import GValue._
 
-  private def num(c: Column): Column = c.cast("double")
+  // try_cast, not cast: the engine must behave identically under ANSI mode
+  // (Spark 4 default) — a non-numeric value compares false, never errors
+  // (reference: engine/logic/match.go:27-69 cast.ToFloat64E semantics).
+  private def num(c: Column): Column = c.try_cast("double")
 
   private def valueNum(v: GValue): Option[Double] = v match {
     case GNum(d) => Some(d)

@@ -145,7 +145,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       val newElem = struct(m.getField("gid").as("gid"), m.getField("label").as("label"),
         m.getField("from").as("from"), m.getField("to").as("to"),
         f(m.getField("data")).as("data"))
-      val newMarks = map_concat(col("marks"), map(lit(ns), newElem))
+      val newMarks = map_concat(map_filter(col("marks"), (k, _) => k =!= lit(ns)), map(lit(ns), newElem))
       shape(df, col("cur"), newMarks, if (needPath) col("path") else lit(null))
     }
   }
@@ -193,7 +193,11 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
         .dropDuplicates("__dk").drop("__dk"), kind)
 
     case Stmt.As(name) =>
-      (shape(df, col("cur"), map_concat(col("marks"), map(lit(name), col("cur"))),
+      // drop any existing binding first — no dependence on the session's
+      // mapKeyDedupPolicy (re-marking the same name must be last-wins,
+      // reference: engine/core/processors.go:761-778)
+      (shape(df, col("cur"),
+        map_concat(map_filter(col("marks"), (k, _) => k =!= lit(name)), map(lit(name), col("cur"))),
         if (needPath) col("path") else lit(null)), kind)
 
     case Stmt.SelectOne(name) =>
@@ -203,6 +207,12 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       (keep(df, m, Some(entry)), kind)
 
     case Stmt.Fields(fs) =>
+      // mark-namespaced paths are not routed to the marks map here — fail
+      // loudly rather than silently projecting the wrong element
+      fs.foreach { f =>
+        val (ns, _) = FieldRef.parse(f.stripPrefix("-"))
+        require(ns.isEmpty, s"fields() does not support mark-namespaced path $f")
+      }
       val (exc, inc) = fs.partition(_.startsWith("-"))
       val newData = GJson.json_select(col("cur.data"),
         typedLit(inc.toArray), typedLit(exc.map(_.stripPrefix("-")).toArray))
@@ -211,7 +221,8 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
         c.getField("from").as("from"), c.getField("to").as("to"), newData.as("data")), None), kind)
 
     case Stmt.Unwind(field) =>
-      val (_, parts) = FieldRef.parse(field)
+      val (uns, parts) = FieldRef.parse(field)
+      require(uns.isEmpty, s"unwind() does not support mark-namespaced path $field")
       val fieldPath = parts.mkString(".")
       val elems = GJson.json_array_elems(col("cur.data"), lit(fieldPath))
       // explode_outer: empty/missing array → one traveler with field = null
@@ -242,10 +253,19 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
 
   /** Execute with control-flow (mark/jump) handled as driver-side frontier
     * iteration (reference: engine/logic/jump.go — signal-token termination
-    * becomes frontier-emptiness + localCheckpoint). */
-  def run(maxIters: Int = 100): DataFrame = {
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    * becomes frontier-emptiness + localCheckpoint).
+    *
+    * Loop hygiene (100 TB design):
+    *  - one driver action per iteration beyond the checkpoint (a combined
+    *    count(arrivals) / count(frontier) aggregate);
+    *  - every per-iteration checkpoint except the final result is
+    *    unpersisted once the loop's output is materialized — no executor
+    *    memory creep over deep walks;
+    *  - exceeding maxIters is an ERROR, never a silently truncated result
+    *    (the reference terminates only on frontier exhaustion,
+    *    engine/logic/jump.go:71-123).
+    */
+  def run(maxIters: Int = 1000): DataFrame = {
     val markPos: Map[String, Int] = stmts.zipWithIndex.collect { case (Stmt.Mark(n), i) => n -> i }.toMap
 
     var kind: Kind = VertexK
@@ -256,44 +276,78 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     }
 
     // forward-jump injections: mark position → travelers arriving there
-    val injections = scala.collection.mutable.Map.empty[Int, List[DataFrame]]
+    val injections = scala.collection.mutable.Map.empty[Int, List[(DataFrame, Kind)]]
     var i = 1
     while (i < stmts.length) {
       stmts(i) match {
         case Stmt.Mark(_) =>
-          for (in <- injections.remove(i); d <- in) df = df.unionByName(d)
+          for (in <- injections.remove(i); (d, k) <- in) {
+            require(k == kind, s"forward jump into mark of different element kind ($k vs $kind)")
+            df = df.unionByName(d)
+          }
 
         case Stmt.Jump(mark, cond, emit) =>
           val target = markPos.getOrElse(mark, throw new IllegalArgumentException(s"unknown mark $mark"))
           if (target > i) { // forward jump: route matching travelers ahead
             val jumpers = cond.map(c => df.filter(Conditions.toColumn(c))).getOrElse(df)
-            injections(target) = jumpers :: injections.getOrElse(target, Nil)
+            injections(target) = (jumpers, kind) :: injections.getOrElse(target, Nil)
             df = if (emit) df else df.limit(0)
           } else { // backward jump: iterate the mark..jump segment
             val body = stmts.slice(target + 1, i)
-            val downstreamLimit = stmts.drop(i + 1).takeWhile {
-              case _: Stmt.Limit => true
+            // early-exit bound: the first Limit/Range downstream of the jump,
+            // reachable through row-preserving (1:1) statements only — the
+            // batch analogue of the reference's context-cancel from any
+            // downstream limit (engine/core/processors.go:641,700)
+            val suffix = stmts.drop(i + 1)
+            val preserving = suffix.takeWhile {
+              case _: Stmt.As | _: Stmt.SelectOne | _: Stmt.Fields | _: Stmt.Render |
+                   _: Stmt.SetField | _: Stmt.Increment | _: Stmt.Path => true
               case _ => false
-            }.collectFirst { case Stmt.Limit(n) => n }
-            var arrivals = df
-            var emitted: Option[DataFrame] = if (emit) Some(df) else None
-            var emittedCount = if (emit) df.count() else 0L
-            var frontier = cond.map(c => arrivals.filter(Conditions.toColumn(c))).getOrElse(arrivals)
-              .localCheckpoint(true)
+            }
+            val downstreamLimit = suffix.drop(preserving.length).headOption.collect {
+              case Stmt.Limit(n) => n
+              case Stmt.Range(_, stop) if stop >= 0 => stop
+            }
+            val condCol = cond.map(Conditions.toColumn)
+            // one action: (total arrivals, arrivals matching the jump condition)
+            def counts(d: DataFrame): (Long, Long) = {
+              val r = d.agg(count(lit(1)), count(when(condCol.getOrElse(lit(true)), 1))).head()
+              (r.getLong(0), r.getLong(1))
+            }
+            val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+            var arrivals = df.localCheckpoint(true)
+            var (nArr, nFront) = counts(arrivals)
+            var emitted: Option[DataFrame] = if (emit) Some(arrivals) else None
+            var emittedCount = if (emit) nArr else 0L
             var iter = 0
-            while (!frontier.isEmpty && iter < maxIters &&
-                   downstreamLimit.forall(n => emittedCount < n)) {
-              var (d2, k2) = (frontier, kind)
+            while (nFront > 0 && downstreamLimit.forall(emittedCount < _)) {
+              iter += 1
+              if (iter > maxIters)
+                throw new IllegalStateException(
+                  s"jump loop to mark '$mark' exceeded $maxIters iterations with a non-empty frontier; " +
+                  "raise maxIters if the walk is legitimately this deep")
+              var d2 = condCol.map(arrivals.filter).getOrElse(arrivals)
+              var k2 = kind
               for (s <- body) { val r = applySimple(d2, k2, s); d2 = r._1; k2 = r._2 }
+              require(k2 == kind,
+                s"jump loop body must preserve the element kind (starts $kind, ends $k2)")
               arrivals = d2.localCheckpoint(true)
+              val c = counts(arrivals); nArr = c._1; nFront = c._2
               if (emit) {
                 emitted = Some(emitted.get.unionByName(arrivals))
-                emittedCount += arrivals.count()
+                emittedCount += nArr
               }
-              frontier = cond.map(c => arrivals.filter(Conditions.toColumn(c))).getOrElse(arrivals)
-              iter += 1
             }
             df = emitted.getOrElse(df.limit(0))
+            if (iter > 0) {
+              // materialize the loop output, then free every intermediate
+              // checkpoint created during the iteration
+              df = df.localCheckpoint(true)
+              val persistedAfter = spark.sparkContext.getPersistentRDDs
+              val newIds = persistedAfter.keySet -- persistedBefore
+              val keep = if (newIds.nonEmpty) newIds.max else -1
+              for (id <- newIds if id != keep; rdd <- persistedAfter.get(id)) rdd.unpersist(false)
+            }
           }
 
         case s =>

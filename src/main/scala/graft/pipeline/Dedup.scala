@@ -48,7 +48,9 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .drop("__h")
 
-  /** MinHash signature (array<long> of length numHashes) over shingles. */
+  /** MinHash signature (array<long> of length numHashes) over shingles —
+    * expression form for single-column use. For whole-corpus signing prefer
+    * [[minhashSignatures]] (explode + hash-aggregate, stays in codegen). */
   def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
     val (a, b) = coeffs(numHashes, seed)
     val hs = transform(sh, s => pmod(xxhash64(s), lit(HASH_DOMAIN)))
@@ -56,6 +58,22 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(hs,
         x => pmod(element_at(aCol, i + 1) * x + element_at(bCol, i + 1), lit(P)))))
+  }
+
+  /** Corpus-wide MinHash signatures as (id, sig): explode shingles, hash
+    * once, then ONE hash-aggregate computing all numHashes minima as plain
+    * agg columns — fully inside whole-stage codegen and spillable, unlike
+    * nested array lambdas which run interpreted per row. */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, shCol: String,
+                        numHashes: Int, seed: Long = 42L): DataFrame = {
+    val (a, b) = coeffs(numHashes, seed)
+    val ex = shingleDf.select(col(idCol), explode(col(shCol)).as("__s"))
+      .withColumn("__h", pmod(xxhash64(col("__s")), lit(HASH_DOMAIN)))
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(col("__h") * a(i) + b(i), lit(P))).as(s"__m$i"))
+    ex.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** LSH candidate pairs (a < b) from banded minhash signatures.
@@ -92,7 +110,7 @@ object Dedup {
                      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-    val sig = sh.select(col("__id"), minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
     verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
   }
 
@@ -129,24 +147,43 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Corpus-wide SimHash as (id, sim): explode tokens, hash once, then one
+    * hash-aggregate summing all 64 bit counts — same codegen/scale argument
+    * as [[minhashSignatures]]. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val aggs = (0 until 64).map(i =>
+      sum(shiftrightunsigned(col("__h"), i).bitwiseAND(lit(1L))).as(s"__b$i")) :+
+      count(lit(1)).as("__n")
+    val bits = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"__b$i") * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    bits.select(col(idCol), sim.as("__sim"))
+  }
+
   /** SimHash near-dup pairs: pigeonhole 8×8-bit chunks for candidates
     * (hamming <= 7 guarantees an equal chunk), verify hamming via
     * bit_count(xor), then exact Jaccard so output matches the exact oracle. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 7, shingleN: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
-    val base = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sim"), shingles(col(textCol), shingleN).as("__sh"))
-    val chunks = (0 until 8).map { k =>
-      base.select(col("__id"), col("__sim"), lit(k).as("__ck"),
-        shiftrightunsigned(col("__sim"), 8 * k).bitwiseAND(lit(0xFFL)).as("__cv"))
-    }.reduce(_ unionByName _)
+    val sims = simhashes(df.select(col(idCol).as("__id"), col(textCol).as("__text")), "__id", "__text")
+      .localCheckpoint(false)
+    // one row per (doc, chunk) via posexplode — the fingerprint is computed
+    // once, not once per chunk branch
+    val chunks = sims.select(col("__id"), col("__sim"),
+        posexplode(array((0 until 8).map(k =>
+          shiftrightunsigned(col("__sim"), 8 * k).bitwiseAND(lit(0xFFL))): _*)))
+      .withColumnRenamed("pos", "__ck").withColumnRenamed("col", "__cv")
     val l = chunks.alias("l"); val r = chunks.alias("r")
     val cand = l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
         col("l.__id") < col("r.__id"))
       .filter(bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))) <= maxHamming)
       .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, base.select(col("__id"), col("__sh")), threshold)
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    verifyJaccard(cand, sh, threshold)
   }
 }
