@@ -93,6 +93,8 @@ object SparkEntry {
     "q42_field_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.FieldAgg("keys", "_data")))),
     "q43_type_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.TypeAgg("t", "c_acctbal")))),
     "q44_count_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.CountAgg("n"), Agg.Term("seg", "c_mktsegment", 0)))),
+    "q49_term_container_skip" -> ((s, d) => runQ(s, d)(_.V().hasLabel("part")
+      .aggregate(Agg.Term("brand", "p_brand", 0), Agg.Term("w", "words", 0)))),
     // ---- control flow (mark/jump)
     "q45_jump_walk" -> ((s, d) => runQ(s, d)(_.V().hasLabel("region").mark("a").in("nation", "region").jump("a", None, emit = true).count())),
     "q46_jump_counter" -> ((s, d) => runQ(s, d)(_.V("c:1").set("n", GValue.GInt(0)).mark("a").increment("n", 1)
@@ -232,6 +234,10 @@ object SparkEntry {
       "UNION ALL SELECT 'keys', 'c_mktsegment', cast((SELECT count(*) FROM customer) AS double) " +
       "UNION ALL SELECT 'keys', 'big_balance', cast((SELECT count(*) FROM customer WHERE c_acctbal > 5000) AS double)"),
     "q43_type_agg" -> "SELECT 't' AS name, 'NUMERIC' AS \"key\", cast(count(*) AS double) AS value FROM customer",
+    // the array-valued `words` term contributes NO rows — container fields
+    // are skipped (reference: engine/core/processors.go:1001-1003)
+    "q49_term_container_skip" -> ("SELECT 'brand' AS name, p_brand AS \"key\", cast(count(*) AS double) AS value " +
+      "FROM part GROUP BY p_brand"),
     "q44_count_agg" -> ("SELECT 'n' AS name, 'count' AS \"key\", cast(count(*) AS double) AS value FROM customer " +
       "UNION ALL SELECT 'seg', c_mktsegment, cast(count(*) AS double) FROM customer GROUP BY c_mktsegment"),
     "q45_jump_walk" -> ("SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + " +

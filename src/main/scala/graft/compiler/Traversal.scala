@@ -277,10 +277,15 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
 
     // forward-jump injections: mark position → travelers arriving there
     val injections = scala.collection.mutable.Map.empty[Int, List[(DataFrame, Kind)]]
+    // element kind observed at each mark position — loop-back and forward
+    // jumps must arrive with the same kind (the reference compiler's
+    // type-state check, engine/core/compile.go:93-382)
+    val markKinds = scala.collection.mutable.Map.empty[Int, Kind]
     var i = 1
     while (i < stmts.length) {
       stmts(i) match {
         case Stmt.Mark(_) =>
+          markKinds(i) = kind
           for (in <- injections.remove(i); (d, k) <- in) {
             require(k == kind, s"forward jump into mark of different element kind ($k vs $kind)")
             df = df.unionByName(d)
@@ -293,6 +298,9 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
             injections(target) = (jumpers, kind) :: injections.getOrElse(target, Nil)
             df = if (emit) df else df.limit(0)
           } else { // backward jump: iterate the mark..jump segment
+            require(markKinds.get(target).forall(_ == kind),
+              s"jump to mark '$mark' arrives as $kind but the mark position holds ${markKinds(target)} — " +
+              "the loop segment changes the element kind")
             val body = stmts.slice(target + 1, i)
             // early-exit bound: the first Limit/Range downstream of the jump,
             // reachable through row-preserving (1:1) statements only — the
@@ -369,6 +377,9 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
 object Traversal {
   def run(spark: SparkSession, g: GraphFrame, q: Query): DataFrame =
     new Traversal(g, q.stmts.toIndexedSeq, spark).run()
+
+  def run(spark: SparkSession, g: GraphFrame, q: Query, maxIters: Int): DataFrame =
+    new Traversal(g, q.stmts.toIndexedSeq, spark).run(maxIters)
 
   private[compiler] def usesMarks(e: HasExpr): Boolean = e match {
     case HasExpr.And(cs) => cs.exists(usesMarks)

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+/** Unit tests for the LLM-data-pipeline operators on crafted corpora with
+  * hand-computable answers; the DuckDB oracle entries in SparkEntry cover
+  * the driver data, these cover the operator math. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),      // near-dup of 0
+    (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),      // exact dup of 0 after normalize
+    (3L, "completely different words entirely unrelated text here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")        // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per normalized text") {
+    val out = Dedup.exact(docs, "doc_id", "text").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 1L, 3L))
+  }
+
+  test("minhash-LSH, simhash, and exact ngram near-dup all find the planted pairs") {
+    // truth at threshold 0.5 on 3-gram shingles: (0,2), (0,4), (2,4) identical,
+    // (0,1)/(1,2)/(1,4) differ in last word -> jaccard 6/8 = 0.75
+    val expect = Set((0L, 1L), (0L, 2L), (0L, 4L), (1L, 2L), (1L, 4L), (2L, 4L))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long)].collect().toSet
+    assert(pairs(Dedup.nearDupNgram(docs, "doc_id", "text")) == expect)
+    assert(pairs(Dedup.nearDupMinhash(docs, "doc_id", "text")) == expect)
+    // simhash majority bits are volatile on 9-token docs, so only the
+    // identical pairs (hamming 0) are guaranteed; found pairs are always
+    // jaccard-verified so precision is exact
+    val sp = pairs(Dedup.nearDupSimhash(docs, "doc_id", "text"))
+    assert(sp.subsetOf(expect))
+    assert(Set((0L, 2L), (0L, 4L), (2L, 4L)).subsetOf(sp))
+  }
+
+  test("ann-LSH recall vs brute force on clustered vectors") {
+    // two tight clusters: near neighbors share LSH buckets with high prob
+    val vecs = (0 until 40).map { i =>
+      val base = if (i < 20) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0 || $"vec_id" === 20)
+    val brute = Similarity.bruteTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val ann = Similarity.annLsh(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 5, bits = 4, dim = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // same-cluster queries should recover most brute-force neighbors
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall $recall too low")
+  }
+
+  test("text analysis: langid, quality, tokens, fingerprint are deterministic") {
+    val d = Seq((1L, "the cat is on the mat"), (2L, "el gato es de la casa")).toDF("doc_id", "text")
+    val lang = d.select($"doc_id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(lang(1L) == "en")
+    assert(lang(2L) == "es")
+    val toks = d.select($"doc_id", TextAnalysis.wsTokens($"text")).as[(Long, Long)].collect().toMap
+    assert(toks(1L) == 6)
+    val fp1 = d.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    val fp2 = d.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fp1.toSeq == fp2.toSeq)
+    val q = d.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("multimodal plumbing: binary column + stubbed batch feature extraction") {
+    val d = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
+    val bin = Multimodal.asBinaryColumn(d, "doc_id", "text", "text")
+    assert(bin.schema("content").dataType.typeName == "binary")
+    val m = Multimodal.extractFeatures(spark, bin).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(m(7L) == ((3L, 'a'.toLong)))
+    assert(m(8L) == ((0L, 0L)))
+  }
+
+  test("events sessionization counts gap-separated sessions") {
+    // ns-long timestamps: user 1 has events at t=0s, 10s, 4000s -> 2 sessions
+    val e = Seq(
+      (1L, 0L * 1000000000L, 1L, "a", 1.0, "{}"),
+      (2L, 10L * 1000000000L, 1L, "a", 2.0, "{}"),
+      (3L, 4000L * 1000000000L, 1L, "a", 3.0, "{}"),
+      (4L, 5L * 1000000000L, 2L, "b", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Events.sessionize(e).as[(Long, Long, Long)].collect()
+      .map { case (u, ns, ne) => u -> ((ns, ne)) }.toMap
+    assert(s(1L) == ((2L, 3L)))
+    assert(s(2L) == ((1L, 1L)))
+  }
+}

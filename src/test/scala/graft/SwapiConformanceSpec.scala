@@ -19,8 +19,8 @@ object SparkTestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-      .config("spark.sql.ansi.enabled", "false")
+      // deliberately NO ansi/mapKeyDedupPolicy overrides: the engine must
+      // behave correctly under Spark 4 defaults (ANSI on)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
