@@ -266,6 +266,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     *    engine/logic/jump.go:71-123).
     */
   def run(maxIters: Int = 1000): DataFrame = {
+    Validate(stmts) // type-state check BEFORE any Spark work
     val markPos: Map[String, Int] = stmts.zipWithIndex.collect { case (Stmt.Mark(n), i) => n -> i }.toMap
 
     var kind: Kind = VertexK

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gripql._
+import graft.model.{GraphFrame, MutableGraph}
+import graft.compiler.Traversal
+
+/** Edit/DML surface — port of the reference conformance ot_update.py and
+  * ot_bulk.py write tests. */
+class EditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def Q = Query()
+  def n(g: GraphFrame, q: Query): Long = Traversal.run(spark, g, q).count()
+
+  test("duplicate adds upsert by gid (ot_update.test_duplicate)") {
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("vertex1", "person", """{"somedata":1}""")
+    mg.addVertex("vertex1", "person")
+    mg.addVertex("vertex1", "clone", """{"otherdata":"foo"}""")
+    mg.addVertex("vertex2", "person")
+    mg.addVertex("vertex2", "clone")
+    mg.addEdge("vertex1", "vertex2", "friend", """{"field":1}""", gid = "edge1")
+    mg.addEdge("vertex1", "vertex2", "friend", gid = "edge1")
+    mg.addEdge("vertex1", "vertex2", "friend", """{"weight":5}""", gid = "edge1")
+    assert(n(mg.graph, Q.V()) == 2)
+    assert(n(mg.graph, Q.E()) == 1)
+  }
+
+  test("last add wins entirely (ot_update.test_replace)") {
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("vertex1", "person", """{"somedata":1}""")
+    mg.addVertex("vertex1", "person")
+    mg.addVertex("vertex1", "clone", """{"otherdata":"foo"}""")
+    mg.addVertex("vertex2", "person")
+    mg.addEdge("vertex1", "vertex2", "friend", """{"field":1}""", gid = "edge1")
+    mg.addEdge("vertex1", "vertex2", "friend", gid = "edge1")
+    mg.addEdge("vertex1", "vertex2", "friend", """{"weight":5}""", gid = "edge1")
+    val v1 = mg.getVertex("vertex1").get
+    assert(v1.getAs[String]("label") == "clone")
+    assert(v1.getAs[String]("data") == """{"otherdata":"foo"}""")
+    assert(mg.getEdge("edge1").get.getAs[String]("data") == """{"weight":5}""")
+  }
+
+  test("deletes remove elements and incident edges (ot_update.test_delete/_delete_edge)") {
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("vertex1", "person", """{"field1":"value1"}""")
+    mg.addVertex("vertex2", "person")
+    mg.addVertex("vertex3", "person")
+    mg.addVertex("vertex4", "person")
+    mg.addEdge("vertex1", "vertex2", "friend", gid = "edge1")
+    mg.addEdge("vertex2", "vertex3", "friend", gid = "edge2")
+    mg.addEdge("vertex2", "vertex4", "parent", gid = "edge3")
+    assert(n(mg.graph, Q.V()) == 4)
+    assert(n(mg.graph, Q.E()) == 3)
+    mg.deleteVertex("vertex1")
+    assert(n(mg.graph, Q.V()) == 3)
+    assert(n(mg.graph, Q.E()) == 2)
+    mg.deleteEdge("edge2")
+    assert(n(mg.graph, Q.E()) == 1)
+    // removing a middle vertex strips both its out and in edges
+    val mg2 = MutableGraph.empty(spark)
+    mg2.addVertex("vertex1", "person")
+    mg2.addVertex("vertex2", "person")
+    mg2.addVertex("vertex3", "person")
+    mg2.addEdge("vertex1", "vertex2", "friend", gid = "edge1")
+    mg2.addEdge("vertex2", "vertex3", "friend", gid = "edge2")
+    mg2.deleteVertex("vertex2")
+    assert(n(mg2.graph, Q.V("vertex1").outE()) == 0)
+    assert(n(mg2.graph, Q.V("vertex3").inE()) == 0)
+  }
+
+  test("bulk add inserts valid elements (ot_bulk.test_bulkload)") {
+    val mg = MutableGraph.empty(spark)
+    val errs = mg.bulkAdd(
+      Seq(("1", "Person", """{"name":"marko"}"""), ("2", "Person", """{"name":"vadas"}"""),
+        ("3", "Software", """{"name":"lop"}"""), ("4", "Person", """{"name":"josh"}"""),
+        ("5", "Software", """{"name":"ripple"}"""), ("6", "Person", """{"name":"peter"}""")),
+      Seq((null, "created", "1", "3", """{"weight":0.4}"""), (null, "knows", "1", "2", "{}"),
+        (null, "knows", "1", "4", "{}"), (null, "created", "4", "3", "{}"),
+        (null, "created", "6", "3", "{}"), (null, "created", "4", "5", "{}")))
+    assert(errs == 0)
+    assert(n(mg.graph, Q.V()) == 6)
+    assert(n(mg.graph, Q.E()) == 6)
+  }
+
+  test("bulk add flags invalid elements (ot_bulk.test_bulkload_validate)") {
+    val mg = MutableGraph.empty(spark)
+    val errs = mg.bulkAdd(
+      Seq(("1", "Person", "{}"), ("2", "Person", "{}")),
+      Seq((null, "created", "1", null, "{}"),  // missing `to`
+        (null, null, "1", "2", "{}"),          // missing label
+        (null, "knows", "1", "2", "{}")))
+    assert(errs == 2)
+    assert(n(mg.graph, Q.E()) == 1)
+  }
+
+  test("round-trip: save + load a mutated graph") {
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("a", "x", """{"k":1}""")
+    mg.addVertex("b", "y")
+    mg.addEdge("a", "b", "z", gid = "e1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    mg.save(dir)
+    val g2 = GraphFrame.load(spark, dir)
+    assert(n(g2, Q.V()) == 2 && n(g2, Q.E()) == 1)
+  }
+}
