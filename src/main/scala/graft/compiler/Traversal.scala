@@ -37,6 +37,10 @@ case object EdgeK extends Kind
 class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
   import Traversal._
 
+  /** Element kind saved by as(name) — select(name) restores it (the
+    * reference's MarkTypes, engine/core/compile.go:284,306). */
+  private val asKinds = scala.collection.mutable.Map.empty[String, Kind]
+
   private val needMarks: Boolean = stmts.exists {
     case _: Stmt.As | _: Stmt.SelectOne | _: Stmt.SelectMany => true
     case Stmt.Has(e) => usesMarks(e)
@@ -196,6 +200,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       // drop any existing binding first — no dependence on the session's
       // mapKeyDedupPolicy (re-marking the same name must be last-wins,
       // reference: engine/core/processors.go:761-778)
+      asKinds(name) = kind
       (shape(df, col("cur"),
         map_concat(map_filter(col("marks"), (k, _) => k =!= lit(name)), map(lit(name), col("cur"))),
         if (needPath) col("path") else lit(null)), kind)
@@ -204,7 +209,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       val m = element_at(col("marks"), name)
       val entry = when(m.getField("from").isNull, pathVertexEntry(m.getField("gid")))
         .otherwise(pathEdgeEntry(m.getField("gid")))
-      (keep(df, m, Some(entry)), kind)
+      (keep(df, m, Some(entry)), asKinds.getOrElse(name, kind))
 
     case Stmt.Fields(fs) =>
       // mark-namespaced paths are not routed to the marks map here — fail
@@ -213,12 +218,25 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
         val (ns, _) = FieldRef.parse(f.stripPrefix("-"))
         require(ns.isEmpty, s"fields() does not support mark-namespaced path $f")
       }
-      val (exc, inc) = fs.partition(_.startsWith("-"))
-      val newData = GJson.json_select(col("cur.data"),
-        typedLit(inc.toArray), typedLit(exc.map(_.stripPrefix("-")).toArray))
+      val (excAll, incAll) = fs.partition(_.startsWith("-"))
+      val excStripped = excAll.map(_.stripPrefix("-"))
+      val excReserved = excStripped.filter(_.startsWith("_")).toSet
+      val excData = excStripped.filterNot(_.startsWith("_"))
+      val incData = incAll.filterNot(_.startsWith("_"))
       val c = col("cur")
-      (keep(df, struct(c.getField("gid").as("gid"), c.getField("label").as("label"),
-        c.getField("from").as("from"), c.getField("to").as("to"), newData.as("data")), None), kind)
+      // fields() with NO args strips all data; exclude-only keeps the rest
+      // (reference: test/processors_test.go:299-330 — Fields() → data{},
+      // Fields("-_label") → full data with label blanked)
+      val newData =
+        if (fs.isEmpty) lit("{}")
+        else GJson.json_select(c.getField("data"),
+          typedLit(incData.toArray), typedLit(excData.toArray))
+      def res(name: String): Column =
+        if (excReserved.contains("_" + name)) lit(null).cast(StringType)
+        else c.getField(name)
+      val newDataFinal = if (excReserved.contains("_data")) lit("{}") else newData
+      (keep(df, struct(res("gid").as("gid"), res("label").as("label"),
+        res("from").as("from"), res("to").as("to"), newDataFinal.as("data")), None), kind)
 
     case Stmt.Unwind(field) =>
       val (uns, parts) = FieldRef.parse(field)
