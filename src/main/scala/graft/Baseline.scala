@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gripql._
+import graft.model.GraphFrame
+import graft.compiler.Traversal
+
+/** Self-measured baseline runner — the reference ships benchmark harnesses
+  * but publishes no numbers (BASELINE.md), so this reproduces its workload
+  * shapes on the Spark engine and prints one JSON line to record:
+  *  - graph-bench synthetic: 50k roots × (1 vertex + 3 out-edges + 3
+  *    vertices) = 200k vertices / 150k edges
+  *    (reference: benchmark/graph-bench/main.go:99-160)
+  *  - full scans V()/E() (reference: benchmark/engine_test.go:17-45)
+  *  - 1-hop V().hasLabel("Person").out("knows").count()
+  *    (reference: benchmark/graph-bench/main.go:156-190)
+  *  - 3-hop point traversal (conformance ot_path_optimize.py shape)
+  *  - term/histogram/percentile aggregations over one label
+  */
+object Baseline {
+  def synth(spark: SparkSession): GraphFrame = {
+    val roots = spark.range(50000).select(
+      concat(lit("p:"), col("id")).as("gid"), lit("Person").as("label"),
+      to_json(struct(col("id").as("n"), (col("id") % 97).cast("double").as("score"))).as("data"))
+    val kids = spark.range(150000).select(
+      concat(lit("k:"), col("id")).as("gid"), lit("Person").as("label"),
+      to_json(struct(col("id").as("n"), (col("id") % 89).cast("double").as("score"))).as("data"))
+    val edges = spark.range(150000).select(
+      concat(lit("e:"), col("id")).as("gid"), lit("knows").as("label"),
+      concat(lit("p:"), col("id") % 50000).as("from"), concat(lit("k:"), col("id")).as("to"),
+      lit("{}").as("data"))
+    GraphFrame(roots.unionByName(kids), edges)
+  }
+
+  def timeIt(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def median3(f: => Unit): Double = Seq(timeIt(f), timeIt(f), timeIt(f)).sorted.apply(1)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-baseline").toString
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    results("ingest_200k_150k") = timeIt { synth(spark).save(dir) }
+    val g = GraphFrame.load(spark, dir)
+    def Q = Query()
+    def run(q: Query): Unit = Traversal.run(spark, g, q).count()
+
+    results("v_count") = median3 { run(Q.V().count()) }
+    results("e_count") = median3 { run(Q.E().count()) }
+    results("onehop_label_out_count") = median3 { run(Q.V().hasLabel("Person").out("knows").count()) }
+    results("threehop_point") = median3 { run(Q.V("p:17").out().out().out()) }
+    results("agg_term_hist_pct") = median3 { run(Q.V().hasLabel("Person").aggregate(
+      Agg.Term("t", "score", 10), Agg.Histogram("h", "score", 10),
+      Agg.Percentile("p", "score", Seq(25, 50, 75, 99)))) }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"baseline","unit":"sec","workloads":$qs,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
