@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, DoubleType, BooleanType}
 import graft.gripql.{GValue, HasExpr, CondOp}
+import graft.functions.GJson
 
 /** Field addressing — the reference's mini JSON-path with mark namespaces
   * (reference: jsonpath/jsonpath.go:21-60):
@@ -12,6 +13,23 @@ import graft.gripql.{GValue, HasExpr, CondOp}
   *   reserved: _gid _label _from _to _data
   */
 object FieldRef {
+  /** Whether the traversal being compiled carries a `vars` column (typed
+    * loop-state for set/increment — see Traversal). Set around plan
+    * construction; plan building is single-threaded inside run(). */
+  val hasVars = new scala.util.DynamicVariable[Boolean](false)
+
+  /** vars map key for a (namespace, path) pair. */
+  def varKey(ns: String, parts: Seq[String]): String = ns + "\u0000" + parts.mkString(".")
+
+  private def varField(ns: String, parts: Seq[String], field: String): Column =
+    try_element_at(col("vars"), lit(varKey(ns, parts))).getField(field)
+
+  /** Whole data document with any pending vars folded in (UDF — only on
+    * _data reads, which sit at plan output, not in traversal hot paths). */
+  private def dataWithVars(ns: String, e: Column): Column =
+    if (hasVars.value) GJson.json_merge_vars(e.getField("data"), col("vars"), lit(ns))
+    else e.getField("data")
+
   /** (namespace, dotted parts). namespace "" = current element. */
   def parse(key: String): (String, Seq[String]) = {
     if (key.startsWith("$")) {
@@ -39,9 +57,10 @@ object FieldRef {
       case "_label" => e.getField("label")
       case "_from" => e.getField("from")
       case "_to" => e.getField("to")
-      case "_data" => e.getField("data")
-      case "" => e.getField("data")
-      case _ => get_json_object(e.getField("data"), "$." + parts.mkString("."))
+      case "_data" | "" => dataWithVars(ns, e)
+      case _ =>
+        val base = get_json_object(e.getField("data"), "$." + parts.mkString("."))
+        if (hasVars.value) coalesce(varField(ns, parts, "raw"), base) else base
     }
   }
 
@@ -57,7 +76,8 @@ object FieldRef {
         val parent =
           if (parts.length == 1) e.getField("data")
           else get_json_object(e.getField("data"), "$." + parts.dropRight(1).mkString("."))
-        coalesce(array_contains(json_object_keys(parent), parts.last), lit(false))
+        val inData = coalesce(array_contains(json_object_keys(parent), parts.last), lit(false))
+        if (hasVars.value) varField(ns, parts, "raw").isNotNull || inData else inData
     }
   }
 
@@ -74,10 +94,11 @@ object FieldRef {
       case "_label" => quote(e.getField("label"))
       case "_from" => quote(e.getField("from"))
       case "_to" => quote(e.getField("to"))
-      case "_data" | "" => coalesce(e.getField("data"), lit("null"))
-      case _ => coalesce(
-        to_json(try_variant_get(try_parse_json(e.getField("data")), "$." + parts.mkString("."), "variant")),
-        lit("null"))
+      case "_data" | "" => coalesce(dataWithVars(ns, e), lit("null"))
+      case _ =>
+        val base = to_json(try_variant_get(try_parse_json(e.getField("data")), "$." + parts.mkString("."), "variant"))
+        val withVars = if (hasVars.value) coalesce(varField(ns, parts, "json"), base) else base
+        coalesce(withVars, lit("null"))
     }
   }
 }

@@ -53,10 +53,23 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
   }
   private val needPath: Boolean = stmts.exists { case _: Stmt.Path => true; case _ => false }
 
+  /** set()/increment() state rides in a typed `vars` column
+    * (MAP<key, STRUCT<raw, json>>, key = "ns\u0000path") maintained by pure
+    * map expressions — NO JSON rewrite inside iterated plans. Values merge
+    * into the `data` document once, at output / mark selection
+    * (reference semantics: engine/core/processors.go:812-853). */
+  private val needVars: Boolean = stmts.exists {
+    case _: Stmt.SetField | _: Stmt.Increment => true
+    case _ => false
+  }
+
   private val elemType = StructType(Seq(
     StructField("gid", StringType), StructField("label", StringType),
     StructField("from", StringType), StructField("to", StringType),
     StructField("data", StringType)))
+
+  private val varsType = MapType(StringType, StructType(Seq(
+    StructField("raw", StringType), StructField("json", StringType))))
 
   private def vertexStruct(df: DataFrame): Column = struct(
     df("gid").as("gid"), df("label").as("label"),
@@ -68,9 +81,11 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     df("from").as("from"), df("to").as("to"), df("data").as("data"))
 
   /** Travelers' fixed column set. */
-  private def shape(df: DataFrame, cur: Column, marks: Column, path: Column): DataFrame = {
+  private def shape(df: DataFrame, cur: Column, marks: Column, path: Column,
+                    vars: Column = if (needVars) col("vars") else lit(null)): DataFrame = {
     val cols = Seq(cur.as("cur")) ++
       (if (needMarks) Seq(marks.as("marks")) else Nil) ++
+      (if (needVars) Seq(vars.as("vars")) else Nil) ++
       (if (needPath) Seq(path.as("path")) else Nil)
     df.select(cols: _*)
   }
@@ -79,6 +94,10 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     shape(df, cur,
       if (needMarks) col("marks") else lit(null),
       if (needPath) pathAppend.map(p => concat(col("path"), array(p))).getOrElse(col("path")) else lit(null))
+
+  /** Upsert one vars entry (pure map expressions, stays in codegen). */
+  private def varUpsert(vars: Column, key: String, value: Column): Column =
+    map_concat(map_filter(vars, (k, _) => k =!= lit(key)), map(lit(key), value))
 
   private def pathVertexEntry(gid: Column): Column =
     struct(gid.as("vertex"), lit(null).cast(StringType).as("edge"))
@@ -92,7 +111,8 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     val cur = if (fromVerts) vertexStruct(base) else edgeStruct(base)
     shape(base, cur,
       from_json(lit("{}"), MapType(StringType, elemType)),
-      array(if (fromVerts) pathVertexEntry(base("gid")) else pathEdgeEntry(base("gid"))))
+      array(if (fromVerts) pathVertexEntry(base("gid")) else pathEdgeEntry(base("gid"))),
+      from_json(lit("{}"), varsType))
   }
 
   // Adjacency step. dir: true=out (follow from→to), false=in.
@@ -132,27 +152,6 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     }
   }
 
-  /** Rebuild `cur`'s data (or a mark's data) through a JSON-mutating fn. */
-  private def mutateData(df: DataFrame, key: String, f: Column => Column): DataFrame = {
-    val (ns, parts) = FieldRef.parse(key)
-    val fieldPath = parts.mkString(".")
-    require(fieldPath.nonEmpty && !fieldPath.startsWith("_"), s"cannot set reserved field $key")
-    if (ns.isEmpty) {
-      val c = col("cur")
-      val newCur = struct(c.getField("gid").as("gid"), c.getField("label").as("label"),
-        c.getField("from").as("from"), c.getField("to").as("to"),
-        f(c.getField("data")).as("data"))
-      keep(df, newCur, None)
-    } else {
-      require(needMarks)
-      val m = element_at(col("marks"), ns)
-      val newElem = struct(m.getField("gid").as("gid"), m.getField("label").as("label"),
-        m.getField("from").as("from"), m.getField("to").as("to"),
-        f(m.getField("data")).as("data"))
-      val newMarks = map_concat(map_filter(col("marks"), (k, _) => k =!= lit(ns)), map(lit(ns), newElem))
-      shape(df, col("cur"), newMarks, if (needPath) col("path") else lit(null))
-    }
-  }
 
   private def applySimple(df: DataFrame, kind: Kind, s: Stmt): (DataFrame, Kind) = s match {
     case Stmt.Out(labels, nul) => hop(df, kind, labels, dir = true, toEdge = false, emitNull = nul)
@@ -201,15 +200,34 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       // mapKeyDedupPolicy (re-marking the same name must be last-wins,
       // reference: engine/core/processors.go:761-778)
       asKinds(name) = kind
-      (shape(df, col("cur"),
-        map_concat(map_filter(col("marks"), (k, _) => k =!= lit(name)), map(lit(name), col("cur"))),
-        if (needPath) col("path") else lit(null)), kind)
+      val newMarks = map_concat(map_filter(col("marks"), (k, _) => k =!= lit(name)), map(lit(name), col("cur")))
+      // the mark snapshots the current element INCLUDING pending vars:
+      // re-key current-element entries ("\u0000path") under the mark's
+      // namespace ("name\u0000path") so $name.path lookups see them
+      val newVars =
+        if (!needVars) lit(null)
+        else {
+          val curEntries = filter(map_entries(col("vars")),
+            e => e.getField("key").startsWith("\u0000"))
+          val rekeyed = map_from_entries(transform(curEntries,
+            e => struct(concat(lit(name), e.getField("key")).as("key"), e.getField("value").as("value"))))
+          map_concat(map_filter(col("vars"), (k, _) => !k.startsWith(name + "\u0000")), rekeyed)
+        }
+      (shape(df, col("cur"), newMarks,
+        if (needPath) col("path") else lit(null), newVars), kind)
 
     case Stmt.SelectOne(name) =>
       val m = element_at(col("marks"), name)
+      // fold the mark's pending vars into its data so the selected element
+      // is self-contained (one UDF call at the select, not per iteration)
+      val selData =
+        if (needVars) GJson.json_merge_vars(m.getField("data"), col("vars"), lit(name))
+        else m.getField("data")
+      val sel = struct(m.getField("gid").as("gid"), m.getField("label").as("label"),
+        m.getField("from").as("from"), m.getField("to").as("to"), selData.as("data"))
       val entry = when(m.getField("from").isNull, pathVertexEntry(m.getField("gid")))
         .otherwise(pathEdgeEntry(m.getField("gid")))
-      (keep(df, m, Some(entry)), asKinds.getOrElse(name, kind))
+      (keep(df, sel, Some(entry)), asKinds.getOrElse(name, kind))
 
     case Stmt.Fields(fs) =>
       // mark-namespaced paths are not routed to the marks map here — fail
@@ -254,15 +272,41 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       (out, kind)
 
     case Stmt.SetField(key, value) =>
-      (mutateData(df, key, d => GJson.json_set(d, lit(FieldRef.parse(key)._2.mkString(".")), lit(GValue.toJson(value)))), kind)
+      val (ns, parts) = FieldRef.parse(key)
+      require(parts.nonEmpty && !parts.head.startsWith("_"), s"cannot set reserved field $key")
+      val entry = struct(lit(GValue.rawText(value)).cast(StringType).as("raw"),
+        lit(GValue.toJson(value)).as("json"))
+      (shape(df, col("cur"),
+        if (needMarks) col("marks") else lit(null),
+        if (needPath) col("path") else lit(null),
+        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind)
 
     case Stmt.Increment(key, delta) =>
-      (mutateData(df, key, d => GJson.json_incr(d, lit(FieldRef.parse(key)._2.mkString(".")), lit(delta))), kind)
+      val (ns, parts) = FieldRef.parse(key)
+      require(parts.nonEmpty && !parts.head.startsWith("_"), s"cannot increment reserved field $key")
+      // resolve() consults vars first, then the stored data document
+      val next = coalesce(FieldRef.resolve(key).try_cast("double"), lit(0d)) + delta
+      // preserve integer-ness (reference: engine/core/processors.go:832-853)
+      val txt = when(next === floor(next) && abs(next) < 1e15,
+        next.cast("long").cast("string")).otherwise(next.cast("string"))
+      val entry = struct(txt.as("raw"), txt.as("json"))
+      (shape(df, col("cur"),
+        if (needMarks) col("marks") else lit(null),
+        if (needPath) col("path") else lit(null),
+        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind)
 
     case Stmt.Render(template) => (df.select(Render.column(template).as("render")), kind)
     case Stmt.Path() => (df.select(col("path")), kind)
     case Stmt.SelectMany(names) =>
-      (df.select(names.map(n => element_at(col("marks"), n).as(n)): _*), kind)
+      val cols = names.map { n =>
+        val m = element_at(col("marks"), n)
+        if (needVars)
+          struct(m.getField("gid").as("gid"), m.getField("label").as("label"),
+            m.getField("from").as("from"), m.getField("to").as("to"),
+            GJson.json_merge_vars(m.getField("data"), col("vars"), lit(n)).as("data")).as(n)
+        else m.as(n)
+      }
+      (df.select(cols: _*), kind)
     case Stmt.Count() => (df.agg(count(lit(1)).as("count")), kind)
     case Stmt.Aggregate(aggs) => (Aggregations.run(df, aggs), kind)
 
@@ -283,7 +327,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     *    (the reference terminates only on frontier exhaustion,
     *    engine/logic/jump.go:71-123).
     */
-  def run(maxIters: Int = 1000): DataFrame = {
+  def run(maxIters: Int = 1000): DataFrame = FieldRef.hasVars.withValue(needVars) {
     Validate(stmts) // type-state check BEFORE any Spark work
     val markPos: Map[String, Int] = stmts.zipWithIndex.collect { case (Stmt.Mark(n), i) => n -> i }.toMap
 
@@ -384,13 +428,18 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       i += 1
     }
 
-    // default output: flatten current element (reference: pipes.go:118-243 Convert)
+    // default output: flatten current element (reference: pipes.go:118-243
+    // Convert); pending vars fold into data HERE, once — never per iteration
     stmts.last match {
       case _: Stmt.Count | _: Stmt.Aggregate | _: Stmt.Render | _: Stmt.Path | _: Stmt.SelectMany => df
-      case _ => df.select(col("cur.gid").as("gid"), col("cur.label").as("label"),
-        col("cur.from").as("from"), col("cur.to").as("to"), col("cur.data").as("data"))
+      case _ =>
+        val dataOut =
+          if (needVars) GJson.json_merge_vars(col("cur.data"), col("vars"), lit(""))
+          else col("cur.data")
+        df.select(col("cur.gid").as("gid"), col("cur.label").as("label"),
+          col("cur.from").as("from"), col("cur.to").as("to"), dataOut.as("data"))
     }
-  }
+  } // hasVars scope
 }
 
 object Traversal {

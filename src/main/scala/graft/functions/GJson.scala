@@ -139,16 +139,35 @@ object GJson extends Serializable {
     else "UNKNOWN"
   }
 
+  /** Merge pending typed-loop-state vars (key "ns\u0000path" → JSON
+    * fragment) for one namespace into a data document. Called ONCE at plan
+    * output / mark selection — never inside the iterated loop plan. */
+  def mergeVars(data: String, vars: Map[String, String], ns: String): String = {
+    if (vars == null || vars.isEmpty) return if (data == null) "{}" else data
+    val prefix = ns + "\u0000"
+    var out = if (data == null) "{}" else data
+    // deterministic application order
+    for ((k, v) <- vars.toSeq.sortBy(_._1) if k.startsWith(prefix)) {
+      val path = k.substring(prefix.length)
+      if (path.nonEmpty && v != null) out = setField(out, path, v)
+    }
+    out
+  }
+
   // ---- Column wrappers ----
   private val setFieldUdf = udf(setField _)
   private val incrFieldUdf = udf(incrField _)
   private val arrayElemsUdf = udf(arrayElems _)
   private val selectFieldsUdf = udf(selectFields _)
   private val typeNameUdf = udf(typeName _)
+  private val mergeVarsUdf = udf(mergeVars _)
 
   def json_set(data: Column, path: Column, valueJson: Column): Column = setFieldUdf(data, path, valueJson)
   def json_incr(data: Column, path: Column, delta: Column): Column = incrFieldUdf(data, path, delta)
   def json_array_elems(data: Column, path: Column): Column = arrayElemsUdf(data, path)
   def json_select(data: Column, includes: Column, excludes: Column): Column = selectFieldsUdf(data, includes, excludes)
   def json_type(data: Column, path: Column): Column = typeNameUdf(data, path)
+  def json_merge_vars(data: Column, vars: Column, ns: Column): Column =
+    mergeVarsUdf(data, org.apache.spark.sql.functions.transform_values(vars,
+      (_, v) => v.getField("json")), ns)
 }

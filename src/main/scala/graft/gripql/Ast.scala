@@ -37,6 +37,14 @@ object GValue {
     case GArray(vs) => vs.map(toJson).mkString("[", ",", "]")
     case GObj(fs) => fs.map { case (k, v) => toJson(GString(k)) + ":" + toJson(v) }.mkString("{", ",", "}")
   }
+
+  /** Unquoted text form — matches what get_json_object yields for the same
+    * value (strings bare, scalars as text, containers as JSON text). */
+  def rawText(g: GValue): String = g match {
+    case GString(s) => s
+    case GNull => null
+    case other => toJson(other)
+  }
 }
 
 /** Predicate tree for has()/jump-conditions
