@@ -34,14 +34,15 @@ case object EdgeK extends Kind
   *  - jump loops are driver-side frontier iteration with localCheckpoint to
   *    cut lineage (GraphX-Pregel shape).
   */
-class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
+class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
+                extensionMode: Boolean = false) {
   import Traversal._
 
   /** Element kind saved by as(name) — select(name) restores it (the
     * reference's MarkTypes, engine/core/compile.go:284,306). */
   private val asKinds = scala.collection.mutable.Map.empty[String, Kind]
 
-  private val needMarks: Boolean = stmts.exists {
+  private val needMarks: Boolean = extensionMode || stmts.exists {
     case _: Stmt.As | _: Stmt.SelectOne | _: Stmt.SelectMany => true
     case Stmt.Has(e) => usesMarks(e)
     case Stmt.Jump(_, Some(e), _) => usesMarks(e)
@@ -51,14 +52,15 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     case Stmt.Distinct(fs) => fs.exists(f => f.startsWith("$") && !f.startsWith("$."))
     case _ => false
   }
-  private val needPath: Boolean = stmts.exists { case _: Stmt.Path => true; case _ => false }
+  private val needPath: Boolean = extensionMode ||
+    stmts.exists { case _: Stmt.Path => true; case _ => false }
 
   /** set()/increment() state rides in a typed `vars` column
     * (MAP<key, STRUCT<raw, json>>, key = "ns\u0000path") maintained by pure
     * map expressions — NO JSON rewrite inside iterated plans. Values merge
     * into the `data` document once, at output / mark selection
     * (reference semantics: engine/core/processors.go:812-853). */
-  private val needVars: Boolean = stmts.exists {
+  private val needVars: Boolean = extensionMode || stmts.exists {
     case _: Stmt.SetField | _: Stmt.Increment => true
     case _ => false
   }
@@ -329,13 +331,50 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     */
   def run(maxIters: Int = 1000): DataFrame = FieldRef.hasVars.withValue(needVars) {
     Validate(stmts) // type-state check BEFORE any Spark work
+    val (df, _) = exec(None, maxIters)
+    finish(df)
+  }
+
+  /** Resume from spooled travelers (job/pipeline extension — reference:
+    * gdbi/pipeline.go:19-23 CompileOptions incl. ExtensionMarkTypes,
+    * server/job_manager.go:110-140). `seed` must be the normalized traveler
+    * shape (cur, marks, vars, path). */
+  def runExtension(seedDf: DataFrame, seedKind: Kind,
+                   extMarks: Map[String, Kind] = Map.empty,
+                   maxIters: Int = 1000): DataFrame =
+    FieldRef.hasVars.withValue(needVars) {
+      def vs(k: Kind) = if (k == VertexK) Validate.VertexS else Validate.EdgeS
+      asKinds ++= extMarks
+      Validate(stmts, vs(seedKind), extMarks.map { case (n, k) => n -> (vs(k): Validate.S) })
+      val (df, _) = exec(Some((seedDf, seedKind)), maxIters)
+      finish(df)
+    }
+
+  /** Run and return the raw traveler table, final kind, and mark kinds for
+    * spooling (result must be element-typed). Construct with
+    * extensionMode=true so all traveler columns are materialized. */
+  def spool(maxIters: Int = 1000): (DataFrame, Kind, Map[String, Kind]) =
+    FieldRef.hasVars.withValue(needVars) {
+      val st = Validate(stmts)
+      require(st == Validate.VertexS || st == Validate.EdgeS,
+        s"only element-typed results can be spooled for extension, not $st")
+      val (df, k) = exec(None, maxIters)
+      (df, k, asKinds.toMap)
+    }
+
+  private def exec(seedOpt: Option[(DataFrame, Kind)], maxIters: Int): (DataFrame, Kind) = {
     val markPos: Map[String, Int] = stmts.zipWithIndex.collect { case (Stmt.Mark(n), i) => n -> i }.toMap
 
     var kind: Kind = VertexK
-    var df: DataFrame = stmts.head match {
-      case Stmt.V(ids) => kind = VertexK; seed(ids, fromVerts = true)
-      case Stmt.E(ids) => kind = EdgeK; seed(ids, fromVerts = false)
-      case other => throw new IllegalArgumentException(s"query must start with V() or E(), got $other")
+    var df: DataFrame = seedOpt match {
+      case Some((sdf, k)) =>
+        kind = k
+        shape(sdf, col("cur"), col("marks"), col("path"), col("vars"))
+      case None => stmts.head match {
+        case Stmt.V(ids) => kind = VertexK; seed(ids, fromVerts = true)
+        case Stmt.E(ids) => kind = EdgeK; seed(ids, fromVerts = false)
+        case other => throw new IllegalArgumentException(s"query must start with V() or E(), got $other")
+      }
     }
 
     // forward-jump injections: mark position → travelers arriving there
@@ -344,7 +383,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
     // jumps must arrive with the same kind (the reference compiler's
     // type-state check, engine/core/compile.go:93-382)
     val markKinds = scala.collection.mutable.Map.empty[Int, Kind]
-    var i = 1
+    var i = if (seedOpt.isDefined) 0 else 1
     while (i < stmts.length) {
       stmts(i) match {
         case Stmt.Mark(_) =>
@@ -428,8 +467,12 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
       i += 1
     }
 
-    // default output: flatten current element (reference: pipes.go:118-243
-    // Convert); pending vars fold into data HERE, once — never per iteration
+    (df, kind)
+  }
+
+  /** Default output: flatten current element (reference: pipes.go:118-243
+    * Convert); pending vars fold into data HERE, once — never per iteration. */
+  private def finish(df: DataFrame): DataFrame =
     stmts.last match {
       case _: Stmt.Count | _: Stmt.Aggregate | _: Stmt.Render | _: Stmt.Path | _: Stmt.SelectMany => df
       case _ =>
@@ -439,7 +482,6 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession) {
         df.select(col("cur.gid").as("gid"), col("cur.label").as("label"),
           col("cur.from").as("from"), col("cur.to").as("to"), dataOut.as("data"))
     }
-  } // hasVars scope
 }
 
 object Traversal {

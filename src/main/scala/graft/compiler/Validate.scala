@@ -31,16 +31,19 @@ object Validate {
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
   /** Throws IllegalArgumentException on the first invalid statement;
-    * returns the final pipeline state otherwise. */
-  def apply(stmts: Seq[Stmt]): S = {
+    * returns the final pipeline state otherwise. `initial` other than NoS
+    * validates a pipeline EXTENSION (job resume — reference:
+    * gdbi/pipeline.go:19-23 CompileOptions.PipelineExtension). */
+  def apply(stmts: Seq[Stmt], initial: S = NoS, extMarks: Map[String, S] = Map.empty): S = {
     if (stmts.isEmpty) fail("empty query")
-    var state: S = NoS
-    val markTypes = scala.collection.mutable.Map.empty[String, S]
+    var state: S = initial
+    val markTypes = scala.collection.mutable.Map.empty[String, S] ++ extMarks
     val jumpMarks = stmts.collect { case Stmt.Mark(n) => n }.toSet
     val markStmtState = scala.collection.mutable.Map.empty[String, S]
     for ((s, i) <- stmts.zipWithIndex) s match {
       case _: Stmt.V | _: Stmt.E =>
-        if (i != 0) fail(s""""${s.getClass.getSimpleName}" statement is only valid at the beginning of the traversal""")
+        if (i != 0 || initial != NoS)
+          fail(s""""${s.getClass.getSimpleName}" statement is only valid at the beginning of the traversal""")
         state = if (s.isInstanceOf[Stmt.V]) VertexS else EdgeS
 
       case _: Stmt.In | _: Stmt.Out | _: Stmt.Both =>

@@ -1,0 +1,72 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.gripql.Query
+import graft.compiler.{Traversal, VertexK, EdgeK, Kind}
+
+/** Async job service: submit a traversal, spool its traveler stream to
+  * parquet, later resume it with MORE statements (pipeline extension) —
+  * the reference's Job service re-expressed as parquet spool + compiler
+  * re-entry (reference: gripql/gripql.proto:376-423,
+  * server/job_manager.go:14-140, jobstorage/storage.go:21-35,
+  * query-checksum dedup jobstorage/query_checksum.go:10-26).
+  *
+  * Spool layout: `<dir>/<jobId>/travelers` (normalized traveler parquet:
+  * cur, marks, vars, path) + `<dir>/<jobId>/meta.json` (kind + checksum).
+  */
+object Jobs {
+  def checksum(q: Query): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(q.stmts.mkString(";").getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def kindName(k: Kind): String = if (k == VertexK) "vertex" else "edge"
+
+  /** Run the traversal, spool travelers, return the job id. */
+  def submit(spark: SparkSession, g: GraphFrame, q: Query, dir: String): String = {
+    val jobId = "job-" + java.util.UUID.randomUUID().toString.take(12)
+    val (travelers, kind, markKinds) =
+      new Traversal(g, q.stmts.toIndexedSeq, spark, extensionMode = true).spool()
+    travelers.write.mode("overwrite").parquet(s"$dir/$jobId/travelers")
+    val marksJson = markKinds.toSeq.sortBy(_._1)
+      .map { case (n, k) => s""""$n":"${kindName(k)}"""" }.mkString("{", ",", "}")
+    val meta = s"""{"kind":"${kindName(kind)}","checksum":"${checksum(q)}","marks":$marksJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$jobId/meta.json"), meta)
+    jobId
+  }
+
+  def listJobs(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Nil
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("job-")).map(_.getName).toSeq.sorted
+  }
+
+  /** Find a spooled job whose query checksum matches (the reference reuses
+    * spooled results when a query shares a prefix with a finished job). */
+  def searchJobs(dir: String, q: Query): Option[String] = {
+    val want = checksum(q)
+    listJobs(dir).find { id =>
+      val meta = java.nio.file.Paths.get(s"$dir/$id/meta.json")
+      java.nio.file.Files.exists(meta) &&
+        java.nio.file.Files.readString(meta).contains(s""""checksum":"$want"""")
+    }
+  }
+
+  /** Resume a spooled job with additional statements. */
+  def resume(spark: SparkSession, g: GraphFrame, dir: String, jobId: String,
+             extension: Query): DataFrame = {
+    val metaText = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/$jobId/meta.json"))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaText)
+    val kind: Kind = if (meta.get("kind").asText() == "edge") EdgeK else VertexK
+    val extMarks = Option(meta.get("marks")).map { m =>
+      import scala.jdk.CollectionConverters._
+      m.fields().asScala.map { e =>
+        val k: Kind = if (e.getValue.asText() == "edge") EdgeK else VertexK
+        e.getKey -> k
+      }.toMap
+    }.getOrElse(Map.empty[String, Kind])
+    val travelers = spark.read.parquet(s"$dir/$jobId/travelers")
+    new Traversal(g, extension.stmts.toIndexedSeq, spark, extensionMode = true)
+      .runExtension(travelers, kind, extMarks)
+  }
+}
