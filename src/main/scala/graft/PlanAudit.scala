@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.gripql._
+import graft.model.TpchGraph
+import graft.compiler.Traversal
+
+/** Dev tool: print formatted plans for representative queries so pushdown /
+  * broadcast / codegen regressions are visible (`PushedFilters`,
+  * `ReadSchema`, `WholeStageCodegen`, no ScalaUDF in hot paths). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val g = TpchGraph(spark, dir)
+    def Q = Query()
+    val cases: Seq[(String, Query)] = Seq(
+      "point_lookup" -> Q.V("c:17"),
+      "label_has_filter" -> Q.V().hasLabel("customer").has(P.gt("c_acctbal", 5000)),
+      "one_hop" -> Q.V().hasLabel("orders").out("customer"),
+      "count_agg" -> Q.V().hasLabel("customer").count())
+    for ((name, q) <- cases) {
+      println(s"==== $name ====")
+      Traversal.run(spark, g, q).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -173,13 +173,17 @@ object Conditions {
           case _ => lit(false)
         }
     }
-    coalesce(c, lit(false))
+    // NO outer coalesce: in filter context a null predicate drops the row,
+    // which already matches "missing field never matches" — and the bare
+    // comparison shape is what parquet pushdown recognizes. not() below
+    // supplies the null→false coercion where three-valued logic differs.
+    c
   }
 
   def toColumn(e: HasExpr): Column = e match {
     case HasExpr.And(cs) => cs.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
     case HasExpr.Or(cs) => cs.map(toColumn).reduceOption(_ || _).getOrElse(lit(false))
-    case HasExpr.Not(c) => !toColumn(c)
+    case HasExpr.Not(c) => !coalesce(toColumn(c), lit(false))
     case HasExpr.Cond(k, v, op) => leaf(k, v, op)
   }
 }

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.Invoke
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JSON shredding: rewrite `get_json_object(to_json(struct(...)), '$.k')`
+  * to a direct struct-field access with get_json_object's text semantics.
+  *
+  * Why: the engine's `data` column is schemaless JSON, but graph VIEWS over
+  * typed tables (TpchGraph, GRIPPER-style sources) synthesize it with
+  * to_json — so every has() predicate would serialize the struct and
+  * re-parse it per row, and the resulting expression blocks parquet filter
+  * pushdown. After shredding, the predicate is a plain column comparison
+  * that Catalyst pushes into the scan (the Spark analogue of the
+  * reference's IndexStartOptimize, engine/core/optimize.go:12-120).
+  *
+  * Injected into the operator-optimization batch (so pushdown sees the
+  * rewritten predicate) via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Only top-level scalar fields rewrite; anything else keeps the original
+  * expression.
+  */
+object JsonShredding extends Rule[LogicalPlan] {
+  private val TopLevel = """^\$\.([A-Za-z0-9_]+)$""".r
+
+  /** The struct child of a to_json call, whether it is still StructsToJson
+    * or already lowered to Invoke(StructsToJsonEvaluator, "evaluate", ...)
+    * by ReplaceExpressions. Only default-options casts are eligible. */
+  private def structChild(json: Expression): Option[Expression] = json match {
+    case s: StructsToJson if s.options.isEmpty => Some(s.child)
+    case i: Invoke if i.functionName == "evaluate" &&
+        i.targetObject.dataType.toString.contains("StructsToJsonEvaluator") =>
+      i.arguments.headOption
+    case _ => None
+  }
+
+  private def fieldAsText(child: Expression, st: StructType, name: String): Option[Expression] = {
+    val idx = st.fieldNames.indexOf(name)
+    if (idx < 0) return None
+    val field = GetStructField(child, idx, Some(name))
+    st.fields(idx).dataType match {
+      case StringType => Some(field)
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType |
+           DoubleType | FloatType | BooleanType =>
+        Some(Cast(field, StringType))
+      case _ => None // nested/array/temporal: keep the JSON path semantics
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case g @ GetJsonObject(json, Literal(path: UTF8String, StringType)) =>
+      (path.toString match {
+        case TopLevel(name) =>
+          structChild(json).flatMap { child =>
+            child.dataType match {
+              case st: StructType => fieldAsText(child, st, name)
+              case _ => None
+            }
+          }
+        case _ => None
+      }).getOrElse(g)
+
+    // collapse the numeric→string→numeric chains the shredded predicates
+    // leave behind, so the final comparison is a bare pushable column ref.
+    // Float sources are excluded: float→string→double parses the SHORT
+    // decimal representation, which differs from widening the float.
+    case outer @ Cast(Cast(e, StringType, _, _), dt, tz, mode)
+        if numericLike(e.dataType) && numericLike(dt) =>
+      Cast(e, dt, tz, mode)
+  }
+
+  private def numericLike(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+}
+
+/** Session extension registration:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => JsonShredding)
+}
