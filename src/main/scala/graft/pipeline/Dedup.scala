@@ -109,7 +109,10 @@ object Dedup {
                      shingleN: Int = 3, numHashes: Int = 64,
                      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // shingle arrays are read three times (signatures + both verify sides):
+    // materialize once instead of re-tokenizing the corpus per consumer
     val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false)
     val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
     verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
   }
@@ -122,6 +125,7 @@ object Dedup {
   def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(false)
     val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
     val l = inv.alias("l"); val r = inv.alias("r")
     val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
