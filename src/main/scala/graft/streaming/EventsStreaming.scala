@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics
+  * (graft.pipeline.Events). The reference has no streaming surface
+  * (SURVEY §2.10) — these are part of the training-data-pipeline
+  * extensions: the same logical operations, expressed so they run
+  * incrementally with watermarks and keyed state.
+  */
+object EventsStreaming {
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(startSec: Long, lastSec: Long, n: Long)
+  case class Session(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
+
+  /** Tumbling-window counts/sums per event type with late-data handling:
+    * watermark bounds state, windows finalize `allowedLateness` behind the
+    * max seen event time. */
+  def hourlyStream(events: DataFrame, allowedLateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", allowedLateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap sessionization as keyed state: a session closes when no event
+    * arrives for `gapSec` (watermark-driven timeout) — the streaming
+    * equivalent of the batch lag-window form. */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+                       gapSec: Long = 1800): Dataset[Session] = {
+    import spark.implicits._
+    events.withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.startSec, s.lastSec, s.n))
+          } else {
+            val sorted = evs.map(e => e.ts.getTime / 1000).toSeq.sorted
+            var closed = List.empty[Session]
+            var st = state.getOption
+            for (sec <- sorted) {
+              st match {
+                case Some(s) if sec - s.lastSec <= gapSec =>
+                  st = Some(s.copy(lastSec = math.max(s.lastSec, sec), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.startSec, s.lastSec, s.n)
+                  st = Some(SessionState(sec, sec, 1))
+                case None =>
+                  st = Some(SessionState(sec, sec, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.{Event, Session}
+
+/** Structured Streaming event analytics driven through MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("watermarked hourly aggregation finalizes windows incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.hourlyStream(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(100), 1, "click", 1.0),
+        Event(2, ts(200), 1, "click", 2.0),
+        Event(3, ts(3700), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the first hour so its window finalizes
+      input.addData(Event(4, ts(20000), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM hourly_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful gap sessionization closes sessions on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.sessionizeStream(spark, input.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 1000s and 1030s (one session); then silence.
+      // (timestamps sit well above epoch 0 - an event AT the initial
+      // watermark would be dropped as late)
+      input.addData(Event(1, ts(1000), 1, "a", 1.0), Event(2, ts(1030), 1, "a", 1.0))
+      q.processAllAvailable()
+      // another user's much-later events advance the watermark -> timeout fires
+      input.addData(Event(3, ts(2000), 2, "a", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(6000), 2, "a", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT user_id, start_sec, end_sec, n_events FROM session_out")
+        .as[Session].collect()
+      assert(sessions.exists(s => s.user_id == 1 && s.start_sec == 1000 && s.end_sec == 1030 && s.n_events == 2))
+    } finally q.stop()
+  }
+}
