@@ -114,6 +114,13 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.annLsh(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    "p15_sim_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.annIvf(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "p16_events_props" -> ((s, d) => events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))),
     "p07_lang_id" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "p08_quality" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
     "p09_tokens" -> ((s, d) => docs(s, d).select(col("doc_id"),
@@ -256,6 +263,8 @@ object SparkEntry {
       "r AS (SELECT qid AS query_id, nid AS neighbor_id, " +
       "cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS bigint) AS rank FROM s) " +
       "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"),
+    "p16_events_props" -> ("SELECT cast(json_extract_string(props, '$.k') AS bigint) AS k, " +
+      "count(*) AS n FROM events GROUP BY 1"),
     "p07_lang_id" -> langIdSql,
     "p08_quality" -> ("WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
       "h AS (SELECT doc_id, cast(len(w) AS double) AS n, " +

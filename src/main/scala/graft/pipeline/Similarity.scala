@@ -57,6 +57,44 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * buckets the corpus once; each query probes its `nprobe` nearest
+    * centroids and scores only those buckets. The scale path when corpus
+    * >> queries: the corpus shuffles once at build, probing is an equi-join
+    * on the centroid id. */
+  def annIvf(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__feat", array_to_vector(col("__v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol("__bucket")
+    val fitted = model.fit(c)
+    val assigned = fitted.transform(c).select(col("neighbor_id"), col("__v"), col("__bucket"))
+    // nprobe nearest centroids per query (centroid table is tiny: broadcast)
+    val centroids = fitted.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("__bucket", "__cent"))
+    val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"))
+    val probes = q.crossJoin(centDf)
+      .withColumn("__dist", fsum(zip_with(col("__q"), col("__cent"), (a, b) => (a - b) * (a - b))))
+      .withColumn("__pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__dist").asc, col("__bucket").asc)))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__q"), col("__bucket"))
+    val scored = assigned.join(probes, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", cosine(col("__q"), col("__v")))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: score only candidates sharing the query's LSH
     * bucket — an equi-join on the bucket id, never a cartesian. Fewer bits
     * → bigger buckets → higher recall and cost; own spec measures recall

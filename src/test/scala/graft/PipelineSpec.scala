@@ -55,6 +55,11 @@ class PipelineSpec extends AnyFunSuite {
     // same-cluster queries should recover most brute-force neighbors
     val recall = (brute & ann).size.toDouble / brute.size
     assert(recall >= 0.8, s"ANN recall $recall too low")
+    val ivf = Similarity.annIvf(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 5,
+        nlist = 4, nprobe = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
   }
 
   test("text analysis: langid, quality, tokens, fingerprint are deterministic") {
