@@ -23,6 +23,7 @@ object PlanAudit {
       "point_lookup" -> Q.V("c:17"),
       "label_has_filter" -> Q.V().hasLabel("customer").has(P.gt("c_acctbal", 5000)),
       "one_hop" -> Q.V().hasLabel("orders").out("customer"),
+      "three_hop_count" -> Q.V().hasLabel("customer").in("customer").outE("item").count(),
       "count_agg" -> Q.V().hasLabel("customer").count())
     for ((name, q) <- cases) {
       println(s"==== $name ====")
