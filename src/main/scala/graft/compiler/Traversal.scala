@@ -101,6 +101,25 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
   private def varUpsert(vars: Column, key: String, value: Column): Column =
     map_concat(map_filter(vars, (k, _) => k =!= lit(key)), map(lit(key), value))
 
+  /** skip(n): drop n rows WITHOUT a global single-partition offset (which
+    * is a straggler at scale). Results are unordered — the reference drops
+    * whichever travelers arrive first (engine/core/processors.go:664-685) —
+    * so dropping from the first partitions is equivalent: one parallel
+    * counting pass over the same RDD (identical partition structure), then
+    * a parallel per-partition drop. */
+  private def dropRows(df: DataFrame, n: Long): DataFrame = {
+    if (n <= 0) return df
+    val rdd = df.rdd
+    val sizes = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().toMap
+    var remaining = n
+    val drops = (0 until rdd.getNumPartitions).map { i =>
+      val take = math.min(remaining, sizes.getOrElse(i, 0L)); remaining -= take; i -> take
+    }.toMap
+    val dropped = rdd.mapPartitionsWithIndex((i, it) => it.drop(drops(i).toInt))
+    spark.createDataFrame(dropped, df.schema)
+  }
+
   private def pathVertexEntry(gid: Column): Column =
     struct(gid.as("vertex"), lit(null).cast(StringType).as("edge"))
   private def pathEdgeEntry(gid: Column): Column =
@@ -183,9 +202,9 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       (df.filter(conds.map(c => coalesce(c, lit(false))).reduce(_ && _)), kind)
 
     case Stmt.Limit(n) => (df.limit(n.toInt), kind)
-    case Stmt.Skip(n) => (df.offset(n.toInt), kind)
+    case Stmt.Skip(n) => (dropRows(df, n), kind)
     case Stmt.Range(start, stop) =>
-      val skipped = if (start > 0) df.offset(start.toInt) else df
+      val skipped = if (start > 0) dropRows(df, start) else df
       (if (stop >= 0) skipped.limit((stop - start).toInt) else skipped, kind)
 
     case Stmt.Distinct(fields) =>
