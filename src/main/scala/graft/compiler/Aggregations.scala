@@ -26,15 +26,18 @@ object Aggregations {
     val parts = aggs.map {
       case Agg.Term(name, field, size) =>
         // value → frequency, top-`size`; container-valued (array/map) fields
-        // are skipped (reference: processors.go:980-1019, 1001-1003)
+        // are skipped (reference: processors.go:980-1019, 1001-1003).
+        // Typing via native variant expressions, not a UDF.
         val (ns, pathParts) = FieldRef.parse(field)
         val isDataField = pathParts.headOption.exists(p => p.nonEmpty && !p.startsWith("_"))
         val typed = df.select(FieldRef.resolve(field).as("key"),
           (if (isDataField)
-             GJson.json_type(FieldRef.elem(ns).getField("data"), lit(pathParts.mkString(".")))
+             schema_of_variant(try_variant_get(try_parse_json(FieldRef.elem(ns).getField("data")),
+               "$." + pathParts.mkString("."), "variant"))
            else lit("STRING")).as("__t"))
         val keyed = typed
-          .filter(col("key").isNotNull && !col("__t").isin("ARRAY", "MAP"))
+          .filter(col("key").isNotNull &&
+            !col("__t").startsWith("ARRAY") && !col("__t").startsWith("OBJECT"))
           .groupBy("key").agg(count(lit(1)).cast("double").as("value"))
         val sized = if (size > 0) keyed.orderBy(col("value").desc, col("key")).limit(size) else keyed
         sized.select(lit(name).as("name"), col("key"), col("value"))
