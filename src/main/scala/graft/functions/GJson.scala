@@ -53,26 +53,6 @@ object GJson extends Serializable {
     mapper.writeValueAsString(root)
   }
 
-  /** Add delta to a numeric field (missing/non-numeric treated as 0),
-    * preserving integer-ness (reference: engine/core/processors.go:832-853). */
-  def incrField(data: String, path: String, delta: Long): String = {
-    val root = parse(data)
-    val parts = path.split('.').toSeq
-    val parent = navParent(root, parts, create = true)
-    parent match {
-      case o: ObjectNode =>
-        val cur = o.get(parts.last)
-        if (cur != null && cur.isNumber && !cur.canConvertToLong)
-          o.put(parts.last, cur.asDouble() + delta)
-        else {
-          val base = if (cur != null && cur.isNumber) cur.asLong() else 0L
-          o.put(parts.last, base + delta)
-        }
-      case _ =>
-    }
-    mapper.writeValueAsString(root)
-  }
-
   /** Elements of an array field, each as JSON text; null when the field is
     * missing or not an array (unwind's null-emit case). */
   def arrayElems(data: String, path: String): Array[String] = {
@@ -156,14 +136,12 @@ object GJson extends Serializable {
 
   // ---- Column wrappers ----
   private val setFieldUdf = udf(setField _)
-  private val incrFieldUdf = udf(incrField _)
   private val arrayElemsUdf = udf(arrayElems _)
   private val selectFieldsUdf = udf(selectFields _)
   private val typeNameUdf = udf(typeName _)
   private val mergeVarsUdf = udf(mergeVars _)
 
   def json_set(data: Column, path: Column, valueJson: Column): Column = setFieldUdf(data, path, valueJson)
-  def json_incr(data: Column, path: Column, delta: Column): Column = incrFieldUdf(data, path, delta)
   def json_array_elems(data: Column, path: Column): Column = arrayElemsUdf(data, path)
   def json_select(data: Column, includes: Column, excludes: Column): Column = selectFieldsUdf(data, includes, excludes)
   def json_type(data: Column, path: Column): Column = typeNameUdf(data, path)
