@@ -95,6 +95,9 @@ object SparkEntry {
     "q44_count_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.CountAgg("n"), Agg.Term("seg", "c_mktsegment", 0)))),
     "q49_term_container_skip" -> ((s, d) => runQ(s, d)(_.V().hasLabel("part")
       .aggregate(Agg.Term("brand", "p_brand", 0), Agg.Term("w", "words", 0)))),
+    "q50_multihop_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").out("nation").out("region")
+      .aggregate(Agg.Term("r", "r_name", 0)))),
+    "q51_edge_data_has" -> ((s, d) => runQ(s, d)(_.E().hasLabel("item").has(P.gt("l_quantity", 45)).count())),
     // ---- control flow (mark/jump)
     "q45_jump_walk" -> ((s, d) => runQ(s, d)(_.V().hasLabel("region").mark("a").in("nation", "region").jump("a", None, emit = true).count())),
     "q46_jump_counter" -> ((s, d) => runQ(s, d)(_.V("c:1").set("n", GValue.GInt(0)).mark("a").increment("n", 1)
@@ -247,6 +250,10 @@ object SparkEntry {
       "FROM part GROUP BY p_brand"),
     "q44_count_agg" -> ("SELECT 'n' AS name, 'count' AS \"key\", cast(count(*) AS double) AS value FROM customer " +
       "UNION ALL SELECT 'seg', c_mktsegment, cast(count(*) AS double) FROM customer GROUP BY c_mktsegment"),
+    "q50_multihop_agg" -> ("SELECT 'r' AS name, r_name AS \"key\", cast(count(*) AS double) AS value " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY r_name"),
+    "q51_edge_data_has" -> "SELECT count(*) AS count FROM lineitem WHERE l_quantity > 45",
     "q45_jump_walk" -> ("SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + " +
       "(SELECT count(*) FROM supplier) AS count"),
     "q46_jump_counter" -> ("SELECT '{\"n\":1}' AS render FROM customer WHERE c_custkey = 1 " +
