@@ -60,7 +60,12 @@ object FieldRef {
       case "_data" | "" => dataWithVars(ns, e)
       case _ =>
         val base = get_json_object(e.getField("data"), "$." + parts.mkString("."))
-        if (hasVars.value) coalesce(varField(ns, parts, "raw"), base) else base
+        if (hasVars.value) {
+          // entry-presence guard, not coalesce: set(field, null) must
+          // OVERRIDE a stored value with null, not fall back to it
+          val entry = try_element_at(col("vars"), lit(varKey(ns, parts)))
+          when(entry.isNotNull, entry.getField("raw")).otherwise(base)
+        } else base
     }
   }
 
@@ -77,7 +82,10 @@ object FieldRef {
           if (parts.length == 1) e.getField("data")
           else get_json_object(e.getField("data"), "$." + parts.dropRight(1).mkString("."))
         val inData = coalesce(array_contains(json_object_keys(parent), parts.last), lit(false))
-        if (hasVars.value) varField(ns, parts, "raw").isNotNull || inData else inData
+        // entry presence (a field set to JSON null still EXISTS)
+        if (hasVars.value)
+          try_element_at(col("vars"), lit(varKey(ns, parts))).isNotNull || inData
+        else inData
     }
   }
 

@@ -92,10 +92,20 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
     df.select(cols: _*)
   }
 
-  private def keep(df: DataFrame, cur: Column, pathAppend: Option[Column]): DataFrame =
+  private def keep(df: DataFrame, cur: Column, pathAppend: Option[Column],
+                   newVars: Option[Column] = None): DataFrame =
     shape(df, cur,
       if (needMarks) col("marks") else lit(null),
-      if (needPath) pathAppend.map(p => concat(col("path"), array(p))).getOrElse(col("path")) else lit(null))
+      if (needPath) pathAppend.map(p => concat(col("path"), array(p))).getOrElse(col("path")) else lit(null),
+      if (needVars) newVars.getOrElse(col("vars")) else lit(null))
+
+  /** Drop current-element vars when the current element CHANGES (hop,
+    * select): the reference's set() mutates the then-current DataElement,
+    * which is replaced wholesale on the next traversal step — pending
+    * fields must not leak onto the landed element. Mark-namespaced entries
+    * survive (the marks map carries its mutated elements). */
+  private def clearCurVars: Option[Column] =
+    if (needVars) Some(map_filter(col("vars"), (k, _) => !k.startsWith("\u0000"))) else None
 
   /** Upsert one vars entry (pure map expressions, stays in codegen). */
   private def varUpsert(vars: Column, key: String, value: Column): Column =
@@ -109,7 +119,9 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
     * a parallel per-partition drop. */
   private def dropRows(df: DataFrame, n: Long): DataFrame = {
     if (n <= 0) return df
-    val rdd = df.rdd
+    // persist so the sizing pass and the drop pass see the SAME snapshot
+    // (and the upstream plan computes once, not twice)
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().toMap
     var remaining = n
@@ -151,7 +163,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
         val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
           lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
           col("__v.data").as("data"))
-        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid")))), VertexK)
+        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK)
       case _ =>
         val e0 = g.edges.alias("__e")
         val e = if (labels.nonEmpty) e0.filter(col("__e.label").isin(labels: _*)) else e0
@@ -160,7 +172,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
         if (toEdge) {
           val cur = struct(col("__e.gid").as("gid"), col("__e.label").as("label"),
             col("__e.from").as("from"), col("__e.to").as("to"), col("__e.data").as("data"))
-          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid")))), EdgeK)
+          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid"))), clearCurVars), EdgeK)
         } else {
           val v = g.vertices.alias("__v")
           val vKey = if (dir) col("__e.to") else col("__e.from")
@@ -168,7 +180,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
           val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
             lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
             col("__v.data").as("data"))
-          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid")))), VertexK)
+          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK)
         }
     }
   }
@@ -192,14 +204,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
     case Stmt.HasLabel(ls) => (df.filter(col("cur.label").isin(ls: _*)), kind)
     case Stmt.HasId(ids) => (df.filter(col("cur.gid").isin(ids: _*)), kind)
     case Stmt.HasKey(ks) =>
-      val conds = ks.map { k =>
-        val (_, parts) = FieldRef.parse(k)
-        if (parts.length == 1) array_contains(json_object_keys(col("cur.data")), parts.head)
-        else array_contains(
-          json_object_keys(get_json_object(col("cur.data"), "$." + parts.dropRight(1).mkString("."))),
-          parts.last)
-      }
-      (df.filter(conds.map(c => coalesce(c, lit(false))).reduce(_ && _)), kind)
+      (df.filter(ks.map(FieldRef.exists).reduce(_ && _)), kind)
 
     case Stmt.Limit(n) => (df.limit(n.toInt), kind)
     case Stmt.Skip(n) => (dropRows(df, n), kind)
@@ -248,7 +253,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
         m.getField("from").as("from"), m.getField("to").as("to"), selData.as("data"))
       val entry = when(m.getField("from").isNull, pathVertexEntry(m.getField("gid")))
         .otherwise(pathEdgeEntry(m.getField("gid")))
-      (keep(df, sel, Some(entry)), asKinds.getOrElse(name, kind))
+      (keep(df, sel, Some(entry), clearCurVars), asKinds.getOrElse(name, kind))
 
     case Stmt.Fields(fs) =>
       // mark-namespaced paths are not routed to the marks map here — fail
@@ -468,15 +473,14 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
               }
             }
             df = emitted.getOrElse(df.limit(0))
-            if (iter > 0) {
-              // materialize the loop output, then free every intermediate
-              // checkpoint created during the iteration
-              df = df.localCheckpoint(true)
-              val persistedAfter = spark.sparkContext.getPersistentRDDs
-              val newIds = persistedAfter.keySet -- persistedBefore
-              val keep = if (newIds.nonEmpty) newIds.max else -1
-              for (id <- newIds if id != keep; rdd <- persistedAfter.get(id)) rdd.unpersist(false)
-            }
+            // materialize the loop output, then free every intermediate
+            // checkpoint — including the pre-loop arrivals checkpoint that
+            // exists even when the loop ran zero iterations
+            df = df.localCheckpoint(true)
+            val persistedAfter = spark.sparkContext.getPersistentRDDs
+            val newIds = persistedAfter.keySet -- persistedBefore
+            val keepId = if (newIds.nonEmpty) newIds.max else -1
+            for (id <- newIds if id != keepId; rdd <- persistedAfter.get(id)) rdd.unpersist(false)
           }
 
         case s =>

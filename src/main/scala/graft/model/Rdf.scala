@@ -19,9 +19,9 @@ object Rdf {
   /** Parse N-Triples text into (subject, predicate, object, isLiteral). */
   def triples(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
-    // <s> <p> <o> .   |   <s> <p> "literal"(^^<type>)? .
+    // <s> <p> <o> .   |   <s> <p> "literal"(^^<datatype-iri> | @lang)? .
     val iriObj = """^<([^>]+)>\s+<([^>]+)>\s+<([^>]+)>\s*\.\s*$"""
-    val litObj = """^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"[^.]*\.\s*$"""
+    val litObj = """^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]+>|@[A-Za-z0-9-]+)?\s*\.\s*$"""
     lines.select(
         regexp_extract(col("value"), iriObj, 1).as("s_iri"),
         regexp_extract(col("value"), iriObj, 2).as("p_iri"),

@@ -64,13 +64,16 @@ object JsonShredding extends Rule[LogicalPlan] {
         case _ => None
       }).getOrElse(g)
 
-    // collapse the numeric→string→numeric chains the shredded predicates
-    // leave behind, so the final comparison is a bare pushable column ref.
-    // Float sources are excluded: float→string→double parses the SHORT
-    // decimal representation, which differs from widening the float.
-    case outer @ Cast(Cast(e, StringType, _, _), dt, tz, mode)
-        if numericLike(e.dataType) && numericLike(dt) =>
-      Cast(e, dt, tz, mode)
+    // collapse the numeric→string→DOUBLE chains the shredded predicates
+    // leave behind (Conditions uses try_cast("double")), so the final
+    // comparison is a bare pushable column ref. Scope is deliberately
+    // narrow: only double targets — rewriting fractional→string→integral
+    // would turn a null/error into a truncation — and float sources are
+    // excluded (float→string→double parses the short decimal
+    // representation, which differs from widening the float).
+    case Cast(Cast(e, StringType, _, _), DoubleType, tz, mode)
+        if numericLike(e.dataType) =>
+      Cast(e, DoubleType, tz, mode)
   }
 
   private def numericLike(t: DataType): Boolean = t match {

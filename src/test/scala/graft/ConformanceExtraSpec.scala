@@ -50,6 +50,25 @@ class ConformanceExtraSpec extends AnyFunSuite {
       Q.V().has(P.eq_("field1.nested.test", 1))).count() == 1)
   }
 
+  test("set() fields do not leak onto hopped-to elements") {
+    // reference: ValueSet mutates the traveler's THEN-current element,
+    // which out() replaces wholesale (engine/core/processors.go:812-830)
+    val out = Traversal.run(spark, swapi,
+      Q.V("Character:1").set("flag", GValue.GString("x")).out("homeworld")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r.getAs[String]("data").contains("\"flag\"")))
+    // but mark-carried fields survive the hop
+    val marked = Traversal.run(spark, swapi,
+      Q.V("Character:1").set("flag", GValue.GString("x")).as("a").out("homeworld")
+        .render(GValue.GString("$a.flag"))).collect()
+    assert(marked.forall(_.getString(0) == "\"x\""))
+    // set(field, null): the key EXISTS and overrides a stored value
+    assert(Traversal.run(spark, swapi,
+      Q.V("Character:1").set("nothing", GValue.GNull).hasKey("nothing")).count() == 1)
+    assert(Traversal.run(spark, swapi,
+      Q.V("Character:1").set("name", GValue.GNull).has(P.eq_("name", "Luke Skywalker"))).count() == 0)
+  }
+
   test("gid prefixes do not bleed across adjacency (ot_keycheck.test_subkey)") {
     val mg = MutableGraph.empty(spark)
     mg.addVertex("Work", "Thing"); mg.addVertex("Workflow", "Thing")

@@ -64,8 +64,9 @@ class JobsSpec extends AnyFunSuite {
     val nt =
       """<http://ex.org/alice> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Person> .
         |<http://ex.org/alice> <http://ex.org/name> "Alice" .
+        |<http://ex.org/alice> <http://ex.org/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
         |<http://ex.org/alice> <http://ex.org/knows> <http://ex.org/bob> .
-        |<http://ex.org/bob> <http://ex.org/name> "Bob" .
+        |<http://ex.org/bob> <http://ex.org/name> "Bob"@en .
         |""".stripMargin
     val f = java.nio.file.Files.createTempFile("graft-rdf", ".nt")
     java.nio.file.Files.writeString(f, nt)
@@ -73,7 +74,9 @@ class JobsSpec extends AnyFunSuite {
     val verts = rg.vertices.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     assert(verts("http://ex.org/alice")._1 == "http://ex.org/Person")
     assert(verts("http://ex.org/alice")._2.contains("\"Alice\""))
+    assert(verts("http://ex.org/alice")._2.contains("\"30\"")) // typed literal kept
     assert(verts("http://ex.org/bob")._1 == "rdf:Resource")
+    assert(verts("http://ex.org/bob")._2.contains("\"Bob\"")) // lang-tagged literal kept
     val edges = rg.edges.collect()
     assert(edges.length == 1 && edges(0).getAs[String]("label") == "http://ex.org/knows")
     // loaded graph is traversable

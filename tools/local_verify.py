@@ -12,7 +12,9 @@ def canon(rows):
         if isinstance(v, float):
             return round(v, 9)
         return v
-    return sorted(tuple(norm(v) for v in r) for r in rows)
+    # None-safe deterministic sort (None is not orderable vs str/int)
+    return sorted((tuple(norm(v) for v in r) for r in rows),
+                  key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
