@@ -74,11 +74,67 @@ object JsonShredding extends Rule[LogicalPlan] {
     case Cast(Cast(e, StringType, _, _), DoubleType, tz, mode)
         if numericLike(e.dataType) =>
       Cast(e, DoubleType, tz, mode)
+
+    case e if rewriteIdPredicates.isDefinedAt(e) => rewriteIdPredicates(e)
   }
 
   private def numericLike(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | DoubleType | _: DecimalType => true
     case _ => false
+  }
+
+  // ---- prefix-encoded id lookups (the reference's IndexStartOptimize,
+  // engine/core/optimize.go:12-120): V("c:17") compares
+  // concat('c:', cast(key)) = 'c:17' per row on EVERY union branch. The
+  // rewrite turns wrong-prefix branches into `false` (pruned away) and the
+  // matching branch into a bare key equality parquet can skip row groups on.
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** s is the canonical decimal rendering of a Long (no leading zeros/+). */
+  private def canonicalLong(s: String): Boolean =
+    s.matches("0|-?[1-9][0-9]*") && scala.util.Try(s.toLong).isSuccess
+
+  /** concat(<'prefix'>, cast(e as string)) = 'value' → typed equality. */
+  private def prefixEq(children: Seq[Expression], value: String): Option[Expression] =
+    children match {
+      case Seq(Literal(p: UTF8String, StringType), Cast(e, StringType, _, _)) =>
+        val ps = p.toString
+        if (!value.startsWith(ps)) Some(Literal.FalseLiteral)
+        else {
+          val suffix = value.substring(ps.length)
+          if (isIntegral(e.dataType)) {
+            if (canonicalLong(suffix))
+              Some(EqualTo(e, Cast(Literal(UTF8String.fromString(suffix), StringType), e.dataType)))
+            else Some(Literal.FalseLiteral)
+          } else if (e.dataType == StringType) Some(EqualTo(e, Literal(UTF8String.fromString(suffix), StringType)))
+          else None
+        }
+      case _ => None
+    }
+
+  private def rewriteIdPredicates: PartialFunction[Expression, Expression] = {
+    case eq @ EqualTo(c: Concat, Literal(v: UTF8String, StringType)) =>
+      prefixEq(c.children, v.toString).getOrElse(eq)
+    case eq @ EqualTo(Literal(v: UTF8String, StringType), c: Concat) =>
+      prefixEq(c.children, v.toString).getOrElse(eq)
+    case in @ In(c: Concat, values) if values.forall {
+        case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+      c.children match {
+        case Seq(Literal(p: UTF8String, StringType), Cast(e, StringType, _, _)) if isIntegral(e.dataType) =>
+          val ps = p.toString
+          val keys = values.collect {
+            case Literal(v: UTF8String, StringType)
+                if v.toString.startsWith(ps) && canonicalLong(v.toString.substring(ps.length)) =>
+              v.toString.substring(ps.length)
+          }
+          if (keys.isEmpty) Literal.FalseLiteral
+          else In(e, keys.map(k => Cast(Literal(UTF8String.fromString(k), StringType), e.dataType)))
+        case _ => in
+      }
   }
 }
 
