@@ -88,6 +88,9 @@ object JsonShredding extends Rule[LogicalPlan] {
   // concat('c:', cast(key)) = 'c:17' per row on EVERY union branch. The
   // rewrite turns wrong-prefix branches into `false` (pruned away) and the
   // matching branch into a bare key equality parquet can skip row groups on.
+  // NULL note: `false` (vs the original's NULL) diverges only for NULL key
+  // columns, which the graph contract forbids (gid is mandatory — reference
+  // gripql/util.go:53-68, GraphFrame.vertexSchema nullable=false).
 
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
