@@ -119,9 +119,13 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
     * a parallel per-partition drop. */
   private def dropRows(df: DataFrame, n: Long): DataFrame = {
     if (n <= 0) return df
-    // persist so the sizing pass and the drop pass see the SAME snapshot
-    // (and the upstream plan computes once, not twice)
-    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Two passes over the same RDD lineage: a sizing pass, then a
+    // per-partition drop. Correct because the engine's plans are
+    // deterministic (parquet scans + hash shuffles) so both passes see
+    // identical partition SIZES; deliberately no caching — persisting
+    // either the source or an eager result would leak a full copy of the
+    // stream into session storage for a rarely-used operator.
+    val rdd = df.rdd
     val sizes = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().toMap
     var remaining = n
@@ -268,19 +272,27 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       val excData = excStripped.filterNot(_.startsWith("_"))
       val incData = incAll.filterNot(_.startsWith("_"))
       val c = col("cur")
+      // pending set() vars apply to the element BEFORE projection
+      // (reference order: ValueSet mutates the document, Fields filters
+      // it), and are consumed here — a later output merge must not
+      // resurrect excluded fields
+      val baseData =
+        if (needVars) GJson.json_merge_vars(c.getField("data"), col("vars"), lit(""))
+        else c.getField("data")
       // fields() with NO args strips all data; exclude-only keeps the rest
       // (reference: test/processors_test.go:299-330 — Fields() → data{},
       // Fields("-_label") → full data with label blanked)
       val newData =
         if (fs.isEmpty) lit("{}")
-        else GJson.json_select(c.getField("data"),
+        else GJson.json_select(baseData,
           typedLit(incData.toArray), typedLit(excData.toArray))
       def res(name: String): Column =
         if (excReserved.contains("_" + name)) lit(null).cast(StringType)
         else c.getField(name)
       val newDataFinal = if (excReserved.contains("_data")) lit("{}") else newData
       (keep(df, struct(res("gid").as("gid"), res("label").as("label"),
-        res("from").as("from"), res("to").as("to"), newDataFinal.as("data")), None), kind)
+        res("from").as("from"), res("to").as("to"), newDataFinal.as("data")), None,
+        clearCurVars), kind)
 
     case Stmt.Unwind(field) =>
       val (uns, parts) = FieldRef.parse(field)

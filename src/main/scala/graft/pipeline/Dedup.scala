@@ -105,16 +105,25 @@ object Dedup {
 
   /** Near-dup pairs via MinHash-LSH candidates + exact Jaccard verification.
     * Returns (a_id, b_id) with a < b and shingle-Jaccard >= threshold. */
+  /** Share the (big) shingle table across consumers, then materialize the
+    * (small) pair result and RELEASE the shingle cache — no storage leak
+    * per call in long-lived sessions. */
+  private def withShingles(df: DataFrame, idCol: String, textCol: String, shingleN: Int)
+                          (body: DataFrame => DataFrame): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(sh).localCheckpoint(true)
+    finally sh.unpersist(false)
+  }
+
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, numHashes: Int = 64,
                      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    // shingle arrays are read three times (signatures + both verify sides):
-    // materialize once instead of re-tokenizing the corpus per consumer
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false)
-    val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
-    verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
+    withShingles(df, idCol, textCol, shingleN) { sh =>
+      val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
+      verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
+    }
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
@@ -123,22 +132,21 @@ object Dedup {
     * Exact (no probabilistic misses) but heavier than LSH — the shuffle
     * carries one row per (pair, shared shingle). */
   def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-      .localCheckpoint(false)
-    val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
-    val l = inv.alias("l"); val r = inv.alias("r")
-    val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
-      .agg(count(lit(1)).cast("double").as("__i"))
-    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
-    shared
-      .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
-      .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
-      .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"))
-  }
+                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    withShingles(df, idCol, textCol, shingleN) { sh =>
+      val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+      val l = inv.alias("l"); val r = inv.alias("r")
+      val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
+        .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+        .agg(count(lit(1)).cast("double").as("__i"))
+      val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+      shared
+        .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
+        .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
+        .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"))
+    }
 
   /** 64-bit SimHash over the word multiset: bit i of the fingerprint is the
     * majority vote of bit i across xxhash64(word) of every token. */
@@ -174,20 +182,23 @@ object Dedup {
                      maxHamming: Int = 7, shingleN: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
     val sims = simhashes(df.select(col(idCol).as("__id"), col(textCol).as("__text")), "__id", "__text")
-      .localCheckpoint(false)
-    // one row per (doc, chunk) via posexplode — the fingerprint is computed
-    // once, not once per chunk branch
-    val chunks = sims.select(col("__id"), col("__sim"),
-        posexplode(array((0 until 8).map(k =>
-          shiftrightunsigned(col("__sim"), 8 * k).bitwiseAND(lit(0xFFL))): _*)))
-      .withColumnRenamed("pos", "__ck").withColumnRenamed("col", "__cv")
-    val l = chunks.alias("l"); val r = chunks.alias("r")
-    val cand = l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
-        col("l.__id") < col("r.__id"))
-      .filter(bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))) <= maxHamming)
-      .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
-      .distinct()
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-    verifyJaccard(cand, sh, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one row per (doc, chunk) via posexplode — the fingerprint is computed
+      // once, not once per chunk branch
+      val chunks = sims.select(col("__id"), col("__sim"),
+          posexplode(array((0 until 8).map(k =>
+            shiftrightunsigned(col("__sim"), 8 * k).bitwiseAND(lit(0xFFL))): _*)))
+        .withColumnRenamed("pos", "__ck").withColumnRenamed("col", "__cv")
+      val l = chunks.alias("l"); val r = chunks.alias("r")
+      val cand = l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
+          col("l.__id") < col("r.__id"))
+        .filter(bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))) <= maxHamming)
+        .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+        .distinct()
+      val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      // small pair result materialized, fingerprint cache released
+      verifyJaccard(cand, sh, threshold).localCheckpoint(true)
+    } finally sims.unpersist(false)
   }
 }

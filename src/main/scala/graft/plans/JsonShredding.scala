@@ -51,31 +51,41 @@ object JsonShredding extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case g @ GetJsonObject(json, Literal(path: UTF8String, StringType)) =>
-      (path.toString match {
-        case TopLevel(name) =>
-          structChild(json).flatMap { child =>
-            child.dataType match {
-              case st: StructType => fieldAsText(child, st, name)
-              case _ => None
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val shredded = plan.transformAllExpressions {
+      case g @ GetJsonObject(json, Literal(path: UTF8String, StringType)) =>
+        (path.toString match {
+          case TopLevel(name) =>
+            structChild(json).flatMap { child =>
+              child.dataType match {
+                case st: StructType => fieldAsText(child, st, name)
+                case _ => None
+              }
             }
-          }
-        case _ => None
-      }).getOrElse(g)
+          case _ => None
+        }).getOrElse(g)
 
-    // collapse the numeric→string→DOUBLE chains the shredded predicates
-    // leave behind (Conditions uses try_cast("double")), so the final
-    // comparison is a bare pushable column ref. Scope is deliberately
-    // narrow: only double targets — rewriting fractional→string→integral
-    // would turn a null/error into a truncation — and float sources are
-    // excluded (float→string→double parses the short decimal
-    // representation, which differs from widening the float).
-    case Cast(Cast(e, StringType, _, _), DoubleType, tz, mode)
-        if numericLike(e.dataType) =>
-      Cast(e, DoubleType, tz, mode)
-
-    case e if rewriteIdPredicates.isDefinedAt(e) => rewriteIdPredicates(e)
+      // collapse the numeric→string→DOUBLE chains the shredded predicates
+      // leave behind (Conditions uses try_cast("double")), so the final
+      // comparison is a bare pushable column ref. Scope is deliberately
+      // narrow: only double targets — rewriting fractional→string→integral
+      // would turn a null/error into a truncation — and float sources are
+      // excluded (float→string→double parses the short decimal
+      // representation, which differs from widening the float).
+      case Cast(Cast(e, StringType, _, _), DoubleType, tz, mode)
+          if numericLike(e.dataType) =>
+        Cast(e, DoubleType, tz, mode)
+    }
+    // id-prefix rewrites ONLY inside Filter conditions: there NULL and
+    // FALSE are interchangeable (both drop the row), so replacing the
+    // original's null-when-null-key result with `false` is semantics-
+    // preserving even for nullable columns in arbitrary user plans.
+    shredded.transform {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(
+          cond.transform { case e if rewriteIdPredicates.isDefinedAt(e) => rewriteIdPredicates(e) },
+          child)
+    }
   }
 
   private def numericLike(t: DataType): Boolean = t match {
@@ -97,9 +107,18 @@ object JsonShredding extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** s is the canonical decimal rendering of a Long (no leading zeros/+). */
-  private def canonicalLong(s: String): Boolean =
-    s.matches("0|-?[1-9][0-9]*") && scala.util.Try(s.toLong).isSuccess
+  /** s is the canonical decimal rendering of a Long (no leading zeros/+)
+    * AND fits the target integral type — an out-of-range literal must fold
+    * to false, not to an ANSI cast overflow error. */
+  private def canonicalLong(s: String, target: DataType): Boolean =
+    s.matches("0|-?[1-9][0-9]*") && scala.util.Try(s.toLong).toOption.exists { v =>
+      target match {
+        case ByteType => v >= Byte.MinValue && v <= Byte.MaxValue
+        case ShortType => v >= Short.MinValue && v <= Short.MaxValue
+        case IntegerType => v >= Int.MinValue && v <= Int.MaxValue
+        case _ => true
+      }
+    }
 
   /** concat(<'prefix'>, cast(e as string)) = 'value' → typed equality. */
   private def prefixEq(children: Seq[Expression], value: String): Option[Expression] =
@@ -110,7 +129,7 @@ object JsonShredding extends Rule[LogicalPlan] {
         else {
           val suffix = value.substring(ps.length)
           if (isIntegral(e.dataType)) {
-            if (canonicalLong(suffix))
+            if (canonicalLong(suffix, e.dataType))
               Some(EqualTo(e, Cast(Literal(UTF8String.fromString(suffix), StringType), e.dataType)))
             else Some(Literal.FalseLiteral)
           } else if (e.dataType == StringType) Some(EqualTo(e, Literal(UTF8String.fromString(suffix), StringType)))
@@ -131,7 +150,7 @@ object JsonShredding extends Rule[LogicalPlan] {
           val ps = p.toString
           val keys = values.collect {
             case Literal(v: UTF8String, StringType)
-                if v.toString.startsWith(ps) && canonicalLong(v.toString.substring(ps.length)) =>
+                if v.toString.startsWith(ps) && canonicalLong(v.toString.substring(ps.length), e.dataType) =>
               v.toString.substring(ps.length)
           }
           if (keys.isEmpty) Literal.FalseLiteral

@@ -47,7 +47,10 @@ object EventsStreaming {
             for (sec <- sorted) {
               st match {
                 case Some(s) if sec - s.lastSec <= gapSec =>
-                  st = Some(s.copy(lastSec = math.max(s.lastSec, sec), n = s.n + 1))
+                  // out-of-order (late but within-watermark) events can
+                  // extend the session backwards as well as forwards
+                  st = Some(s.copy(startSec = math.min(s.startSec, sec),
+                    lastSec = math.max(s.lastSec, sec), n = s.n + 1))
                 case Some(s) =>
                   closed ::= Session(userId, s.startSec, s.lastSec, s.n)
                   st = Some(SessionState(sec, sec, 1))
