@@ -40,7 +40,7 @@ object Baseline {
   def median3(f: => Unit): Double = Seq(timeIt(f), timeIt(f), timeIt(f)).sorted.apply(1)
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
