@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.objects.Invoke
+import org.apache.spark.sql.catalyst.expressions.objects.{Invoke, StaticInvoke}
+import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, SchemaOfVariant, VariantGet}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -40,7 +41,12 @@ object JsonShredding extends Rule[LogicalPlan] {
 
   private def fieldAsText(child: Expression, st: StructType, name: String): Option[Expression] = {
     val idx = st.fieldNames.indexOf(name)
-    if (idx < 0) return None
+    // path into a field the struct does not HAVE → always null (to_json of
+    // a struct yields an object; a JSON path miss is null; and a null
+    // struct makes the original null too). Folding to a null literal is
+    // what lets predicates pushed into union branches collapse to `false`
+    // and prune the wrong-label branches of a multi-hop far side entirely.
+    if (idx < 0) return Some(Literal(null, StringType))
     val field = GetStructField(child, idx, Some(name))
     st.fields(idx).dataType match {
       case StringType => Some(field)
@@ -76,17 +82,71 @@ object JsonShredding extends Rule[LogicalPlan] {
           if numericLike(e.dataType) =>
         Cast(e, DoubleType, tz, mode)
     }
-    // id-prefix rewrites ONLY inside Filter conditions: there NULL and
-    // FALSE are interchangeable (both drop the row), so replacing the
-    // original's null-when-null-key result with `false` is semantics-
-    // preserving even for nullable columns in arbitrary user plans.
+    // id-prefix + container-test rewrites ONLY inside Filter conditions:
+    // there NULL and FALSE are interchangeable (both drop the row), so
+    // replacing a null-when-null result with a literal boolean is
+    // semantics-preserving even for nullable columns in arbitrary plans.
     shredded.transform {
       case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(
-          cond.transform { case e if rewriteIdPredicates.isDefinedAt(e) => rewriteIdPredicates(e) },
+          cond.transform {
+            case e if rewriteIdPredicates.isDefinedAt(e) => rewriteIdPredicates(e)
+            case e if foldContainerTest.isDefinedAt(e) => foldContainerTest(e)
+          },
           child)
     }
   }
+
+  // ---- static container-type tests over synthesized views: the term
+  // aggregation's array/map skip check is
+  //   startswith(schema_of_variant(try_variant_get(try_parse_json(
+  //     to_json(struct(...))), '$.k')), 'ARRAY'|'OBJECT')
+  // — three full JSON serialize+parse passes per row once the key filter is
+  // also counted, and it gets PUSHED into every union branch of a hop's far
+  // side. When the struct type is static the answer is static: fold it.
+  // (Null flows — absent field, null data — yield null at runtime; folding
+  // to false/true is safe because this fires only in Filter conditions,
+  // and the companion key-isnotnull conjunct drops those rows either way.)
+
+  private def unwrapSchemaOfVariant(e: Expression): Option[Expression] = e match {
+    case s: SchemaOfVariant => Some(s.child)
+    case si: StaticInvoke if si.functionName == "schemaOfVariant" => si.arguments.headOption
+    case _ => None
+  }
+
+  private def unwrapParseJson(e: Expression): Option[Expression] = e match {
+    case p: ParseJson => Some(p.child)
+    case si: StaticInvoke if si.functionName == "parseJson" => si.arguments.headOption
+    case _ => None
+  }
+
+  private def foldContainerTest: PartialFunction[Expression, Expression] = {
+    case sw @ StartsWith(sv, Literal(prefix: UTF8String, StringType))
+        if (prefix.toString == "ARRAY" || prefix.toString == "OBJECT") &&
+          staticContainerAnswer(sv, prefix.toString).isDefined =>
+      Literal(staticContainerAnswer(sv, prefix.toString).get, BooleanType)
+  }
+
+  private def staticContainerAnswer(sv: Expression, prefix: String): Option[Boolean] =
+    for {
+      vgExpr <- unwrapSchemaOfVariant(sv)
+      vg <- vgExpr match { case v: VariantGet => Some(v); case _ => None }
+      pathLit <- vg.path match {
+        case Literal(p: UTF8String, StringType) => Some(p.toString); case _ => None
+      }
+      name <- pathLit match { case TopLevel(n) => Some(n); case _ => None }
+      pj <- unwrapParseJson(vg.child)
+      sc <- structChild(pj)
+      st <- sc.dataType match { case s: StructType => Some(s); case _ => None }
+    } yield {
+      val idx = st.fieldNames.indexOf(name)
+      if (idx < 0) false // missing field → null variant → never a container
+      else st.fields(idx).dataType match {
+        case _: ArrayType => prefix == "ARRAY"
+        case _: StructType | _: MapType => prefix == "OBJECT"
+        case _ => false // atomic scalar is never ARRAY/OBJECT
+      }
+    }
 
   private def numericLike(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | DoubleType | _: DecimalType => true
