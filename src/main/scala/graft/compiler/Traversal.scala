@@ -455,33 +455,103 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
               case Stmt.Range(_, stop) if stop >= 0 => stop
             }
             val condCol = cond.map(Conditions.toColumn)
+            // Per-iteration cost discipline: the checkpoint is LAZY, so the
+            // counts aggregate below both materializes it and measures it in
+            // ONE Spark job (eager checkpoint + separate count = two full
+            // passes); and the frontier is coalesced to a partition count
+            // proportional to its measured size, so a 3-row frontier doesn't
+            // pay 32 tasks per subsequent job. Coalesce only ever narrows —
+            // a 1B-row frontier keeps its parallelism.
+            val rowsPerPart = 65536L
+            def sized(d: DataFrame, n: Long): DataFrame = {
+              val cur = d.rdd.getNumPartitions
+              val want = math.max(1L, math.min(cur.toLong, (n + rowsPerPart - 1) / rowsPerPart)).toInt
+              if (want < cur) d.coalesce(want) else d
+            }
             // one action: (total arrivals, arrivals matching the jump condition)
             def counts(d: DataFrame): (Long, Long) = {
               val r = d.agg(count(lit(1)), count(when(condCol.getOrElse(lit(true)), 1))).head()
               (r.getLong(0), r.getLong(1))
             }
-            val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-            var arrivals = df.localCheckpoint(true)
-            var (nArr, nFront) = counts(arrivals)
-            var emitted: Option[DataFrame] = if (emit) Some(arrivals) else None
-            var emittedCount = if (emit) nArr else 0L
-            var iter = 0
-            while (nFront > 0 && downstreamLimit.forall(emittedCount < _)) {
-              iter += 1
-              if (iter > maxIters)
-                throw new IllegalStateException(
-                  s"jump loop to mark '$mark' exceeded $maxIters iterations with a non-empty frontier; " +
-                  "raise maxIters if the walk is legitimately this deep")
-              var d2 = condCol.map(arrivals.filter).getOrElse(arrivals)
+            // Join-free bodies (pure row-local statements) are UNROLLED in
+            // blocks of `unrollK` iterations between checkpoints: one plan,
+            // one job, one codegen unit per block instead of per iteration —
+            // the fixed overhead was the dominant cost of counter-style
+            // loops. Bodies with adjacency joins are NOT unrolled: chaining
+            // k joins lazily would re-stream the edge table for every
+            // overlapping stage prefix, which loses at scale.
+            val narrowBody = body.forall {
+              case _: Stmt.Has | _: Stmt.HasLabel | _: Stmt.HasId | _: Stmt.HasKey |
+                   _: Stmt.SetField | _: Stmt.Increment | _: Stmt.As | _: Stmt.SelectOne |
+                   _: Stmt.Fields | _: Stmt.Unwind => true
+              case _ => false
+            }
+            val unrollK = if (narrowBody) 4 else 1
+            def applyBody(d0: DataFrame): DataFrame = {
+              var d2 = d0
               var k2 = kind
               for (s <- body) { val r = applySimple(d2, k2, s); d2 = r._1; k2 = r._2 }
               require(k2 == kind,
                 s"jump loop body must preserve the element kind (starts $kind, ends $k2)")
-              arrivals = d2.localCheckpoint(true)
-              val c = counts(arrivals); nArr = c._1; nFront = c._2
-              if (emit) {
-                emitted = Some(emitted.get.unionByName(arrivals))
-                emittedCount += nArr
+              d2
+            }
+            val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+            var arrivals = df.localCheckpoint(false)
+            var (nArr, nFront) = counts(arrivals)
+            arrivals = sized(arrivals, nArr)
+            var emitted: Option[DataFrame] = if (emit) Some(arrivals) else None
+            var emittedCount = if (emit) nArr else 0L
+            var iter = 0
+            def overrun(): Nothing = throw new IllegalStateException(
+              s"jump loop to mark '$mark' exceeded $maxIters iterations with a non-empty frontier; " +
+              "raise maxIters if the walk is legitimately this deep")
+            while (nFront > 0 && downstreamLimit.forall(emittedCount < _)) {
+              if (iter >= maxIters) overrun()
+              val k = math.min(unrollK, maxIters - iter)
+              if (k <= 1) {
+                iter += 1
+                arrivals = applyBody(condCol.map(arrivals.filter).getOrElse(arrivals))
+                  .localCheckpoint(false)
+                val c = counts(arrivals); nArr = c._1; nFront = c._2
+                arrivals = sized(arrivals, nArr)
+                if (emit) {
+                  emitted = Some(emitted.get.unionByName(arrivals))
+                  emittedCount += nArr
+                }
+              } else {
+                // k chained stages, tagged and unioned under ONE checkpoint;
+                // stages after the frontier empties are body(empty) = empty,
+                // so unioning them changes nothing. Each stage is separated
+                // by a LAZY RDD barrier: without it CollapseProject inlines
+                // the per-stage vars/filter expressions into one another and
+                // the expression tree grows exponentially in k (each stage
+                // references `vars` several times). The barrier keeps k
+                // small independent plans composed at the RDD level — still
+                // ONE job materializes the whole block.
+                var d2 = arrivals
+                val stages = (1 to k).map { j =>
+                  d2 = applyBody(condCol.map(d2.filter).getOrElse(d2))
+                  if (j < k) d2 = spark.createDataFrame(d2.rdd, d2.schema)
+                  d2.withColumn("__stage", lit(j))
+                }
+                val u = stages.reduce(_ unionByName _).localCheckpoint(false)
+                val byStage = u.groupBy(col("__stage")).agg(
+                    count(lit(1)), count(when(condCol.getOrElse(lit(true)), 1)))
+                  .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+                val stats = (1 to k).map(j => byStage.getOrElse(j, (0L, 0L)))
+                // material iterations = stages up to and including the first
+                // empty-frontier stage (where the original loop would exit)
+                val jEnd = stats.indexWhere(_._2 == 0L) match {
+                  case -1 => k
+                  case idx => idx + 1
+                }
+                iter += jEnd
+                nArr = stats(k - 1)._1; nFront = stats(k - 1)._2
+                arrivals = sized(u.filter(col("__stage") === k).drop("__stage"), nArr)
+                if (emit) {
+                  emitted = Some(emitted.get.unionByName(u.drop("__stage")))
+                  emittedCount += stats.map(_._1).sum
+                }
               }
             }
             df = emitted.getOrElse(df.limit(0))

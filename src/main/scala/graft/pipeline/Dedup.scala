@@ -129,21 +129,49 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
     * explode (shingle → id), bucket-join on the shingle, count shared
     * shingles per pair, then the Jaccard from the per-doc set sizes.
-    * Exact (no probabilistic misses) but heavier than LSH — the shuffle
-    * carries one row per (pair, shared shingle). */
+    *
+    * Skew guard: shingles with document frequency above `maxDf` are a
+    * TINY set by construction (at most |corpus|/maxDf of the vocabulary
+    * can exceed it) but each would create O(df²) join rows — one
+    * boilerplate 3-gram shared by a million documents is a 10¹²-row
+    * self-join. They are anti-joined (broadcast) out of the index, and
+    * their contribution to each pair's intersection is restored EXACTLY
+    * via a per-document common-shingle array (small, bounded by the
+    * common set) — so the output is unchanged except for pairs whose
+    * every shared shingle is corpus-common boilerplate. The collect of
+    * the common set is a driver-side read of a bounded-tiny aggregate,
+    * like the loop frontier counts. */
   def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+                   shingleN: Int = 3, threshold: Double = 0.5,
+                   maxDf: Long = 1000L): DataFrame =
     withShingles(df, idCol, textCol, shingleN) { sh =>
       val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
-      val l = inv.alias("l"); val r = inv.alias("r")
+      val common = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("__s")
+      val commonList = common.collect().map(_.getString(0))
+      val rareInv =
+        if (commonList.isEmpty) inv
+        else inv.join(broadcast(common), Seq("__s"), "left_anti")
+      val l = rareInv.alias("l"); val r = rareInv.alias("r")
       val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
         .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
-        .agg(count(lit(1)).cast("double").as("__i"))
+        .agg(count(lit(1)).as("__ir"))
       val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
-      shared
+      val withSizes = shared
         .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
         .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
-        .withColumn("jaccard", col("__i") / (col("__na") + col("__nb") - col("__i")))
+      val withI =
+        if (commonList.isEmpty) withSizes.withColumn("__i", col("__ir"))
+        else {
+          val cpd = sh.select(col("__id"),
+            array_intersect(col("__sh"), typedLit(commonList)).as("__c"))
+          withSizes
+            .join(cpd.select(col("__id").as("a_id"), col("__c").as("__ca")), "a_id")
+            .join(cpd.select(col("__id").as("b_id"), col("__c").as("__cb")), "b_id")
+            .withColumn("__i", col("__ir") + size(array_intersect(col("__ca"), col("__cb"))))
+        }
+      withI
+        .withColumn("jaccard", col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
         .filter(col("jaccard") >= threshold)
         .select(col("a_id"), col("b_id"))
     }
@@ -161,7 +189,14 @@ object Dedup {
 
   /** Corpus-wide SimHash as (id, sim): explode tokens, hash once, then one
     * hash-aggregate summing all 64 bit counts — same codegen/scale argument
-    * as [[minhashSignatures]]. */
+    * as [[minhashSignatures]].
+    *
+    * Votes are deliberately UNWEIGHTED. IDF-weighted votes (Charikar/Manku
+    * tf-idf simhash) were measured on this workload and made things worse:
+    * the tokens on which two near-duplicate copies DIFFER are exactly the
+    * rare, high-IDF ones, so weighting pushes true pairs from hamming <= 12
+    * out to hamming 23+ while leaving the all-pairs median distance
+    * unchanged (template-generated corpora sit at ~18/64 either way). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df.select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
@@ -175,27 +210,74 @@ object Dedup {
     bits.select(col(idCol), sim.as("__sim"))
   }
 
-  /** SimHash near-dup pairs: pigeonhole 8×8-bit chunks for candidates
-    * (hamming <= 7 guarantees an equal chunk), verify hamming via
-    * bit_count(xor), then exact Jaccard so output matches the exact oracle. */
+  /** Candidate pairs within `maxHamming` of each other, from (__id, __sim)
+    * fingerprints. Pigeonhole: the 64 bits are split into maxHamming+1
+    * chunks, so any pair within the radius agrees on at least one whole
+    * chunk at the same position; candidates = the (position, value)
+    * bucket self-join, then hamming verified via bit_count(xor).
+    *
+    * Exposed separately so candidate volume is testable — the quadratic
+    * failure mode of simhash is degenerate candidates, not wrong output.
+    *
+    * Scale guard: a (position, value) bucket of size n contributes O(n²)
+    * join rows. On a template-homogeneous corpus fingerprints correlate
+    * (measured all-pairs median hamming ~18/64, 1st percentile ~9, vs 32
+    * for independent docs) and a loose radius makes buckets — and the true
+    * candidate set itself — grow quadratically. Buckets larger than
+    * `maxBucket` are dropped from the join and LOGGED (recall loss is
+    * explicit, never silent). At web scale use a tight radius (Manku et
+    * al. use 3) or MinHash-LSH ([[nearDupMinhash]]), whose band buckets
+    * key on content, not on 8-bit fingerprint chunks. */
+  def simhashCandidates(sims: DataFrame, maxHamming: Int = 13,
+                        maxBucket: Long = 100000L): DataFrame = {
+    val m = maxHamming + 1
+    require(m >= 2 && m <= 32, s"maxHamming must be in [1,31], got $maxHamming")
+    val base = 64 / m; val rem = 64 % m // rem chunks of base+1 bits, then base
+    val offsets = (0 until m).map(k => if (k < rem) k * (base + 1) else rem * (base + 1) + (k - rem) * base)
+    val widths = (0 until m).map(k => if (k < rem) base + 1 else base)
+    // one row per (doc, chunk) via posexplode — the fingerprint is computed
+    // once, not once per chunk branch
+    val chunks = sims.select(col("__id"), col("__sim"),
+        posexplode(array((0 until m).map(k =>
+          shiftrightunsigned(col("__sim"), offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1))): _*)))
+      .withColumnRenamed("pos", "__ck").withColumnRenamed("col", "__cv")
+    val big = chunks.groupBy("__ck", "__cv").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+    val bigRows = big.collect()
+    if (bigRows.nonEmpty) {
+      val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+      log.warn(s"simhashCandidates: dropping ${bigRows.length} degenerate buckets " +
+        s"(> $maxBucket docs): ${bigRows.take(5).mkString(", ")} — pairs whose every " +
+        "shared chunk is degenerate will be missed; tighten maxHamming or use MinHash-LSH")
+    }
+    val kept =
+      if (bigRows.isEmpty) chunks
+      else chunks.join(broadcast(big.select("__ck", "__cv")), Seq("__ck", "__cv"), "left_anti")
+    val l = kept.alias("l"); val r = kept.alias("r")
+    l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
+        col("l.__id") < col("r.__id"))
+      .filter(bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))) <= maxHamming)
+      .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs: unweighted fingerprints (see [[simhashes]]),
+    * radius-sized chunk-pigeonhole candidates, then exact Jaccard so output
+    * matches the exact oracle.
+    *
+    * The default radius 13 is sized to the oracle, not to simhash's sweet
+    * spot: a Jaccard-0.9 pair flips each of the 64 random projections with
+    * p≈0.10, so its hamming distance is Binomial(64, 0.10) — mean 6.6 but
+    * a real upper tail (measured max 12 across 256 true pairs at sf0.1).
+    * A radius below the tail silently loses recall; the pigeonhole chunk
+    * count simply scales with the radius (14 chunks of 4-5 bits). */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 7, shingleN: Int = 3,
+                     maxHamming: Int = 13, shingleN: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
     val sims = simhashes(df.select(col(idCol).as("__id"), col(textCol).as("__text")), "__id", "__text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one row per (doc, chunk) via posexplode — the fingerprint is computed
-      // once, not once per chunk branch
-      val chunks = sims.select(col("__id"), col("__sim"),
-          posexplode(array((0 until 8).map(k =>
-            shiftrightunsigned(col("__sim"), 8 * k).bitwiseAND(lit(0xFFL))): _*)))
-        .withColumnRenamed("pos", "__ck").withColumnRenamed("col", "__cv")
-      val l = chunks.alias("l"); val r = chunks.alias("r")
-      val cand = l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
-          col("l.__id") < col("r.__id"))
-        .filter(bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))) <= maxHamming)
-        .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
-        .distinct()
+      val cand = simhashCandidates(sims, maxHamming)
       val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       // small pair result materialized, fingerprint cache released
       verifyJaccard(cand, sh, threshold).localCheckpoint(true)

@@ -41,6 +41,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set((0L, 2L), (0L, 4L), (2L, 4L)).subsetOf(sp))
   }
 
+  test("simhash candidates stay bounded on a degenerate homogeneous corpus") {
+    // 300 copies of one template with a unique trailing token: every
+    // fingerprint is near-identical, so without the bucket cap the chunk
+    // index degenerates to all-pairs (~45k candidates)
+    val homog = (0 until 300).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa tok$i"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhashes(
+      homog.select($"doc_id".as("__id"), $"text".as("__text")), "__id", "__text")
+    val capped = Dedup.simhashCandidates(sims, maxHamming = 13, maxBucket = 50L)
+    val n = capped.count()
+    // every bucket holding >50 docs is dropped, so the candidate count is
+    // bounded by sum over kept buckets of C(50,2) * chunks, far below all-pairs
+    assert(n < 10000L, s"cap did not bound candidates: $n")
+    val uncapped = Dedup.simhashCandidates(sims, maxHamming = 13)
+    assert(uncapped.count() > n, "degenerate corpus should exceed the capped count")
+  }
+
   test("ann-LSH recall vs brute force on clustered vectors") {
     // two tight clusters: near neighbors share LSH buckets with high prob
     val vecs = (0 until 40).map { i =>
