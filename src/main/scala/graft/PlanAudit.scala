@@ -24,7 +24,14 @@ object PlanAudit {
       "label_has_filter" -> Q.V().hasLabel("customer").has(P.gt("c_acctbal", 5000)),
       "one_hop" -> Q.V().hasLabel("orders").out("customer"),
       "three_hop_count" -> Q.V().hasLabel("customer").in("customer").outE("item").count(),
-      "count_agg" -> Q.V().hasLabel("customer").count())
+      "count_agg" -> Q.V().hasLabel("customer").count(),
+      // driver-bench outliers from round 2: check far-side union pruning
+      // after hops and the variant path into term aggregation
+      "multihop_term_agg" -> Q.V().hasLabel("customer").out("nation").out("region")
+        .aggregate(Agg.Term("r", "r_name", 0)),
+      "and_or_filter" -> Q.V().hasLabel("customer").has(
+        P.and_(P.gte("c_acctbal", 1000), P.or_(P.eq_("c_mktsegment", "BUILDING"), P.eq_("c_mktsegment", "MACHINERY")))),
+      "edge_state_in" -> Q.E().hasLabel("customer").in())
     for ((name, q) <- cases) {
       println(s"==== $name ====")
       Traversal.run(spark, g, q).explain("formatted")

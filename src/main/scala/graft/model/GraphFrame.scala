@@ -17,7 +17,16 @@ import org.apache.spark.sql.types._
   * At 100 TB scale the backing store is label-partitioned Parquet so
   * hasLabel() becomes partition pruning rather than a scan.
   */
-case class GraphFrame(vertices: DataFrame, edges: DataFrame) {
+/** One edge type of a graph schema: edges labeled `label` connect a
+  * `from`-labeled vertex to a `to`-labeled vertex. The triple set is the
+  * planning contract the reference exposes as its sampled schema
+  * (reference: gripql/gripql.proto:194-206 Graph schema, schema/scan.go):
+  * when present it must cover EVERY edge label in the graph, and the
+  * compiler uses it to prune adjacency joins to the reachable labels. */
+case class EdgeType(from: String, label: String, to: String)
+
+case class GraphFrame(vertices: DataFrame, edges: DataFrame,
+                      topology: Option[Seq[EdgeType]] = None) {
   /** Persist as label-partitioned parquet (the "label index" of the
     * reference's KV backends becomes partition pruning). */
   def save(dir: String): Unit = {

@@ -75,6 +75,16 @@ object TpchGraph {
         concat(lit("ps:"), col("l_partkey"), lit(":"), col("l_suppkey")), "supplier",
         concat(lit("p:"), col("l_partkey")), concat(lit("s:"), col("l_suppkey")), lit("{}")) :: Nil
 
-    GraphFrame(vertices.reduce(_ unionByName _), edges.reduce(_ unionByName _))
+    // the static schema doubles as the compiler's pruning contract: an
+    // adjacency step over a labeled edge only joins the reachable vertex
+    // branches instead of the whole 6-table union
+    val topology = Seq(
+      EdgeType("orders", "customer", "customer"),
+      EdgeType("customer", "nation", "nation"),
+      EdgeType("supplier", "nation", "nation"),
+      EdgeType("nation", "region", "region"),
+      EdgeType("orders", "item", "part"),
+      EdgeType("part", "supplier", "supplier"))
+    GraphFrame(vertices.reduce(_ unionByName _), edges.reduce(_ unionByName _), Some(topology))
   }
 }
