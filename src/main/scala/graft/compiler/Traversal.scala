@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.gripql._
-import graft.model.GraphFrame
+import graft.model.{EdgeType, GraphFrame}
 import graft.functions.GJson
 
 /** Element kind flowing through the pipeline — the reference's pipeline
@@ -41,6 +41,11 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
   /** Element kind saved by as(name) — select(name) restores it (the
     * reference's MarkTypes, engine/core/compile.go:284,306). */
   private val asKinds = scala.collection.mutable.Map.empty[String, Kind]
+
+  /** Statically-known label set saved by as(name); merged (not replaced) on
+    * re-binding so a select() after a loop sees every iteration's labels —
+    * a larger set only costs pruning precision, never correctness. */
+  private val asLabels = scala.collection.mutable.Map.empty[String, Labels]
 
   private val needMarks: Boolean = extensionMode || stmts.exists {
     case _: Stmt.As | _: Stmt.SelectOne | _: Stmt.SelectMany => true
@@ -152,69 +157,107 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       from_json(lit("{}"), varsType))
   }
 
+  // ---- topology-based hop pruning (the reference's schema-guided planning,
+  // schema/scan.go + engine/core/optimize.go): when the graph declares its
+  // EdgeType triples, a hop from a statically-known label set joins only the
+  // reachable edge labels and far-side vertex labels. The label filters are
+  // plain `label isin (...)` predicates, so Catalyst pushes them into the
+  // vertex/edge UNION branches and prunes wrong-label branches entirely —
+  // at 100 TB a 2-hop traversal touches 2 tables, not 2 full unions.
+
+  /** Edge types a hop can traverse: requested edge labels (empty = all)
+    * restricted to those leaving (dir) / entering (!dir) the known source
+    * vertex labels. None = graph declares no topology. Relies on the
+    * GraphFrame contract that a declared topology covers EVERY edge label. */
+  private def feasibleTypes(stmtLabels: Seq[String], src: Labels, dir: Boolean): Option[Seq[EdgeType]] =
+    g.topology.map(_.filter(t =>
+      (stmtLabels.isEmpty || stmtLabels.contains(t.label)) &&
+        src.forall(_.contains(if (dir) t.from else t.to))))
+
+  private def labelIsin(df: DataFrame, alias: String, ls: Labels): DataFrame = ls match {
+    case Some(s) => df.filter(col(s"$alias.label").isin(s.toSeq.sorted: _*))
+    case None => df
+  }
+
   // Adjacency step. dir: true=out (follow from→to), false=in.
   // toEdge: land on the edge instead of the far vertex.
-  private def hop(df: DataFrame, kind: Kind, labels: Seq[String], dir: Boolean,
-                  toEdge: Boolean, emitNull: Boolean): (DataFrame, Kind) = {
+  // srcLabels: statically-known labels of the current element (vertex labels
+  // in vertex state, edge labels in edge state); the third result component
+  // is the landed element's label set.
+  private def hop(df: DataFrame, kind: Kind, srcLabels: Labels, labels: Seq[String], dir: Boolean,
+                  toEdge: Boolean, emitNull: Boolean): (DataFrame, Kind, Labels) = {
     val joinType = if (emitNull) "left_outer" else "inner"
     kind match {
       case EdgeK if !toEdge =>
         // edge state: out() jumps to head (`to`), in() to tail (`from`)
         // (reference: engine/core/processors.go:202-236, 281-315)
-        val v = g.vertices.alias("__v")
+        val feas = g.topology.map(_.filter(t => srcLabels.forall(_.contains(t.label))))
+        val farLabels: Labels = feas.map(_.map(t => if (dir) t.to else t.from).toSet)
+        val v = labelIsin(g.vertices.alias("__v"), "__v", farLabels)
         val key = if (dir) col("cur.to") else col("cur.from")
         val joined = df.join(v, key === col("__v.gid"), joinType)
         val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
           lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
           col("__v.data").as("data"))
-        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK)
+        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK, farLabels)
       case _ =>
+        val feas = feasibleTypes(labels, srcLabels, dir)
+        // the feasible set can narrow an unlabeled hop too (out() from a
+        // known label joins only that label's outgoing edge types)
+        val edgeLabels: Labels = feas.map(_.map(_.label).toSet)
         val e0 = g.edges.alias("__e")
-        val e = if (labels.nonEmpty) e0.filter(col("__e.label").isin(labels: _*)) else e0
+        val e = edgeLabels match {
+          case Some(s) => e0.filter(col("__e.label").isin(s.toSeq.sorted: _*))
+          case None if labels.nonEmpty => e0.filter(col("__e.label").isin(labels: _*))
+          case None => e0
+        }
         val eKey = if (dir) col("__e.from") else col("__e.to")
         val joined = df.join(e, col("cur.gid") === eKey, joinType)
         if (toEdge) {
           val cur = struct(col("__e.gid").as("gid"), col("__e.label").as("label"),
             col("__e.from").as("from"), col("__e.to").as("to"), col("__e.data").as("data"))
-          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid"))), clearCurVars), EdgeK)
+          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid"))), clearCurVars), EdgeK, edgeLabels)
         } else {
-          val v = g.vertices.alias("__v")
+          val farLabels: Labels = feas.map(_.map(t => if (dir) t.to else t.from).toSet)
+          val v = labelIsin(g.vertices.alias("__v"), "__v", farLabels)
           val vKey = if (dir) col("__e.to") else col("__e.from")
           val j2 = joined.join(v, vKey === col("__v.gid"), joinType)
           val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
             lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
             col("__v.data").as("data"))
-          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK)
+          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK, farLabels)
         }
     }
   }
 
 
-  private def applySimple(df: DataFrame, kind: Kind, s: Stmt): (DataFrame, Kind) = s match {
-    case Stmt.Out(labels, nul) => hop(df, kind, labels, dir = true, toEdge = false, emitNull = nul)
-    case Stmt.In(labels, nul) => hop(df, kind, labels, dir = false, toEdge = false, emitNull = nul)
-    case Stmt.OutE(labels, nul) => hop(df, kind, labels, dir = true, toEdge = true, emitNull = nul)
-    case Stmt.InE(labels, nul) => hop(df, kind, labels, dir = false, toEdge = true, emitNull = nul)
+  private def applySimple(df: DataFrame, kind: Kind, labels0: Labels, s: Stmt): (DataFrame, Kind, Labels) = s match {
+    case Stmt.Out(labels, nul) => hop(df, kind, labels0, labels, dir = true, toEdge = false, emitNull = nul)
+    case Stmt.In(labels, nul) => hop(df, kind, labels0, labels, dir = false, toEdge = false, emitNull = nul)
+    case Stmt.OutE(labels, nul) => hop(df, kind, labels0, labels, dir = true, toEdge = true, emitNull = nul)
+    case Stmt.InE(labels, nul) => hop(df, kind, labels0, labels, dir = false, toEdge = true, emitNull = nul)
     case Stmt.Both(labels) =>
-      val (a, _) = hop(df, kind, labels, dir = true, toEdge = false, emitNull = false)
-      val (b, _) = hop(df, kind, labels, dir = false, toEdge = false, emitNull = false)
-      (a.unionByName(b), VertexK)
+      val (a, _, la) = hop(df, kind, labels0, labels, dir = true, toEdge = false, emitNull = false)
+      val (b, _, lb) = hop(df, kind, labels0, labels, dir = false, toEdge = false, emitNull = false)
+      (a.unionByName(b), VertexK, mergeLabels(la, lb))
     case Stmt.BothE(labels) =>
-      val (a, _) = hop(df, kind, labels, dir = true, toEdge = true, emitNull = false)
-      val (b, _) = hop(df, kind, labels, dir = false, toEdge = true, emitNull = false)
-      (a.unionByName(b), EdgeK)
+      val (a, _, la) = hop(df, kind, labels0, labels, dir = true, toEdge = true, emitNull = false)
+      val (b, _, lb) = hop(df, kind, labels0, labels, dir = false, toEdge = true, emitNull = false)
+      (a.unionByName(b), EdgeK, mergeLabels(la, lb))
 
-    case Stmt.Has(e) => (df.filter(Conditions.toColumn(e)), kind)
-    case Stmt.HasLabel(ls) => (df.filter(col("cur.label").isin(ls: _*)), kind)
-    case Stmt.HasId(ids) => (df.filter(col("cur.gid").isin(ids: _*)), kind)
+    case Stmt.Has(e) => (df.filter(Conditions.toColumn(e)), kind, labels0)
+    case Stmt.HasLabel(ls) =>
+      (df.filter(col("cur.label").isin(ls: _*)), kind,
+        Some(labels0.fold(ls.toSet)(_ intersect ls.toSet)))
+    case Stmt.HasId(ids) => (df.filter(col("cur.gid").isin(ids: _*)), kind, labels0)
     case Stmt.HasKey(ks) =>
-      (df.filter(ks.map(FieldRef.exists).reduce(_ && _)), kind)
+      (df.filter(ks.map(FieldRef.exists).reduce(_ && _)), kind, labels0)
 
-    case Stmt.Limit(n) => (df.limit(n.toInt), kind)
-    case Stmt.Skip(n) => (dropRows(df, n), kind)
+    case Stmt.Limit(n) => (df.limit(n.toInt), kind, labels0)
+    case Stmt.Skip(n) => (dropRows(df, n), kind, labels0)
     case Stmt.Range(start, stop) =>
       val skipped = if (start > 0) dropRows(df, start) else df
-      (if (stop >= 0) skipped.limit((stop - start).toInt) else skipped, kind)
+      (if (stop >= 0) skipped.limit((stop - start).toInt) else skipped, kind, labels0)
 
     case Stmt.Distinct(fields) =>
       // missing-field travelers are dropped; first-wins on the key tuple
@@ -223,13 +266,14 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       val keyCols = fs.map(FieldRef.resolve)
       val kept = df.filter(fs.map(FieldRef.exists).reduce(_ && _))
       (kept.withColumn("__dk", struct(keyCols: _*))
-        .dropDuplicates("__dk").drop("__dk"), kind)
+        .dropDuplicates("__dk").drop("__dk"), kind, labels0)
 
     case Stmt.As(name) =>
       // drop any existing binding first — no dependence on the session's
       // mapKeyDedupPolicy (re-marking the same name must be last-wins,
       // reference: engine/core/processors.go:761-778)
       asKinds(name) = kind
+      asLabels(name) = if (asLabels.contains(name)) mergeLabels(asLabels(name), labels0) else labels0
       val newMarks = map_concat(map_filter(col("marks"), (k, _) => k =!= lit(name)), map(lit(name), col("cur")))
       // the mark snapshots the current element INCLUDING pending vars:
       // re-key current-element entries ("\u0000path") under the mark's
@@ -244,7 +288,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
           map_concat(map_filter(col("vars"), (k, _) => !k.startsWith(name + "\u0000")), rekeyed)
         }
       (shape(df, col("cur"), newMarks,
-        if (needPath) col("path") else lit(null), newVars), kind)
+        if (needPath) col("path") else lit(null), newVars), kind, labels0)
 
     case Stmt.SelectOne(name) =>
       val m = element_at(col("marks"), name)
@@ -257,7 +301,8 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
         m.getField("from").as("from"), m.getField("to").as("to"), selData.as("data"))
       val entry = when(m.getField("from").isNull, pathVertexEntry(m.getField("gid")))
         .otherwise(pathEdgeEntry(m.getField("gid")))
-      (keep(df, sel, Some(entry), clearCurVars), asKinds.getOrElse(name, kind))
+      (keep(df, sel, Some(entry), clearCurVars), asKinds.getOrElse(name, kind),
+        asLabels.getOrElse(name, None))
 
     case Stmt.Fields(fs) =>
       // mark-namespaced paths are not routed to the marks map here — fail
@@ -292,7 +337,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       val newDataFinal = if (excReserved.contains("_data")) lit("{}") else newData
       (keep(df, struct(res("gid").as("gid"), res("label").as("label"),
         res("from").as("from"), res("to").as("to"), newDataFinal.as("data")), None,
-        clearCurVars), kind)
+        clearCurVars), kind, labels0)
 
     case Stmt.Unwind(field) =>
       val (uns, parts) = FieldRef.parse(field)
@@ -307,7 +352,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
         col("cur.from").as("from"), col("cur.to").as("to"),
         GJson.json_set(col("cur.data"), lit(fieldPath), coalesce(col("__uw"), lit("null"))).as("data")))
         .drop("__uw")
-      (out, kind)
+      (out, kind, labels0)
 
     case Stmt.SetField(key, value) =>
       val (ns, parts) = FieldRef.parse(key)
@@ -317,7 +362,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       (shape(df, col("cur"),
         if (needMarks) col("marks") else lit(null),
         if (needPath) col("path") else lit(null),
-        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind)
+        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind, labels0)
 
     case Stmt.Increment(key, delta) =>
       val (ns, parts) = FieldRef.parse(key)
@@ -331,10 +376,10 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       (shape(df, col("cur"),
         if (needMarks) col("marks") else lit(null),
         if (needPath) col("path") else lit(null),
-        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind)
+        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind, labels0)
 
-    case Stmt.Render(template) => (df.select(Render.column(template).as("render")), kind)
-    case Stmt.Path() => (df.select(col("path")), kind)
+    case Stmt.Render(template) => (df.select(Render.column(template).as("render")), kind, labels0)
+    case Stmt.Path() => (df.select(col("path")), kind, labels0)
     case Stmt.SelectMany(names) =>
       val cols = names.map { n =>
         val m = element_at(col("marks"), n)
@@ -344,9 +389,9 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
             GJson.json_merge_vars(m.getField("data"), col("vars"), lit(n)).as("data")).as(n)
         else m.as(n)
       }
-      (df.select(cols: _*), kind)
-    case Stmt.Count() => (df.agg(count(lit(1)).as("count")), kind)
-    case Stmt.Aggregate(aggs) => (Aggregations.run(df, aggs), kind)
+      (df.select(cols: _*), kind, labels0)
+    case Stmt.Count() => (df.agg(count(lit(1)).as("count")), kind, labels0)
+    case Stmt.Aggregate(aggs) => (Aggregations.run(df, aggs), kind, labels0)
 
     case other => throw new IllegalArgumentException(s"unhandled statement $other at this position")
   }
@@ -402,6 +447,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
     val markPos: Map[String, Int] = stmts.zipWithIndex.collect { case (Stmt.Mark(n), i) => n -> i }.toMap
 
     var kind: Kind = VertexK
+    var labels: Labels = None
     var df: DataFrame = seedOpt match {
       case Some((sdf, k)) =>
         kind = k
@@ -414,7 +460,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
     }
 
     // forward-jump injections: mark position → travelers arriving there
-    val injections = scala.collection.mutable.Map.empty[Int, List[(DataFrame, Kind)]]
+    val injections = scala.collection.mutable.Map.empty[Int, List[(DataFrame, Kind, Labels)]]
     // element kind observed at each mark position — loop-back and forward
     // jumps must arrive with the same kind (the reference compiler's
     // type-state check, engine/core/compile.go:93-382)
@@ -424,16 +470,17 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
       stmts(i) match {
         case Stmt.Mark(_) =>
           markKinds(i) = kind
-          for (in <- injections.remove(i); (d, k) <- in) {
+          for (in <- injections.remove(i); (d, k, l) <- in) {
             require(k == kind, s"forward jump into mark of different element kind ($k vs $kind)")
             df = df.unionByName(d)
+            labels = mergeLabels(labels, l)
           }
 
         case Stmt.Jump(mark, cond, emit) =>
           val target = markPos.getOrElse(mark, throw new IllegalArgumentException(s"unknown mark $mark"))
           if (target > i) { // forward jump: route matching travelers ahead
             val jumpers = cond.map(c => df.filter(Conditions.toColumn(c))).getOrElse(df)
-            injections(target) = (jumpers, kind) :: injections.getOrElse(target, Nil)
+            injections(target) = (jumpers, kind, labels) :: injections.getOrElse(target, Nil)
             df = if (emit) df else df.limit(0)
           } else { // backward jump: iterate the mark..jump segment
             require(markKinds.get(target).forall(_ == kind),
@@ -487,12 +534,19 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
               case _ => false
             }
             val unrollK = if (narrowBody) 4 else 1
+            // label state: per-iteration transfer through the body (each
+            // applyBody call advances it), union over every emitted batch
+            var loopLabels: Labels = labels
+            var outLabels: Labels = labels
             def applyBody(d0: DataFrame): DataFrame = {
               var d2 = d0
               var k2 = kind
-              for (s <- body) { val r = applySimple(d2, k2, s); d2 = r._1; k2 = r._2 }
+              var l2 = loopLabels
+              for (s <- body) { val r = applySimple(d2, k2, l2, s); d2 = r._1; k2 = r._2; l2 = r._3 }
               require(k2 == kind,
                 s"jump loop body must preserve the element kind (starts $kind, ends $k2)")
+              loopLabels = l2
+              outLabels = mergeLabels(outLabels, l2)
               d2
             }
             val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
@@ -555,6 +609,7 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
               }
             }
             df = emitted.getOrElse(df.limit(0))
+            labels = if (emit) outLabels else loopLabels
             // materialize the loop output, then free every intermediate
             // checkpoint — including the pre-loop arrivals checkpoint that
             // exists even when the loop ran zero iterations
@@ -566,8 +621,8 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
           }
 
         case s =>
-          val r = applySimple(df, kind, s)
-          df = r._1; kind = r._2
+          val r = applySimple(df, kind, labels, s)
+          df = r._1; kind = r._2; labels = r._3
       }
       i += 1
     }
@@ -590,6 +645,13 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
 }
 
 object Traversal {
+  /** Statically-known label set of the current element; None = unknown. */
+  type Labels = Option[Set[String]]
+
+  /** Label state of a union of two traveler streams: known only when both
+    * sides are known. */
+  def mergeLabels(a: Labels, b: Labels): Labels = for (x <- a; y <- b) yield x ++ y
+
   def run(spark: SparkSession, g: GraphFrame, q: Query): DataFrame =
     new Traversal(g, q.stmts.toIndexedSeq, spark).run()
 

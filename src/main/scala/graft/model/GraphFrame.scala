@@ -28,10 +28,17 @@ case class EdgeType(from: String, label: String, to: String)
 case class GraphFrame(vertices: DataFrame, edges: DataFrame,
                       topology: Option[Seq[EdgeType]] = None) {
   /** Persist as label-partitioned parquet (the "label index" of the
-    * reference's KV backends becomes partition pruning). */
+    * reference's KV backends becomes partition pruning). The topology
+    * contract round-trips as a tiny JSON dataset so a saved+loaded graph
+    * plans identically to the original. */
   def save(dir: String): Unit = {
     vertices.write.mode("overwrite").partitionBy("label").parquet(s"$dir/vertices")
     edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
+    topology.foreach { ts =>
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      ts.toDF().coalesce(1).write.mode("overwrite").json(s"$dir/topology")
+    }
   }
 }
 
@@ -48,10 +55,20 @@ object GraphFrame {
     StructField("to", StringType, nullable = false),
     StructField("data", StringType, nullable = true)))
 
-  /** Load a saved graph. */
-  def load(spark: SparkSession, dir: String): GraphFrame = GraphFrame(
-    spark.read.parquet(s"$dir/vertices").select("gid", "label", "data"),
-    spark.read.parquet(s"$dir/edges").select("gid", "label", "from", "to", "data"))
+  /** Load a saved graph, including the topology contract if present. */
+  def load(spark: SparkSession, dir: String): GraphFrame = {
+    import spark.implicits._
+    val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val topo =
+      if (fs.exists(tPath))
+        Some(spark.read.json(s"$dir/topology").as[EdgeType].collect().toSeq)
+      else None
+    GraphFrame(
+      spark.read.parquet(s"$dir/vertices").select("gid", "label", "data"),
+      spark.read.parquet(s"$dir/edges").select("gid", "label", "from", "to", "data"),
+      topo)
+  }
 
   /** Load from JSON-lines vertex/edge files (the reference's bulk-load
     * format, e.g. conformance/graphs/swapi.vertices — reference:

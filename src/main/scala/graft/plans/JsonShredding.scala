@@ -82,10 +82,12 @@ object JsonShredding extends Rule[LogicalPlan] {
           if numericLike(e.dataType) =>
         Cast(e, DoubleType, tz, mode)
     }
-    // id-prefix + container-test rewrites ONLY inside Filter conditions:
-    // there NULL and FALSE are interchangeable (both drop the row), so
+    // id-prefix rewrites ONLY inside Filter conditions: at the top level of
+    // a filter NULL and FALSE are interchangeable (both drop the row), so
     // replacing a null-when-null result with a literal boolean is
-    // semantics-preserving even for nullable columns in arbitrary plans.
+    // semantics-preserving. The container-test fold is null-preserving on
+    // its own (see below) but stays Filter-scoped — it is only ever
+    // generated there, and the narrow scope keeps the rule cheap.
     shredded.transform {
       case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(
@@ -103,10 +105,18 @@ object JsonShredding extends Rule[LogicalPlan] {
   //     to_json(struct(...))), '$.k')), 'ARRAY'|'OBJECT')
   // — three full JSON serialize+parse passes per row once the key filter is
   // also counted, and it gets PUSHED into every union branch of a hop's far
-  // side. When the struct type is static the answer is static: fold it.
-  // (Null flows — absent field, null data — yield null at runtime; folding
-  // to false/true is safe because this fires only in Filter conditions,
-  // and the companion key-isnotnull conjunct drops those rows either way.)
+  // side. When the struct type is static the answer is static — but the
+  // runtime expression is NULL (not false) whenever the field value or the
+  // struct is null (to_json drops null fields under its default options, so
+  // the variant path misses), and the framework wraps the test in Not(...),
+  // where null and false are NOT interchangeable. So the fold must preserve
+  // the null flow: a missing field folds to a null literal (the runtime
+  // value for every row), a present field folds to
+  // If(IsNotNull(field), <static answer>, null). SimplifyExtractValueOps
+  // then reduces the guard to a bare column IsNotNull, and Catalyst's own
+  // ReplaceNullWithFalseInPredicate does the top-level null==false
+  // simplification where it IS sound — wrong-label union branches still
+  // collapse to Filter(false) and prune.
 
   private def unwrapSchemaOfVariant(e: Expression): Option[Expression] = e match {
     case s: SchemaOfVariant => Some(s.child)
@@ -124,10 +134,12 @@ object JsonShredding extends Rule[LogicalPlan] {
     case sw @ StartsWith(sv, Literal(prefix: UTF8String, StringType))
         if (prefix.toString == "ARRAY" || prefix.toString == "OBJECT") &&
           staticContainerAnswer(sv, prefix.toString).isDefined =>
-      Literal(staticContainerAnswer(sv, prefix.toString).get, BooleanType)
+      staticContainerAnswer(sv, prefix.toString).get
   }
 
-  private def staticContainerAnswer(sv: Expression, prefix: String): Option[Boolean] =
+  private val nullBool = Literal(null, BooleanType)
+
+  private def staticContainerAnswer(sv: Expression, prefix: String): Option[Expression] =
     for {
       vgExpr <- unwrapSchemaOfVariant(sv)
       vg <- vgExpr match { case v: VariantGet => Some(v); case _ => None }
@@ -140,11 +152,15 @@ object JsonShredding extends Rule[LogicalPlan] {
       st <- sc.dataType match { case s: StructType => Some(s); case _ => None }
     } yield {
       val idx = st.fieldNames.indexOf(name)
-      if (idx < 0) false // missing field → null variant → never a container
-      else st.fields(idx).dataType match {
-        case _: ArrayType => prefix == "ARRAY"
-        case _: StructType | _: MapType => prefix == "OBJECT"
-        case _ => false // atomic scalar is never ARRAY/OBJECT
+      if (idx < 0) nullBool // missing field → variant path miss → NULL for every row
+      else {
+        val answer = st.fields(idx).dataType match {
+          case _: ArrayType => prefix == "ARRAY"
+          case _: StructType | _: MapType => prefix == "OBJECT"
+          case _ => false // atomic scalar is never ARRAY/OBJECT
+        }
+        // null field value (or null struct) → to_json omits it → NULL
+        If(IsNotNull(GetStructField(sc, idx, Some(name))), Literal(answer, BooleanType), nullBool)
       }
     }
 
