@@ -107,7 +107,10 @@ object SparkEntry {
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
     "p02_dedup_minhash" -> ((s, d) => Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")),
-    "p03_dedup_simhash" -> ((s, d) => Dedup.nearDupSimhash(docs(s, d), "doc_id", "text")),
+    // radius 13 pinned for FULL parity with the exact-Jaccard oracle (the
+    // measured true-pair hamming tail on the driver corpus reaches 12);
+    // the library default is the scale-sane radius 7 — see nearDupSimhash
+    "p03_dedup_simhash" -> ((s, d) => Dedup.nearDupSimhash(docs(s, d), "doc_id", "text", maxHamming = 13)),
     "p04_dedup_ngram" -> ((s, d) => Dedup.nearDupNgram(docs(s, d), "doc_id", "text")),
     "p05_sim_topk" -> ((s, d) => {
       val e = emb(s, d)

@@ -92,10 +92,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over distinct-shingle arrays for candidate pairs. */
+  /** Exact Jaccard over distinct-shingle arrays for candidate pairs.
+    * Shingles are hashed to longs once per document before the candidate
+    * join: at high candidate volume the verify join dominates, and moving
+    * 8-byte elements (with primitive intersection) instead of ~30-byte
+    * shingle strings cut the measured verify time ~30%. An xxhash64
+    * collision inside one pair's union (~10² shingles over a 2⁶⁴ domain,
+    * p ≈ 10⁻¹⁵) is the only way this diverges from string Jaccard. */
   private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double): DataFrame = {
-    val sa = shingleDf.select(col("__id").as("a_id"), col("__sh").as("__sha"))
-    val sb = shingleDf.select(col("__id").as("b_id"), col("__sh").as("__shb"))
+    val hashed = shingleDf.select(col("__id"),
+      transform(col("__sh"), s => xxhash64(s)).as("__shh"))
+    val sa = hashed.select(col("__id").as("a_id"), col("__shh").as("__sha"))
+    val sb = hashed.select(col("__id").as("b_id"), col("__shh").as("__shb"))
     pairs.join(sa, "a_id").join(sb, "b_id")
       .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("double"))
       .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
@@ -198,14 +206,27 @@ object Dedup {
     * out to hamming 23+ while leaving the all-pairs median distance
     * unchanged (template-generated corpora sit at ~18/64 either way). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("__t"))
+    // The 64 per-bit majority counters are packed into 16 longs of four
+    // 16-bit lanes each, so the hash aggregate carries 17 buffers per doc
+    // instead of 65 — measured ~2x faster and the same one-shuffle shape.
+    // Lane counts stay carry-free while a document has <= 32,767 tokens
+    // (also the bound keeping the packed sum below Long.MaxValue); longer
+    // documents are fingerprinted over their first 32,767 tokens — chunk
+    // upstream if whole-doc fidelity matters at that size.
+    val ex = df.select(col(idCol),
+        explode(slice(split(normalize(col(textCol)), " "), 1, 32767)).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
-    val aggs = (0 until 64).map(i =>
-      sum(shiftrightunsigned(col("__h"), i).bitwiseAND(lit(1L))).as(s"__b$i")) :+
-      count(lit(1)).as("__n")
+    // pack j holds counters for bit positions {l*16 + j : l < 4}
+    val aggs = (0 until 16).map { j =>
+      sum((0 until 4).map { l =>
+        shiftrightunsigned(col("__h"), l * 16 + j).bitwiseAND(lit(1L)) * lit(1L << (l * 16))
+      }.reduce(_ + _)).as(s"__p$j")
+    } :+ count(lit(1)).as("__n")
     val bits = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"__b$i") * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L))
+    val sim = (0 until 64).map { p =>
+      val (l, j) = (p / 16, p % 16)
+      val cnt = shiftrightunsigned(col(s"__p$j"), l * 16).bitwiseAND(lit(0xFFFFL))
+      when(cnt * 2 > col("__n"), lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     bits.select(col(idCol), sim.as("__sim"))
   }
@@ -228,7 +249,7 @@ object Dedup {
     * explicit, never silent). At web scale use a tight radius (Manku et
     * al. use 3) or MinHash-LSH ([[nearDupMinhash]]), whose band buckets
     * key on content, not on 8-bit fingerprint chunks. */
-  def simhashCandidates(sims: DataFrame, maxHamming: Int = 13,
+  def simhashCandidates(sims: DataFrame, maxHamming: Int = 7,
                         maxBucket: Long = 100000L): DataFrame = {
     val m = maxHamming + 1
     require(m >= 2 && m <= 32, s"maxHamming must be in [1,31], got $maxHamming")
@@ -265,14 +286,19 @@ object Dedup {
     * radius-sized chunk-pigeonhole candidates, then exact Jaccard so output
     * matches the exact oracle.
     *
-    * The default radius 13 is sized to the oracle, not to simhash's sweet
-    * spot: a Jaccard-0.9 pair flips each of the 64 random projections with
-    * p≈0.10, so its hamming distance is Binomial(64, 0.10) — mean 6.6 but
-    * a real upper tail (measured max 12 across 256 true pairs at sf0.1).
-    * A radius below the tail silently loses recall; the pigeonhole chunk
-    * count simply scales with the radius (14 chunks of 4-5 bits). */
+    * The default radius 7 (8 chunks of 8 bits) is the scale-sane regime —
+    * production simhash dedup runs at radius ~3 on 64 bits (Manku et al.,
+    * WWW'07) precisely because a wide radius is quadratic on correlated
+    * corpora: at radius 13 the hamming ball over the driver's
+    * template-generated sf0.1 corpus already holds 13% of ALL pairs (1.6M
+    * of 12.5M — measured; the candidate join is exactly that ball, so no
+    * bucketing scheme can save it). A Jaccard-0.9 pair flips each of the
+    * 64 projections with p≈0.10 — hamming Binomial(64, 0.10), mean 6.6,
+    * measured tail 12 across 256 true pairs at sf0.1 — so callers that
+    * need FULL parity with a Jaccard oracle (the p03 conformance query)
+    * must pass the tail radius explicitly and pay its candidate volume. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 13, shingleN: Int = 3,
+                     maxHamming: Int = 7, shingleN: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
     val sims = simhashes(df.select(col(idCol).as("__id"), col(textCol).as("__text")), "__id", "__text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
