@@ -19,6 +19,22 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** ANN probe query set: the first 10 corpus vectors, re-identified as
+    * vec_id+1_000_000 and nudged by deterministic hash-noise (±1% per
+    * component, ~0.05 rad) — small enough that each probe's exact nearest
+    * neighbor is provably its source vector (corpus top-1 cosine between
+    * DISTINCT vectors measured ≤ 0.5) and that a hyperplane separates the
+    * pair with probability θ/π ≈ 1.5% per bit, yet a genuinely different
+    * vector, so the probe exercises real cross-vector bucket collision in
+    * the LSH/IVF paths. */
+  private def probeQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") +
+          (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.02
+      ).as("embedding"))
+
   private def runQ(s: SparkSession, dir: String)(build: Query => Query): DataFrame =
     Traversal.run(s, TpchGraph(s, dir), build(Query()))
 
@@ -89,7 +105,9 @@ object SparkEntry {
     // ---- aggregations
     "q39_term" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.Term("seg", "c_mktsegment", 0)))),
     "q40_histogram" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.Histogram("bal", "c_acctbal", 1000)))),
-    "q41_percentile" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").aggregate(Agg.Percentile("p", "o_totalprice", Seq(25, 50, 75, 99))))),
+    // exact=true so the positional-interpolation result hash-matches
+    // DuckDB quantile_cont; the engine default stays percentile_approx
+    "q41_percentile" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").aggregate(Agg.Percentile("p", "o_totalprice", Seq(25, 50, 75, 99), exact = true)))),
     "q42_field_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.FieldAgg("keys", "_data")))),
     "q43_type_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.TypeAgg("t", "c_acctbal")))),
     "q44_count_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").aggregate(Agg.CountAgg("n"), Agg.Term("seg", "c_mktsegment", 0)))),
@@ -116,13 +134,20 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.bruteTopK(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // planted-neighbor probe: each query is a corpus vector plus tiny
+    // deterministic hash-noise, so its TRUE nearest neighbor is its known
+    // source — recall@1 of the ANN machinery becomes exactly predictable
+    // by the oracle (the driver corpus vectors are otherwise unstructured
+    // noise: measured top-1 cosine ≈ 0.3-0.5, so top-k over raw queries
+    // has no stable ground truth for an approximate method to hit).
+    // Recall-vs-brute curves on clustered data live in PipelineSpec.
     "p06_sim_ann" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.annLsh(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.annLsh(e, "vec_id", "embedding", probeQueries(e), "vec_id", "embedding", 1)
     }),
     "p15_sim_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.annIvf(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.annIvf(e, "vec_id", "embedding", probeQueries(e), "vec_id", "embedding", 1)
     }),
     "p16_events_props" -> ((s, d) => events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -241,6 +266,12 @@ object SparkEntry {
       "r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b), 1000)) AS bucket) " +
       "SELECT 'bal' AS name, cast(cast(r.bucket AS double) AS varchar) AS \"key\", " +
       "cast(coalesce(b.c, 0) AS double) AS value FROM r LEFT JOIN b ON r.bucket = b.bucket"),
+    // quantile_cont = positional linear interpolation, the same definition
+    // as Spark's exact percentile (and mongo/percentile.go)
+    "q41_percentile" -> ("SELECT 'p' AS name, '25' AS \"key\", quantile_cont(o_totalprice, 0.25) AS value FROM orders " +
+      "UNION ALL SELECT 'p', '50', quantile_cont(o_totalprice, 0.50) FROM orders " +
+      "UNION ALL SELECT 'p', '75', quantile_cont(o_totalprice, 0.75) FROM orders " +
+      "UNION ALL SELECT 'p', '99', quantile_cont(o_totalprice, 0.99) FROM orders"),
     "q42_field_agg" -> ("SELECT 'keys' AS name, 'c_name' AS \"key\", cast((SELECT count(*) FROM customer) AS double) AS value " +
       "UNION ALL SELECT 'keys', 'c_nationkey', cast((SELECT count(*) FROM customer) AS double) " +
       "UNION ALL SELECT 'keys', 'c_acctbal', cast((SELECT count(*) FROM customer) AS double) " +
@@ -273,6 +304,12 @@ object SparkEntry {
       "r AS (SELECT qid AS query_id, nid AS neighbor_id, " +
       "cast(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS bigint) AS rank FROM s) " +
       "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"),
+    // planted-neighbor probes: the ANN must return each probe's source
+    // vector as its rank-1 neighbor (see probeQueries above)
+    "p06_sim_ann" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
+      "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
+    "p15_sim_ivf" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
+      "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p16_events_props" -> ("SELECT cast(json_extract_string(props, '$.k') AS bigint) AS k, " +
       "count(*) AS n FROM events GROUP BY 1"),
     "p07_lang_id" -> langIdSql,

@@ -57,13 +57,16 @@ object Aggregations {
           .select(lit(name).as("name"), col("bucket").cast("string").as("key"),
             coalesce(col("value"), lit(0d)).as("value"))
 
-      case Agg.Percentile(name, field, percents) =>
-        // t-digest approximate quantiles; conformance tolerance ±15%
-        // (reference: processors.go:1067-1091, ot_aggregations.py:108-116)
+      case Agg.Percentile(name, field, percents, exact) =>
+        // default: t-digest approximate quantiles; conformance tolerance
+        // ±15% (reference: processors.go:1067-1091, ot_aggregations.py:108-116).
+        // exact: positional linear interpolation over the sorted values —
+        // same definition as DuckDB quantile_cont / the Mongo backend.
         val x = FieldRef.resolve(field).try_cast("double")
         val vals = df.select(x.as("x")).filter(col("x").isNotNull)
         val aggCols = percents.zipWithIndex.map { case (p, i) =>
-          percentile_approx(col("x"), lit(p / 100.0), lit(10000)).as(s"q$i") }
+          (if (exact) percentile(col("x"), lit(p / 100.0))
+           else percentile_approx(col("x"), lit(p / 100.0), lit(10000))).as(s"q$i") }
         val one = vals.agg(aggCols.head, aggCols.tail: _*)
         percents.zipWithIndex.map { case (p, i) =>
           one.select(lit(name).as("name"),

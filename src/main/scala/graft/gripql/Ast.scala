@@ -80,7 +80,13 @@ sealed trait Agg { def name: String }
 object Agg {
   case class Term(name: String, field: String, size: Int = 0) extends Agg
   case class Histogram(name: String, field: String, interval: Double) extends Agg
-  case class Percentile(name: String, field: String, percents: Seq[Double]) extends Agg
+  /** `exact=false` (the engine default) uses t-digest approximate
+    * quantiles, the scale-safe choice the reference's conformance suite
+    * allows ±15% tolerance for; `exact=true` sorts and interpolates
+    * positionally (parity with the reference's Mongo backend,
+    * mongo/percentile.go:7-30) — one total sort of the value column. */
+  case class Percentile(name: String, field: String, percents: Seq[Double],
+                        exact: Boolean = false) extends Agg
   case class FieldAgg(name: String, field: String) extends Agg
   case class TypeAgg(name: String, field: String) extends Agg
   case class CountAgg(name: String) extends Agg

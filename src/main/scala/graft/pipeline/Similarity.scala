@@ -95,19 +95,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** Approximate top-k: score only candidates sharing the query's LSH
-    * bucket — an equi-join on the bucket id, never a cartesian. Fewer bits
-    * → bigger buckets → higher recall and cost; own spec measures recall
-    * vs bruteTopK. */
+  /** Approximate top-k via multi-table random-hyperplane LSH (the classic
+    * E2LSH shape): candidates share the query's bucket in ANY of `tables`
+    * independent hyperplane tables. A pair at angle θ collides in one
+    * table with p = (1 - θ/π)^bits; L tables drive the miss rate to
+    * (1-p)^L. Everything is equi-joins on bucket ids — candidate dedup on
+    * id pairs, then ONE vector join to score — never a cartesian; the
+    * query side is assumed small and broadcast. Own spec measures recall
+    * vs bruteTopK on clustered vectors. */
   def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qidCol: String, qvecCol: String,
-             k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"),
-      lshBucket(col(vecCol), bits, dim).as("__b"))
-    val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"),
-      lshBucket(col(qvecCol), bits, dim).as("__b"))
-    val scored = c.join(q, "__b")
+             k: Int, bits: Int = 8, dim: Int = 64, tables: Int = 4,
+             seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
+    val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"))
+    val cand = (0 until tables).map { t =>
+      val s = seed + 1000003L * t
+      val cb = c.select(col("neighbor_id"), lshBucket(col("__v"), bits, dim, s).as("__b"))
+      val qb = broadcast(q.select(col("query_id"), lshBucket(col("__q"), bits, dim, s).as("__b")))
+      cb.join(qb, "__b").select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
       .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
       .withColumn("__sim", cosine(col("__q"), col("__v")))
     scored.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
