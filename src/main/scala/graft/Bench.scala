@@ -23,13 +23,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // release only what THIS query materialized (dedup/similarity ops
+      // return checkpointed results) so storage memory doesn't accumulate
+      // across the suite and later queries aren't measured under eviction
+      // pressure — scoped to ids created during the query so a future
+      // shared cross-query cache wouldn't be destroyed mid-suite
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // release anything a query materialized (dedup/similarity ops return
-      // checkpointed results) so storage memory doesn't accumulate across
-      // the suite and later queries aren't measured under eviction pressure
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs if !before.contains(id))
+        rdd.unpersist(false)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -533,6 +533,11 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
                    _: Stmt.Fields | _: Stmt.Unwind => true
               case _ => false
             }
+            // NOTE on raising unrollK: the inter-stage RDD barriers below
+            // are deliberately unpersisted, so stage j's row-local work is
+            // re-executed by each later stage prefix — O(k²)/2 redundant
+            // row-local evaluations per block. Cheap at k=4; cache the
+            // barrier RDDs within the block before going much higher.
             val unrollK = if (narrowBody) 4 else 1
             // label state: per-iteration transfer through the body (each
             // applyBody call advances it), union over every emitted batch

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: every mutation is a MERGE-style plan — new rows
   * last-wins-deduped, existing rows anti-joined out, union written back.
-  * Single-element calls buffer locally and flush as ONE batch before any
-  * read, so a bulk load of N elements costs one merge, not N (the batch
-  * analogue of the reference's streaming BulkAdd). At scale the write-back
-  * is a partition-overwrite of label-partitioned parquet ([[GraphFrame.save]]);
+  * Single-element calls buffer locally; bulk ingest consumes an iterator
+  * in bounded chunks or takes a DataFrame outright ([[bulkAddFrames]]),
+  * so driver memory never scales with ingest size; everything pending
+  * flushes as ONE merge before any read. At scale the write-back is a
+  * partition-overwrite of label-partitioned parquet ([[GraphFrame.save]]);
   * on a lakehouse table format this whole class collapses into MERGE INTO.
   */
 class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
@@ -23,6 +24,25 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
   private var e: DataFrame = e0
   private val vBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
   private val eBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, String)]
+  // sealed pending batches (columns + "__seq"): driver memory stays bounded
+  // by ONE open chunk regardless of ingest size; __seq preserves the
+  // add-order across chunks so flush-time last-wins is global
+  private val vFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val eFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private var seqNo = 0L
+  private def nextSeq(): Long = { seqNo += 1; seqNo }
+
+  private def sealBuffers(): Unit = {
+    import spark.implicits._
+    if (vBuf.nonEmpty) {
+      vFrames += vBuf.toSeq.toDF("gid", "label", "data").withColumn("__seq", lit(nextSeq()))
+      vBuf.clear()
+    }
+    if (eBuf.nonEmpty) {
+      eFrames += eBuf.toSeq.toDF("gid", "label", "from", "to", "data").withColumn("__seq", lit(nextSeq()))
+      eBuf.clear()
+    }
+  }
 
   def addVertex(gid: String, label: String, dataJson: String = "{}"): Unit =
     vBuf += ((gid, label, dataJson))
@@ -35,21 +55,74 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
     eBuf += ((g, label, from, to, dataJson))
   }
 
-  /** Validated bulk stream: elements with missing gid/label/from/to are
-    * counted as errors and skipped; valid elements are inserted
-    * (reference: ot_bulk.py test_bulkload_validate). Returns error count. */
-  def bulkAdd(vertices: Seq[(String, String, String)],
-              edges: Seq[(String, String, String, String, String)]): Long = {
+  /** Validated bulk stream (reference: gripql.proto:440-444 streaming
+    * BulkAdd, ot_bulk.py test_bulkload_validate): elements with missing
+    * gid/label/from/to are counted as errors and skipped; valid elements
+    * are inserted. Consumes the iterators in `batchSize` chunks, sealing
+    * each chunk into a pending DataFrame — the driver never holds more
+    * than one chunk of elements, so ingest size is bounded by the cluster,
+    * not driver memory. Returns the error count. */
+  def bulkAdd(vertices: Iterator[(String, String, String)],
+              edges: Iterator[(String, String, String, String, String)],
+              batchSize: Int): Long = {
     var errors = 0L
-    vertices.foreach { case t @ (gid, label, _) =>
-      if (gid == null || gid.isEmpty || label == null || label.isEmpty) errors += 1
-      else vBuf += t
+    vertices.grouped(batchSize).foreach { chunk =>
+      chunk.foreach { case t @ (gid, label, _) =>
+        if (gid == null || gid.isEmpty || label == null || label.isEmpty) errors += 1
+        else vBuf += t
+      }
+      sealBuffers()
     }
-    edges.foreach { case t @ (_, label, from, to, _) =>
-      if (label == null || label.isEmpty || from == null || from.isEmpty ||
-          to == null || to.isEmpty) errors += 1
-      else eBuf += ((if (t._1 == null || t._1.isEmpty) java.util.UUID.randomUUID().toString else t._1,
-        label, from, to, t._5))
+    edges.grouped(batchSize).foreach { chunk =>
+      chunk.foreach { case t @ (_, label, from, to, _) =>
+        if (label == null || label.isEmpty || from == null || from.isEmpty ||
+            to == null || to.isEmpty) errors += 1
+        else eBuf += ((if (t._1 == null || t._1.isEmpty) java.util.UUID.randomUUID().toString else t._1,
+          label, from, to, t._5))
+      }
+      sealBuffers()
+    }
+    errors
+  }
+
+  /** Seq convenience form of the streaming [[bulkAdd]]. */
+  def bulkAdd(vertices: Seq[(String, String, String)],
+              edges: Seq[(String, String, String, String, String)]): Long =
+    bulkAdd(vertices.iterator, edges.iterator, batchSize = 100000)
+
+  /** Distributed bulk ingest — the 100 TB shape: the data is already a
+    * DataFrame (files, a stream batch, another table), so it never
+    * round-trips through the driver at all. Validation is a distributed
+    * filter; the returned error count is ONE aggregate per side. Missing
+    * edge gids are filled with uuid() and pinned by an eager checkpoint
+    * (uuid() is nondeterministic per execution — without the pin a retry
+    * could mint different ids). Either side may be null. */
+  def bulkAddFrames(vertices: DataFrame = null, edges: DataFrame = null): Long = {
+    var errors = 0L
+    if (vertices != null) {
+      val vv = vertices.select(col("gid").cast("string").as("gid"),
+        col("label").cast("string").as("label"),
+        coalesce(col("data").cast("string"), lit("{}")).as("data"))
+      val ok = col("gid").isNotNull && length(col("gid")) > 0 &&
+        col("label").isNotNull && length(col("label")) > 0
+      val r = vv.agg(count(lit(1)), count(when(ok, 1))).head()
+      errors += r.getLong(0) - r.getLong(1)
+      vFrames += vv.filter(ok).withColumn("__seq", lit(nextSeq()))
+    }
+    if (edges != null) {
+      val ee = edges.select(col("gid").cast("string").as("gid"),
+        col("label").cast("string").as("label"),
+        col("from").cast("string").as("from"), col("to").cast("string").as("to"),
+        coalesce(col("data").cast("string"), lit("{}")).as("data"))
+      val ok = col("label").isNotNull && length(col("label")) > 0 &&
+        col("from").isNotNull && length(col("from")) > 0 &&
+        col("to").isNotNull && length(col("to")) > 0
+      val r = ee.agg(count(lit(1)), count(when(ok, 1))).head()
+      errors += r.getLong(0) - r.getLong(1)
+      eFrames += ee.filter(ok)
+        .withColumn("gid", coalesce(when(length(col("gid")) > 0, col("gid")), expr("uuid()")))
+        .withColumn("__seq", lit(nextSeq()))
+        .localCheckpoint(true)
     }
     errors
   }
@@ -66,21 +139,24 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
     e = e.filter(col("gid") =!= gid)
   }
 
-  /** Merge pending buffers: last add wins per gid, then MERGE over the
-    * stored rows (anti-join + union). */
+  /** Merge pending batches: last add wins per gid (global order = seal
+    * order via __seq, add order within a driver-sealed chunk; duplicate
+    * gids INSIDE one distributed bulk frame resolve by partition order,
+    * which is the only order such a frame has), then ONE MERGE over the
+    * stored rows (anti-join + union) however many batches are pending. */
   def flush(): Unit = {
-    import spark.implicits._
-    if (vBuf.nonEmpty) {
-      val newV = lastWins(vBuf.toSeq.toDF("gid", "label", "data"), spark)
+    sealBuffers()
+    if (vFrames.nonEmpty) {
+      val newV = lastWins(vFrames.reduce(_ unionByName _)).drop("__seq")
       v = v.join(broadcast(newV.select("gid")), Seq("gid"), "left_anti")
         .unionByName(newV)
-      vBuf.clear()
+      vFrames.clear()
     }
-    if (eBuf.nonEmpty) {
-      val newE = lastWins(eBuf.toSeq.toDF("gid", "label", "from", "to", "data"), spark)
+    if (eFrames.nonEmpty) {
+      val newE = lastWins(eFrames.reduce(_ unionByName _)).drop("__seq")
       e = e.join(broadcast(newE.select("gid")), Seq("gid"), "left_anti")
         .unionByName(newE)
-      eBuf.clear()
+      eFrames.clear()
     }
   }
 
@@ -109,10 +185,12 @@ object MutableGraph {
     new MutableGraph(spark, g.vertices, g.edges)
 
   /** Keep only the LAST row per gid (upsert ordering: later add wins,
-    * reference ot_update.py test_replace). */
-  private def lastWins(df: DataFrame, spark: SparkSession): DataFrame = {
+    * reference ot_update.py test_replace). Input carries a `__seq` batch
+    * ordinal; within a batch, monotonically_increasing_id preserves the
+    * row order a driver-sealed chunk was built with. */
+  private def lastWins(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("gid").orderBy(col("__ord").desc)
+    val w = Window.partitionBy("gid").orderBy(col("__seq").desc, col("__ord").desc)
     df.withColumn("__ord", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -157,6 +157,15 @@ object Dedup {
       val common = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("__s")
       val commonList = common.collect().map(_.getString(0))
+      if (commonList.nonEmpty) {
+        // mirror simhashCandidates' policy: recall loss is explicit, never
+        // silent — a pair whose EVERY shared shingle is corpus-common
+        // boilerplate is invisible to the capped index
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          s"nearDupNgram: ${commonList.length} shingles above df=$maxDf excluded from the " +
+          "inverted index (their intersection contribution is restored exactly, but pairs " +
+          "sharing ONLY corpus-common shingles cannot become candidates)")
+      }
       val rareInv =
         if (commonList.isEmpty) inv
         else inv.join(broadcast(common), Seq("__s"), "left_anti")

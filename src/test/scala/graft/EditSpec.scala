@@ -96,6 +96,37 @@ class EditSpec extends AnyFunSuite {
     assert(n(mg.graph, Q.E()) == 1)
   }
 
+  test("streaming bulk add: chunked iterator, bounded driver buffering") {
+    val mg = MutableGraph.empty(spark)
+    val n0 = 20000
+    // lazy iterator — bulkAdd must consume it in batchSize chunks; the
+    // last chunk re-adds gid "0" so last-wins must hold ACROSS chunks
+    val vs = Iterator.range(0, n0).map(i => (i.toString, "Doc", s"""{"i":$i}""")) ++
+      Iterator(("0", "Doc", """{"i":-1}"""))
+    val errs = mg.bulkAdd(vs, Iterator.empty, batchSize = 1000)
+    assert(errs == 0)
+    assert(n(mg.graph, Q.V()) == n0)
+    val d0 = mg.getVertex("0").get.getString(2)
+    assert(d0 == """{"i":-1}""")
+  }
+
+  test("bulk add from DataFrames: distributed validation, uuid edge gids") {
+    import spark.implicits._
+    val mg = MutableGraph.empty(spark)
+    val vdf = Seq(("a", "Person", """{"x":1}"""), ("b", "Person", "{}"),
+      ("", "Person", "{}"), (null, "Person", "{}")).toDF("gid", "label", "data")
+    val edf = Seq((null: String, "knows", "a", "b", "{}"),
+      (null: String, "knows", "a", null, "{}")).toDF("gid", "label", "from", "to", "data")
+    val errs = mg.bulkAddFrames(vdf, edf)
+    assert(errs == 3) // two bad vertices + one edge missing `to`
+    assert(n(mg.graph, Q.V()) == 2)
+    assert(n(mg.graph, Q.E()) == 1)
+    // the generated edge gid is pinned: two reads see the same id
+    val gid1 = mg.graph.edges.select("gid").head().getString(0)
+    val gid2 = mg.graph.edges.select("gid").head().getString(0)
+    assert(gid1 == gid2 && gid1.nonEmpty)
+  }
+
   test("round-trip: save + load a mutated graph") {
     val mg = MutableGraph.empty(spark)
     mg.addVertex("a", "x", """{"k":1}""")
