@@ -1,0 +1,181 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import graft.gripql.{Json, Parser, Query}
+import graft.model.{GraphFrame, MutableGraph}
+import graft.compiler.Traversal
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** Minimal HTTP server surface over the engine — the Spark-first analogue
+  * of the reference's REST gateway around its Traversal/Edit RPCs
+  * (reference: server/api.go:20-45, gripql/gripql.proto:313-319 Query,
+  * :425-503 Edit). Uses only the JDK's built-in HTTP server — no new
+  * dependencies — and streams query results as JSON-lines through
+  * `toLocalIterator`, so a large result never materializes on the server.
+  *
+  * Routes (all bodies JSON):
+  *   GET    /v1/graph                         → {"graphs":[...]}
+  *   POST   /v1/graph/{g}                     → create graph
+  *   DELETE /v1/graph/{g}                     → drop graph
+  *   POST   /v1/graph/{g}/query               → {"query":"V().count()"}
+  *                                              or protojson {"query":[...]}
+  *                                              ⇒ ND-JSON result rows
+  *   POST   /v1/graph/{g}/vertex              → {"gid","label","data"?}
+  *   POST   /v1/graph/{g}/edge                → {"from","to","label","gid"?,"data"?}
+  *   GET    /v1/graph/{g}/vertex/{gid}        → the element, 404 if absent
+  *   GET    /v1/graph/{g}/edge/{gid}          → the element, 404 if absent
+  */
+class GraftServer(spark: SparkSession, port: Int) {
+  private val mapper = new ObjectMapper()
+  private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
+
+  /** Pre-register an existing graph (e.g. a loaded parquet graph). */
+  def addGraph(name: String, g: GraphFrame): Unit =
+    graphs.put(name, MutableGraph(spark, g))
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/v1/graph", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(null) // serial — mutations per graph need no extra locking
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  private def send(ex: HttpExchange, code: Int, body: String,
+                   contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+    send(ex, code, mapper.createObjectNode().put("error", msg).toString)
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath.stripPrefix("/v1/graph").stripPrefix("/")
+    val parts = if (path.isEmpty) Array.empty[String] else path.split("/")
+    val method = ex.getRequestMethod
+    (method, parts.toList) match {
+      case ("GET", Nil) =>
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("graphs")
+        graphs.keySet().asScala.toSeq.sorted.foreach(arr.add)
+        send(ex, 200, node.toString)
+
+      case ("POST", g :: Nil) =>
+        if (graphs.putIfAbsent(g, MutableGraph.empty(spark)) != null)
+          err(ex, 409, s"graph '$g' exists")
+        else send(ex, 200, "{}")
+
+      case ("DELETE", g :: Nil) =>
+        if (graphs.remove(g) == null) err(ex, 404, s"no graph '$g'")
+        else send(ex, 200, "{}")
+
+      case ("POST", g :: "query" :: Nil) => withGraph(ex, g) { mg =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val qNode = body.get("query")
+        val query: Query =
+          if (qNode == null) throw new IllegalArgumentException("missing 'query'")
+          else if (qNode.isTextual) Parser.parse(qNode.asText())
+          else Json.parseQuery(qNode.toString) // protojson statement array
+        val result = Traversal.run(spark, mg.graph, query)
+        // ND-JSON streaming: one row per line, bounded server memory
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        val it = result.toJSON.toLocalIterator()
+        while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
+        ex.close()
+      }
+
+      case ("POST", g :: "vertex" :: Nil) => withGraph(ex, g) { mg =>
+        val b = mapper.readTree(ex.getRequestBody)
+        val (gid, label) = (textOf(b, "gid"), textOf(b, "label"))
+        if (gid == null || label == null) err(ex, 400, "vertex needs gid and label")
+        else {
+          mg.addVertex(gid, label, dataOf(b))
+          send(ex, 200, "{}")
+        }
+      }
+
+      case ("POST", g :: "edge" :: Nil) => withGraph(ex, g) { mg =>
+        val b = mapper.readTree(ex.getRequestBody)
+        val (from, to, label) = (textOf(b, "from"), textOf(b, "to"), textOf(b, "label"))
+        if (from == null || to == null || label == null) err(ex, 400, "edge needs from, to, label")
+        else {
+          mg.addEdge(from, to, label, dataOf(b), textOf(b, "gid"))
+          send(ex, 200, "{}")
+        }
+      }
+
+      case ("GET", g :: "vertex" :: gid :: Nil) => withGraph(ex, g) { mg =>
+        mg.getVertex(gid) match {
+          case Some(r) => send(ex, 200, elementJson(r.getString(0), r.getString(1), r.getString(2), null, null))
+          case None => err(ex, 404, s"no vertex '$gid'")
+        }
+      }
+
+      case ("GET", g :: "edge" :: gid :: Nil) => withGraph(ex, g) { mg =>
+        mg.getEdge(gid) match {
+          case Some(r) => send(ex, 200, elementJson(r.getString(0), r.getString(1), r.getString(4), r.getString(2), r.getString(3)))
+          case None => err(ex, 404, s"no edge '$gid'")
+        }
+      }
+
+      case _ => err(ex, 404, s"no route $method /v1/graph/${parts.mkString("/")}")
+    }
+  } catch {
+    case e: IllegalArgumentException => err(ex, 400, e.getMessage)
+    case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
+  }
+
+  private def withGraph(ex: HttpExchange, name: String)(f: MutableGraph => Unit): Unit =
+    graphs.get(name) match {
+      case null => err(ex, 404, s"no graph '$name'")
+      case mg => f(mg)
+    }
+
+  private def textOf(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
+    val v = n.get(k)
+    if (v == null || v.isNull) null else v.asText()
+  }
+
+  /** `data` may be a JSON object (protojson style) or a pre-encoded string. */
+  private def dataOf(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    val v = n.get("data")
+    if (v == null || v.isNull) "{}" else if (v.isTextual) v.asText() else v.toString
+  }
+
+  private def elementJson(gid: String, label: String, data: String,
+                          from: String, to: String): String = {
+    val node = mapper.createObjectNode().put("gid", gid).put("label", label)
+    if (from != null) node.put("from", from).put("to", to)
+    node.set("data", if (data == null || data.isEmpty) mapper.createObjectNode() else mapper.readTree(data))
+    node.toString
+  }
+}
+
+/** Standalone entry: `runmain graft.server.GraftServer <port> [graphDir]` —
+  * optionally pre-loads a saved graph as "main". */
+object GraftServer {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8201)
+    val spark = SparkSession.builder().master("local[*]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    val srv = new GraftServer(spark, port)
+    args.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
+    srv.start()
+    println(s"graft server listening on :$port")
+    Thread.currentThread().join()
+  }
+}

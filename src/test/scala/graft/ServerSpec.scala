@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.GraftServer
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end over real HTTP: create a graph, mutate it through the Edit
+  * routes, query it through text AND protojson bodies — the reference's
+  * client→server loop (server/api.go) against the JDK-http surface. */
+class ServerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withServer(f: (HttpClient, Int) => Unit): Unit = {
+    val srv = new GraftServer(spark, 0) // ephemeral port
+    srv.start()
+    try f(HttpClient.newHttpClient(), srv.boundPort)
+    finally srv.stop()
+  }
+
+  private def req(c: HttpClient, port: Int, method: String, path: String,
+                  body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+    }
+    c.send(r.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("graph lifecycle, edits, and queries over HTTP") {
+    withServer { (c, p) =>
+      assert(req(c, p, "POST", "/v1/graph/test").statusCode() == 200)
+      assert(req(c, p, "POST", "/v1/graph/test").statusCode() == 409)
+      assert(req(c, p, "GET", "/v1/graph").body().contains("\"test\""))
+
+      // edits
+      assert(req(c, p, "POST", "/v1/graph/test/vertex",
+        """{"gid":"v1","label":"Person","data":{"name":"marko","age":29}}""").statusCode() == 200)
+      assert(req(c, p, "POST", "/v1/graph/test/vertex",
+        """{"gid":"v2","label":"Person","data":{"name":"vadas"}}""").statusCode() == 200)
+      assert(req(c, p, "POST", "/v1/graph/test/edge",
+        """{"gid":"e1","from":"v1","to":"v2","label":"knows"}""").statusCode() == 200)
+      assert(req(c, p, "POST", "/v1/graph/test/vertex", """{"label":"x"}""").statusCode() == 400)
+
+      // point reads
+      val v1 = req(c, p, "GET", "/v1/graph/test/vertex/v1")
+      assert(v1.statusCode() == 200 && v1.body().contains("\"marko\""))
+      assert(req(c, p, "GET", "/v1/graph/test/vertex/nope").statusCode() == 404)
+
+      // text query → ND-JSON rows
+      val q1 = req(c, p, "POST", "/v1/graph/test/query", """{"query":"V().hasLabel('Person')"}""")
+      assert(q1.statusCode() == 200)
+      assert(q1.body().linesIterator.size == 2)
+
+      // traversal + count through the full compiler
+      val q2 = req(c, p, "POST", "/v1/graph/test/query", """{"query":"V('v1').out('knows').count()"}""")
+      assert(q2.body().trim == """{"count":1}""")
+
+      // protojson statement-array body (the RPC wire form)
+      val q3 = req(c, p, "POST", "/v1/graph/test/query",
+        """{"query":[{"v":[]},{"hasLabel":["Person"]},{"count":""}]}""")
+      assert(q3.body().trim == """{"count":2}""")
+
+      // malformed query → 400 with a message, not a 500
+      val bad = req(c, p, "POST", "/v1/graph/test/query", """{"query":"V().frobnicate()"}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("unknown method"))
+
+      assert(req(c, p, "DELETE", "/v1/graph/test").statusCode() == 200)
+      assert(req(c, p, "GET", "/v1/graph/test/vertex/v1").statusCode() == 404)
+    }
+  }
+}
