@@ -32,7 +32,37 @@ class Catalog(spark: SparkSession, root: String) {
       .map(_.getName).toSeq.sorted
   }
 
-  def graph(name: String): GraphFrame = GraphFrame.load(spark, dir(name))
+  def graph(name: String): GraphFrame = {
+    val g = GraphFrame.load(spark, dir(name))
+    // a posted schema doubles as the planner's pruning contract: its edge
+    // triples are exactly the EdgeType topology, so hop joins over a
+    // schema'd graph prune to reachable labels (GraphFrame.topology)
+    if (g.topology.isEmpty && hasPostedSchema(name))
+      g.copy(topology = Some(topologyOf(getSchema(name))))
+    else g
+  }
+
+  private def schemaDir(name: String) = s"${dir(name)}/.schema"
+  private def hasPostedSchema(name: String): Boolean =
+    new java.io.File(s"${schemaDir(name)}/vertices").exists()
+
+  /** Explicitly posted schema (reference: AddSchema gripql/gripql.proto:
+    * 483-488): a schema GRAPH — one vertex per label, one edge per
+    * (from,label,to) triple — stored beside the graph; [[getSchema]]
+    * prefers it over sampling. */
+  def addSchema(name: String, schema: GraphFrame): Unit =
+    schema.save(schemaDir(name))
+
+  /** The posted schema if present, else sampled (reference: GetSchema /
+    * SampleSchema — schema/scan.go). */
+  def getSchema(name: String, sampleN: Int = 50): GraphFrame =
+    if (hasPostedSchema(name)) GraphFrame.load(spark, schemaDir(name))
+    else SchemaSampler.sampleSchema(spark, graph(name), sampleN)
+
+  /** EdgeType triples of a schema graph (its edges connect label vertices). */
+  def topologyOf(schema: GraphFrame): Seq[EdgeType] =
+    schema.edges.select("from", "label", "to").collect()
+      .map(r => EdgeType(r.getString(0), r.getString(1), r.getString(2))).toSeq
 
   def listLabels(name: String): (Seq[String], Seq[String]) =
     SchemaSampler.listLabels(graph(name))

@@ -38,6 +38,26 @@ class SchemaSpec extends AnyFunSuite {
     assert(charData.contains(""""name":"STRING""""))
   }
 
+  test("posted schema wins over sampling and feeds the planner topology") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val cat = new graft.model.Catalog(spark, root)
+    cat.createGraph("swapi", g)
+    // no posted schema yet → sampled
+    assert(cat.getSchema("swapi").vertices.count() == vExpected.size)
+    // post the sampled schema explicitly (AddSchema, gripql.proto:483-488)
+    cat.addSchema("swapi", SchemaSampler.sampleSchema(spark, g))
+    val posted = cat.getSchema("swapi")
+    assert(posted.vertices.select("gid").collect().map(_.getString(0)).sorted.toSeq == vExpected)
+    // the schema'd graph now carries the EdgeType topology for hop pruning
+    val loaded = cat.graph("swapi")
+    assert(loaded.topology.isDefined)
+    val topo = loaded.topology.get
+    assert(topo.exists(t => t.from == "Character" && t.label == "homeworld" && t.to == "Planet"))
+    // and the pruned compiler still answers correctly on the loaded graph
+    assert(Traversal.run(spark, loaded, Query().V("Character:1").out("homeworld")).count() == 1)
+    assert(Traversal.run(spark, loaded, Query().V("Film:1").out().out().out()).count() == 1814)
+  }
+
   def Q = Query()
 
   test("invalid traversals error before execution (ot_error, compile.go type-states)") {
