@@ -4,14 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    // scratch (shuffle files, checkpoint blocks) on tmpfs when available:
+    // this box's block device intermittently stalls for tens of seconds,
+    // which lands on whichever query is mid-shuffle (measured 30-40 s
+    // outliers that MOVE between runs, with no matching GC pause) —
+    // RAM-backed scratch takes the device out of the measurement path
+    val shm = new java.io.File("/dev/shm")
+    val spark = (if (shm.isDirectory && shm.canWrite)
+      b.config("spark.local.dir", "/dev/shm/graft-spark") else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (codegen, FS listing) so the first timed query
     // isn't charged for JVM/session startup
@@ -29,9 +36,11 @@ object Bench {
       // pressure — scoped to ids created during the query so a future
       // shared cross-query cache wouldn't be destroyed mid-suite
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] done  $name $dt%.2f s")
       for ((id, rdd) <- spark.sparkContext.getPersistentRDDs if !before.contains(id))
         rdd.unpersist(false)
       name -> dt
