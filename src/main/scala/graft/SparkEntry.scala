@@ -116,6 +116,19 @@ object SparkEntry {
     "q50_multihop_agg" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").out("nation").out("region")
       .aggregate(Agg.Term("r", "r_name", 0)))),
     "q51_edge_data_has" -> ((s, d) => runQ(s, d)(_.E().hasLabel("item").has(P.gt("l_quantity", 45)).count())),
+    // ---- composite operator interactions (widen the oracle surface:
+    // edge-state filters feeding hops, unwind feeding aggregation,
+    // multi-mark rendering, hop+distinct, paging after a hop, mixed aggs)
+    "q52_edge_filter_hop" -> ((s, d) => runQ(s, d)(_.E().hasLabel("item").has(P.gt("l_quantity", 45)).out().count())),
+    "q53_unwind_term" -> ((s, d) => runQ(s, d)(_.V().hasLabel("part").unwind("words").aggregate(Agg.Term("w", "words", 0)))),
+    "q54_two_mark_render" -> ((s, d) => runQ(s, d)(_.V().hasLabel("supplier").as("s").out("nation").as("n")
+      .render(GValue.GObj(Seq("sn" -> GValue.GString("$s.s_name"), "nn" -> GValue.GString("$n.n_name")))))),
+    "q55_hop_distinct_field" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").out("customer").distinct("c_mktsegment").count())),
+    "q56_bothe_point" -> ((s, d) => runQ(s, d)(_.V("n:3").bothE().count())),
+    "q57_skip_limit_hop" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").out("nation").skip(100).limit(50).count())),
+    "q58_multi_agg_mixed" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").aggregate(
+      Agg.Histogram("h", "o_totalprice", 100000), Agg.Percentile("p", "o_totalprice", Seq(50), exact = true)))),
+
     // ---- control flow (mark/jump)
     "q45_jump_walk" -> ((s, d) => runQ(s, d)(_.V().hasLabel("region").mark("a").in("nation", "region").jump("a", None, emit = true).count())),
     "q46_jump_counter" -> ((s, d) => runQ(s, d)(_.V("c:1").set("n", GValue.GInt(0)).mark("a").increment("n", 1)
@@ -288,6 +301,22 @@ object SparkEntry {
       "FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
       "GROUP BY r_name"),
     "q51_edge_data_has" -> "SELECT count(*) AS count FROM lineitem WHERE l_quantity > 45",
+    "q52_edge_filter_hop" -> "SELECT count(*) AS count FROM lineitem WHERE l_quantity > 45",
+    "q53_unwind_term" -> ("SELECT 'w' AS name, w AS \"key\", cast(count(*) AS double) AS value " +
+      "FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part) GROUP BY w"),
+    "q54_two_mark_render" -> ("SELECT '{\"sn\":\"' || s_name || '\",\"nn\":\"' || n_name || '\"}' AS render " +
+      "FROM supplier JOIN nation ON s_nationkey = n_nationkey"),
+    "q55_hop_distinct_field" -> ("SELECT count(*) AS count FROM " +
+      "(SELECT DISTINCT c_mktsegment FROM customer JOIN orders ON o_custkey = c_custkey)"),
+    "q56_bothe_point" -> ("SELECT (SELECT count(*) FROM customer WHERE c_nationkey = 3) + " +
+      "(SELECT count(*) FROM supplier WHERE s_nationkey = 3) + 1 AS count"),
+    "q57_skip_limit_hop" -> ("SELECT least(50, greatest(0, (SELECT count(*) FROM customer) - 100)) AS count"),
+    "q58_multi_agg_mixed" -> ("WITH b AS (SELECT cast(floor(o_totalprice / 100000) * 100000 AS bigint) AS bucket, count(*) AS c " +
+      "FROM orders GROUP BY 1), " +
+      "r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b), 100000)) AS bucket) " +
+      "SELECT 'h' AS name, cast(cast(r.bucket AS double) AS varchar) AS \"key\", " +
+      "cast(coalesce(b.c, 0) AS double) AS value FROM r LEFT JOIN b ON r.bucket = b.bucket " +
+      "UNION ALL SELECT 'p', '50', quantile_cont(o_totalprice, 0.50) FROM orders"),
     "q45_jump_walk" -> ("SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + " +
       "(SELECT count(*) FROM supplier) AS count"),
     "q46_jump_counter" -> ("SELECT '{\"n\":1}' AS render FROM customer WHERE c_custkey = 1 " +
