@@ -41,6 +41,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set((0L, 2L), (0L, 4L), (2L, 4L)).subsetOf(sp))
   }
 
+  test("packed-counter simhashes equal the per-row expression form") {
+    // the corpus aggregate packs 64 majority counters into 16 longs of
+    // four 16-bit lanes; it must agree bit-for-bit with the direct
+    // expression form on varied texts (dup-heavy, unicode, single token)
+    val varied = ((0 until 200).map(i =>
+      (i.toLong, s"word$i the quick ${"x" * (i % 7 + 1)} lazy token${i % 13} " * (i % 5 + 1))) ++
+      Seq((200L, "solo"), (201L, "ünïcøde tökens ünïcøde"), (202L, "a b a b a b a")))
+      .toDF("doc_id", "text")
+    val packed = Dedup.simhashes(varied.select($"doc_id".as("__id"), $"text".as("__text")), "__id", "__text")
+      .as[(Long, Long)].collect().toMap
+    val direct = varied.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(packed == direct)
+  }
+
   test("simhash candidates stay bounded on a degenerate homogeneous corpus") {
     // 300 copies of one template with a unique trailing token: every
     // fingerprint is near-identical, so without the bucket cap the chunk
