@@ -162,6 +162,10 @@ object SparkEntry {
       val e = emb(s, d)
       Similarity.annIvf(e, "vec_id", "embedding", probeQueries(e), "vec_id", "embedding", 1)
     }),
+    // tau=0.45 sits in a measured gap of the corpus cosine distribution
+    // (nearest pair cosines 0.4497 / 0.4501 at sf0.1) so float noise
+    // cannot flip membership against the oracle
+    "p17_dedup_embed" -> ((s, d) => Similarity.nearDupEmbed(emb(s, d), "vec_id", "embedding", 0.45)),
     "p16_events_props" -> ((s, d) => events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))),
@@ -339,6 +343,9 @@ object SparkEntry {
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p15_sim_ivf" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
+    "p17_dedup_embed" -> ("WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings) " +
+      "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.45"),
     "p16_events_props" -> ("SELECT cast(json_extract_string(props, '$.k') AS bigint) AS k, " +
       "count(*) AS n FROM events GROUP BY 1"),
     "p07_lang_id" -> langIdSql,

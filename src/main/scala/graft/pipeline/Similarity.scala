@@ -95,6 +95,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs: (a_id, b_id) with a < b and
+    * cosine(va, vb) >= tau — the embedding-space sibling of the text
+    * dedup family in [[graft.pipeline.Dedup]].
+    *
+    * This exact form is an upper-triangle nested-loop join and therefore
+    * INHERENTLY quadratic in corpus size — right for corpora up to ~10⁵
+    * vectors per partition-block and for oracle parity; at 100 TB compose
+    * the IVF/LSH candidate machinery above instead (bucket the corpus
+    * once, pair only within cells, verify exactly — same recall/cost
+    * split as simhash vs exact n-gram in Dedup). Vectors are normalized
+    * ONCE before the join so the pair predicate is a bare dot product. */
+  def nearDupEmbed(corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val v = toDouble(col(vecCol))
+    // norms precomputed per row; the pair test is dot >= tau*|a|*|b|
+    // (equivalent to cosine >= tau for nonzero norms, no per-pair division);
+    // zero-norm vectors have undefined cosine and are dropped, matching
+    // NaN-cosine exclusion
+    val withNorm = corpus.select(col(idCol).as("__id"), v.as("__v"))
+      .withColumn("__n", norm(col("__v"))).filter(col("__n") > 0)
+    val a = withNorm.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH (the classic
     * E2LSH shape): candidates share the query's bucket in ANY of `tables`
     * independent hyperplane tables. A pair at angle θ collides in one

@@ -74,6 +74,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.count() > n, "degenerate corpus should exceed the capped count")
   }
 
+  test("embedding-cosine near-dup pairs with zero-norm exclusion") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),   // cos(0,1) ≈ 0.994
+      (2L, Array(0f, 1f, 0f)),       // orthogonal to 0
+      (3L, Array(-1f, 0f, 0f)),      // opposite of 0
+      (4L, Array(0f, 0f, 0f)),       // zero norm: undefined cosine, dropped
+      (5L, Array(2f, 0f, 0f))        // cos(0,5) = 1 despite different norms
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupEmbed(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 5L), (1L, 5L)))
+  }
+
   test("ann-LSH recall vs brute force on clustered vectors") {
     // two tight clusters: near neighbors share LSH buckets with high prob
     val vecs = (0 until 40).map { i =>
