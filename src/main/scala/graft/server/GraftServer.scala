@@ -25,6 +25,8 @@ import scala.jdk.CollectionConverters._
   *   POST   /v1/graph/{g}/query               → {"query":"V().count()"}
   *                                              or protojson {"query":[...]}
   *                                              ⇒ ND-JSON result rows
+  *   POST   /v1/graph/{g}/graphql             → {"query":"{ Label { f ... } }"}
+  *                                              ⇒ ND-JSON nested objects
   *   POST   /v1/graph/{g}/vertex              → {"gid","label","data"?}
   *   POST   /v1/graph/{g}/edge                → {"from","to","label","gid"?,"data"?}
   *   GET    /v1/graph/{g}/vertex/{gid}        → the element, 404 if absent
@@ -93,6 +95,21 @@ class GraftServer(spark: SparkSession, port: Int) {
         val it = result.toJSON.toLocalIterator()
         while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
         ex.close()
+      }
+
+      case ("POST", g :: "graphql" :: Nil) => withGraph(ex, g) { mg =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val qNode = body.get("query")
+        if (qNode == null || !qNode.isTextual) err(ex, 400, "missing 'query' text")
+        else {
+          val result = GraphQL.run(spark, mg.graph, qNode.asText())
+          ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+          ex.sendResponseHeaders(200, 0)
+          val out = ex.getResponseBody
+          val it = result.toLocalIterator()
+          while (it.hasNext) { out.write(it.next().getString(0).getBytes(UTF_8)); out.write('\n') }
+          ex.close()
+        }
       }
 
       case ("POST", g :: "vertex" :: Nil) => withGraph(ex, g) { mg =>

@@ -64,6 +64,13 @@ class ServerSpec extends AnyFunSuite {
         """{"query":[{"v":[]},{"hasLabel":["Person"]},{"count":""}]}""")
       assert(q3.body().trim == """{"count":2}""")
 
+      // GraphQL route: nested read rolled up in one plan
+      val gq = req(c, p, "POST", "/v1/graph/test/graphql",
+        """{"query": "{ Person { name } }"}""")
+      assert(gq.statusCode() == 200)
+      assert(gq.body().linesIterator.toSeq.map(_.trim).sorted ==
+        Seq("""{"name":"marko"}""", """{"name":"vadas"}"""))
+
       // malformed query → 400 with a message, not a 500
       val bad = req(c, p, "POST", "/v1/graph/test/query", """{"query":"V().frobnicate()"}""")
       assert(bad.statusCode() == 400 && bad.body().contains("unknown method"))
