@@ -17,9 +17,12 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+  /** Native loop-codegen dot product ([[graft.functions.VectorExprs]]) —
+    * same left-to-right double accumulation as the higher-order fold it
+    * replaced, ~100x cheaper per pair in join conditions. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotProduct(a, b)
 
-  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -107,17 +110,30 @@ object Similarity {
     * split as simhash vs exact n-gram in Dedup). Vectors are normalized
     * ONCE before the join so the pair predicate is a bare dot product. */
   def nearDupEmbed(corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val v = toDouble(col(vecCol))
     // norms precomputed per row; the pair test is dot >= tau*|a|*|b|
-    // (equivalent to cosine >= tau for nonzero norms, no per-pair division);
-    // zero-norm vectors have undefined cosine and are dropped, matching
-    // NaN-cosine exclusion
-    val withNorm = corpus.select(col(idCol).as("__id"), v.as("__v"))
-      .withColumn("__n", norm(col("__v"))).filter(col("__n") > 0)
-    val a = withNorm.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
+    // (equivalent to cosine >= tau for nonzero norms, no per-pair
+    // division); zero-norm vectors have undefined cosine and are dropped,
+    // matching NaN-cosine exclusion. The dot is the native loop-codegen
+    // expression — see VectorExprs for why neither a higher-order fold
+    // (interpreted) nor an unrolled element_at sum (too big to JIT) can
+    // sit in a 12.5M-pair join condition.
+    val withNorm = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+    // the nested-loop stream side inherits the scan's partitioning — a
+    // single local file means ONE task; spread it when the source has
+    // fewer splits than cores (at scale the scan is already wide and this
+    // is a no-op — never coalesce a big corpus here)
+    val spark = corpus.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val spread = if (withNorm.rdd.getNumPartitions < want) withNorm.repartition(want) else withNorm
+    val a = spread.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
     val b = withNorm.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .filter(dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
+    // cheap ordered-pair test FIRST so the dot short-circuits on the
+    // lower triangle (condition conjunct order is preserved into the
+    // nested-loop join)
+    a.join(b, col("a_id") < col("b_id") &&
+        dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
       .select(col("a_id"), col("b_id"))
   }
 

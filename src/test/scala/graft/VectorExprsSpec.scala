@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExprs.dotProduct
+
+/** The native DotProduct expression: codegen and interpreted paths must
+  * agree, and both must match the higher-order fold it replaced (null
+  * semantics included — zip_with pads ragged arrays with null, so length
+  * mismatch and null elements both yield null). */
+class VectorExprsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  lazy val vecs: DataFrame = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (2L, Seq(0.5f, -1.5f, 2.25f), Seq(-2.0f, 0.0f, 8.0f)),
+    (3L, Seq(0.1f, 0.2f, 0.3f), Seq(0.4f, 0.5f, 0.6f))
+  ).toDF("id", "a", "b")
+
+  test("float dot matches the double fold bit-for-bit") {
+    val rows = vecs.select(
+      dotProduct(col("a"), col("b")).as("fast"),
+      hofDot(transform(col("a"), _.cast("double")), transform(col("b"), _.cast("double"))).as("ref")
+    ).as[(Double, Double)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("double arrays accepted; mixed float/double accepted") {
+    val d = vecs.select(
+      dotProduct(transform(col("a"), _.cast("double")), transform(col("b"), _.cast("double"))).as("dd"),
+      dotProduct(col("a"), transform(col("b"), _.cast("double"))).as("fd"))
+      .as[(Double, Double)].head()
+    assert(d._1 == 32.0 && d._2 == 32.0)
+  }
+
+  test("null array, ragged lengths, and null elements all yield null") {
+    val df = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f)))),            // ragged
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),      // null elem
+      (None: Option[Seq[Option[Float]]], Some(Seq(Some(1.0f), Some(2.0f)))) // null array
+    ).toDF("a", "b")
+    val out = df.select(dotProduct(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    val e = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f, 3.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4.0f, 5.0f, 6.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == 32.0)
+  }
+
+  test("rejects non-numeric-array inputs at analysis") {
+    val bad = Seq((1, "x")).toDF("i", "s")
+    val err = intercept[Exception] {
+      bad.select(dotProduct(col("s"), col("s"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot") ||
+      err.getMessage.toLowerCase.contains("datatype_mismatch") ||
+      err.getMessage.toLowerCase.contains("cannot resolve"))
+  }
+}

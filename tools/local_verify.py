@@ -58,6 +58,11 @@ def main(sf_dir, out_dir):
             diff_e = [r for r in exp_rows if r not in got_rows][:3]
             results[name]["sample_got_only"] = [[str(v)[:60] for v in r] for r in diff_g]
             results[name]["sample_exp_only"] = [[str(v)[:60] for v in r] for r in diff_e]
+    # A query that errored Spark-side writes no output dir — that's a FAIL,
+    # not a skip (the driver's gate records it as missing/red).
+    for name in oracle:
+        if name not in results:
+            results[name] = {"ok": False, "error": "no output dir (Spark-side failure?)"}
     npass = sum(1 for r in results.values() if r.get("ok"))
     print(json.dumps(results, indent=1, default=str))
     print(f"PASS {npass}/{len(results)}")
