@@ -166,6 +166,11 @@ object SparkEntry {
     // (nearest pair cosines 0.4497 / 0.4501 at sf0.1) so float noise
     // cannot flip membership against the oracle
     "p17_dedup_embed" -> ((s, d) => Similarity.nearDupEmbed(emb(s, d), "vec_id", "embedding", 0.45)),
+    // pairs → connected components → (doc_id, cluster_id): the composition
+    // that turns near-dup pair lists into dedup decisions
+    "p18_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.nearDupNgram(docs(s, d), "doc_id", "text"), "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))),
     "p16_events_props" -> ((s, d) => events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))),
@@ -185,15 +190,31 @@ object SparkEntry {
   )
 
   /** Shared SQL fragments for the document-shingle oracles. */
-  private val shingleCte =
-    """WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+  private val shingleCtes =
+    """dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT a_id, b_id FROM p WHERE j >= 0.5""".stripMargin
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val shingleCte =
+    s"WITH $shingleCtes\nSELECT a_id, b_id FROM p WHERE j >= 0.5"
+
+  /** Connected components over the exact n-gram pairs via a recursive CTE:
+    * min reachable id per node — the relational ground truth for the
+    * alternating-star implementation in Dedup.clusters. */
+  private val clusterSql =
+    s"""WITH RECURSIVE $shingleCtes,
+      |pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),
+      |nodes AS (SELECT a_id AS id FROM pr UNION SELECT b_id FROM pr),
+      |e AS (SELECT a_id AS u, b_id AS v FROM pr UNION SELECT b_id, a_id FROM pr),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id)
+      |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   /** Lang-id oracle generated from the SAME stopword profiles as the Scala
     * implementation, so the two can never drift apart. */
@@ -331,6 +352,7 @@ object SparkEntry {
     "p02_dedup_minhash" -> shingleCte,
     "p03_dedup_simhash" -> shingleCte,
     "p04_dedup_ngram" -> shingleCte,
+    "p18_dedup_clusters" -> clusterSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +
       "c AS (SELECT vec_id AS nid, cast(embedding AS double[]) AS cv FROM embeddings), " +
       "s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim FROM q CROSS JOIN c WHERE qid <> nid), " +

@@ -318,4 +318,139 @@ object Dedup {
       verifyJaccard(cand, sh, threshold).localCheckpoint(true)
     } finally sims.unpersist(false)
   }
+
+  /** Connected components over a near-dup pair list: every id that occurs
+    * in `pairs` is assigned `cluster_id` = the minimum id reachable
+    * through the pairs (undirected). This is the step that turns pair
+    * lists from [[nearDupMinhash]]/[[nearDupSimhash]]/
+    * [[graft.pipeline.Similarity.nearDupEmbed]] into dedup decisions:
+    * keep each cluster's canonical (min) id, drop the rest.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two hash-shuffles on the node id and the edge set only shrinks
+    * toward stars, so it converges in O(log n) rounds even on adversarial
+    * chains (plain min-label propagation needs O(diameter)). No
+    * per-component state ever sits on one executor, so skew is bounded by
+    * the max-degree star, not the component size. Driver-side loop
+    * hygiene mirrors the traversal jump loop: every round ends in an
+    * eager localCheckpoint (cuts lineage) whose materialization doubles
+    * as the convergence count, and the previous round's blocks are
+    * released immediately.
+    *
+    * Ids may be any orderable type (long doc ids, string gids).
+    *
+    * Pair lists are usually MUCH smaller than the corpus they came from
+    * (only verified near-dups survive), so below `localThreshold` edges
+    * the components come from a driver-side union-find over the collected
+    * pairs — one collect, zero iterative jobs, bounded memory (~50 MB at
+    * the 1M default). Above it, the distributed star loop runs; the two
+    * paths compute the same assignment. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxIters: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
+    val idType = pairs.schema(aCol).dataType
+    require(pairs.schema(bCol).dataType == idType,
+      s"pair columns must share a type, got $idType vs ${pairs.schema(bCol).dataType}")
+    // current edge set (u, v): an undirected forest-in-progress; starts as
+    // the input pairs minus self-loops
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    // fixpoint test: the edge set is a set; same size + same order-free
+    // content hash ⇒ unchanged. bit_xor of row hashes, not sum — XOR is
+    // order-free, cannot overflow under ANSI, and rows are distinct so
+    // nothing self-cancels; collision odds ~2^-64 per round (an
+    // except().count() would cost two more shuffles for the same answer)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = sig(edges)
+    if (prevSig._1 <= localThreshold) return clustersLocal(edges, idType)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: around every node u, link each LARGER neighbor to the
+      // minimum of the neighborhood (incl. u) — long chains collapse
+      val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = bi.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = bi.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: orient edges big→small, link every smaller neighbor
+      // (and u itself) to the minimum neighbor
+      val canon = ls.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val ssMin = canon.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = canon.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // one sig job per round: this round's signature doubles as the next
+      // round's "previous"
+      val ssSig = sig(ss)
+      converged = ssSig == prevSig
+      prevSig = ssSig
+      edges.unpersist(false)
+      edges = ss
+      iter += 1
+    }
+    if (!converged)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        s"clusters: not converged after $maxIters rounds; assignments may chain")
+    // post-convergence the edge set IS the assignment (u → its component
+    // min); roots appear only on the right, so add their self-assignments
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")), Seq("v"), "left_anti")
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(roots.select(col("v").as("id"), col("v").as("cluster_id")))
+  }
+
+  /** Driver-side fast path for [[clusters]]: union-find (path compression)
+    * over the collected edge list, then min-id per component. Only called
+    * under `localThreshold`, so memory is bounded by construction. */
+  private def clustersLocal(edges: DataFrame,
+                            idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val ids = mutable.HashSet.empty[Any]
+    for (row <- edges.collect()) {
+      val (a, b) = (row.get(0), row.get(1))
+      ids += a; ids += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra // arbitrary link; min resolved below
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = mutable.HashMap.empty[Any, Any]
+    for (id <- ids) {
+      val r = find(id)
+      if (!minOf.contains(r) || lt(id, minOf(r))) minOf(r) = id
+    }
+    val rows: java.util.List[Row] = ids.toSeq.map(id => Row(id, minOf(find(id)))).asJava
+    edges.sparkSession.createDataFrame(rows,
+      StructType(Seq(StructField("id", idType), StructField("cluster_id", idType))))
+  }
+
+  /** One row per surviving document: the canonical (min-id) member of each
+    * near-dup cluster plus every unpaired document. `pairs` must use ids
+    * from `idCol`. */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val drop = clusters(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -146,4 +146,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(1L) == ((2L, 3L)))
     assert(s(2L) == ((1L, 1L)))
   }
+
+  test("clusters: chain, triangle, and separate components all collapse to min id") {
+    // chain 1-2-3-4-5 exercises multi-round star convergence; {10,11,12}
+    // is a triangle; {20,21} a lone pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a_id", "b_id")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // local union-find path (default threshold) and the distributed
+    // star-loop path (threshold 0) must agree
+    val local = Dedup.clusters(pairs, "a_id", "b_id").as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, "a_id", "b_id", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expect)
+    assert(dist == expect)
+  }
+
+  test("clusters: empty pair list and string ids") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.clusters(empty, "a_id", "b_id").count() == 0)
+    val sp = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("a_id", "b_id")
+    val got = Dedup.clusters(sp, "a_id", "b_id").as[(String, String)].collect().toMap
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
+  }
+
+  test("survivors keeps cluster canonicals and unpaired docs") {
+    // docs 0,2,4 are mutual dups, 1 pairs with 0's cluster too -> one
+    // cluster {0,1,2,4} with canonical 0; doc 3 unpaired
+    val out = Dedup.survivors(docs, "doc_id", Dedup.nearDupNgram(docs, "doc_id", "text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 3L))
+  }
 }
