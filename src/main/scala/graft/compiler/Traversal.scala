@@ -625,6 +625,26 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
             for (id <- newIds if id != keepId; rdd <- persistedAfter.get(id)) rdd.unpersist(false)
           }
 
+        case Stmt.Unwind(field) if Traversal.fusableUnwindAgg(field, stmts.lift(i + 1)) =>
+          // unwind→aggregate fusion: the aggregate is terminal and reads
+          // ONLY the unwound field, so the exploded element needn't be
+          // json_set back into the full property bag (a whole-document
+          // parse+serialize UDF per exploded row); a minimal
+          // {"field": elem} document built by codegen string concat
+          // carries exactly what the aggregation resolves
+          val (_, parts) = FieldRef.parse(field)
+          val elems = GJson.json_array_elems(col("cur.data"), lit(parts.mkString(".")))
+          val exploded = df.withColumn("__uw", explode_outer(elems))
+          val minimal = parts.foldRight(coalesce(col("__uw"), lit("null")): Column)(
+            (p, acc) => concat(lit("{\"" + p + "\":"), acc, lit("}")))
+          val out = exploded.withColumn("cur", struct(
+            col("cur.gid").as("gid"), col("cur.label").as("label"),
+            col("cur.from").as("from"), col("cur.to").as("to"),
+            minimal.as("data"))).drop("__uw")
+          val aggs = stmts(i + 1).asInstanceOf[Stmt.Aggregate].aggs
+          df = Aggregations.run(out, aggs)
+          i += 1 // the aggregate was consumed by the fusion
+
         case s =>
           val r = applySimple(df, kind, labels, s)
           df = r._1; kind = r._2; labels = r._3
@@ -662,6 +682,23 @@ object Traversal {
 
   def run(spark: SparkSession, g: GraphFrame, q: Query, maxIters: Int): DataFrame =
     new Traversal(g, q.stmts.toIndexedSeq, spark).run(maxIters)
+
+  /** unwind(f) directly feeding aggregate(...) where every aggregation
+    * reads exactly f (same-document, plain identifier segments): safe to
+    * fuse — the aggregate is the sole consumer of the rebuilt document. */
+  private[compiler] def fusableUnwindAgg(field: String, next: Option[Stmt]): Boolean = next match {
+    case Some(Stmt.Aggregate(aggs)) =>
+      val (ns, parts) = FieldRef.parse(field)
+      ns.isEmpty && parts.nonEmpty && !parts.head.startsWith("_") &&
+        parts.forall(_.matches("[A-Za-z0-9_]+")) &&
+        aggs.nonEmpty && aggs.forall {
+          case Agg.Term(_, f, _) => f == field
+          case Agg.Histogram(_, f, _) => f == field
+          case Agg.Percentile(_, f, _, _) => f == field
+          case _ => false
+        }
+    case _ => false
+  }
 
   private[compiler] def usesMarks(e: HasExpr): Boolean = e match {
     case HasExpr.And(cs) => cs.exists(usesMarks)

@@ -239,6 +239,16 @@ object JsonShredding extends Rule[LogicalPlan] {
 /** Session extension registration:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => JsonShredding)
+    // graft_dot(a, b): the native vector dot product, reachable from SQL
+    // (server queries, spark.sql) as well as the Column API
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
+        graft.functions.DotProduct(args.head, args(1))
+      }))
+  }
 }

@@ -19,6 +19,9 @@ object SparkTestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // the shipped extension set (optimizer rules + graft_dot), exactly
+      // as the Verify/Bench/server sessions run
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // deliberately NO ansi/mapKeyDedupPolicy overrides: the engine must
       // behave correctly under Spark 4 defaults (ANSI on)
       .getOrCreate()

@@ -57,6 +57,12 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
   }
 
+  test("graft_dot is callable from SQL via the session extensions") {
+    vecs.createOrReplaceTempView("__vecs")
+    val r = spark.sql("SELECT graft_dot(a, b) AS d FROM __vecs WHERE id = 1").as[Double].head()
+    assert(r == 32.0)
+  }
+
   test("rejects non-numeric-array inputs at analysis") {
     val bad = Seq((1, "x")).toDF("i", "s")
     val err = intercept[Exception] {
