@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Structured Streaming twins of the batch dedup family
+  * (graft.pipeline.Dedup) — the shapes a continuously-ingesting training
+  * -data pipeline runs: suppress exact repeats as documents arrive, and
+  * flag arrivals that near-duplicate a fixed reference corpus.
+  *
+  * Both are state-bounded by construction: exact dedup keeps content
+  * hashes only within an explicit watermark horizon; the near-dup check
+  * keeps NO stream state at all (a stream-static join against a prebuilt
+  * band index) beyond the pair-dedup horizon.
+  */
+object DedupStreaming {
+  /** Convenience arrival-row shape for typed streams. */
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Emit only the first-seen document per normalized content hash.
+    * Duplicates separated by more than `horizon` of event time may
+    * re-emit — that is the explicit state/recall tradeoff (state is
+    * dropped at the watermark), same contract as
+    * `dropDuplicatesWithinWatermark`. */
+  def exactStream(docs: DataFrame, textCol: String, tsCol: String,
+                  horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", xxhash64(Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
+  /** Band keys of a minhash signature — (band index, band hash) rows.
+    * Kept private and shared by BOTH the index build and the stream side
+    * so the two bucketings cannot drift. */
+  private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(concat_ws(",", slice(sig, j * rows + 1, lit(rows)))))
+
+  /** Prebuilt LSH index of a static reference corpus: one row per
+    * (band, band-hash) bucket membership, carrying the corpus document's
+    * hashed shingle set for exact verification. Build once, persist, and
+    * hand to [[nearDupAgainstCorpus]] — the corpus is scanned only at
+    * build time, never per micro-batch. */
+  def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, numHashes: Int = 64,
+                  bands: Int = 32): DataFrame = {
+    val rows = numHashes / bands
+    val sh = corpus.select(col(idCol).as("__cid"),
+      Dedup.shingles(col(textCol), shingleN).as("__sh"))
+    val signed = Dedup.minhashSignatures(sh, "__cid", "__sh", numHashes)
+      .join(sh, "__cid")
+      .select(col("__cid"), transform(col("__sh"), s => xxhash64(s)).as("__cshh"),
+        posexplode(bandKeys(col("__sig"), bands, rows)))
+    signed.select(col("__cid"), col("__cshh"),
+      col("pos").as("__band"), col("col").as("__bh"))
+  }
+
+  /** Flag streaming documents that near-duplicate the reference corpus:
+    * per-row signature (expression-form minhash) → band explode →
+    * equi-join the static index on (band, band hash) → exact Jaccard
+    * verify → one row per (arrival, corpus doc) pair above `threshold`,
+    * deduplicated across bands within the watermark horizon.
+    * Output: (idCol, dup_of, jaccard). */
+  def nearDupAgainstCorpus(stream: DataFrame, idCol: String, textCol: String,
+                           tsCol: String, index: DataFrame,
+                           shingleN: Int = 3, numHashes: Int = 64,
+                           bands: Int = 32, threshold: Double = 0.5,
+                           horizon: String = "1 hour"): DataFrame = {
+    val rows = numHashes / bands
+    val sh = Dedup.shingles(col(textCol), shingleN)
+    val withSig = stream
+      .withColumn("__shh", transform(sh, s => xxhash64(s)))
+      .withColumn("__sig", Dedup.minhashSignature(sh, numHashes))
+      .select(col(idCol), col(tsCol), col("__shh"),
+        posexplode(bandKeys(col("__sig"), bands, rows)))
+      .select(col(idCol), col(tsCol), col("__shh"),
+        col("pos").as("__band"), col("col").as("__bh"))
+    val cand = withSig.join(index, Seq("__band", "__bh"))
+    val inter = size(array_intersect(col("__shh"), col("__cshh"))).cast("double")
+    cand
+      .withColumn("__i", inter)
+      .withColumn("jaccard",
+        col("__i") / (size(col("__shh")) + size(col("__cshh")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol, "__cid")
+      .select(col(idCol), col("__cid").as("dup_of"), col("jaccard"))
+  }
+}

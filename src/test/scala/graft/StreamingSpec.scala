@@ -57,4 +57,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions.exists(s => s.user_id == 1 && s.start_sec == 1000 && s.end_sec == 1030 && s.n_events == 2))
     } finally q.stop()
   }
+
+  test("streaming exact dedup suppresses normalized repeats within the horizon") {
+    import spark.implicits._
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = DedupStreaming.exactStream(input.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(1, "hello world", ts(1000)),
+        DedupStreaming.Doc(3, "unrelated text", ts(1010)))
+      q.processAllAvailable()
+      // later batch: a case/whitespace variant of doc 1 must be suppressed
+      input.addData(DedupStreaming.Doc(2, "  Hello World", ts(1020)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sdedup_out").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup flags arrivals against a static corpus index") {
+    import spark.implicits._
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),
+      (3L, "completely different words entirely unrelated text here now")
+    ).toDF("doc_id", "text")
+    val index = DedupStreaming.corpusIndex(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = DedupStreaming.nearDupAgainstCorpus(
+        input.toDF(), "doc_id", "text", "ts", index)
+      .writeStream.format("memory").queryName("sneardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(100, "the quick brown fox jumps over the lazy dog", ts(1000)),
+        DedupStreaming.Doc(101, "nothing in common with anything here at all", ts(1001)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, dup_of, jaccard FROM sneardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.forall(_._1 == 100L)) // 101 matches nothing
+      assert(rows.map(_._2).toSet == Set(0L, 1L, 2L)) // exact, last-word variant, case variant
+      assert(rows.filter(r => r._2 == 0L || r._2 == 2L).forall(_._3 == 1.0))
+    } finally {
+      q.stop(); index.unpersist()
+    }
+  }
 }
