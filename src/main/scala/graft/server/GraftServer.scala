@@ -26,6 +26,7 @@ import scala.jdk.CollectionConverters._
   *                                              or protojson {"query":[...]}
   *                                              ⇒ ND-JSON result rows
   *   POST   /v1/graph/{g}/graphql             → {"query":"{ Label { f ... } }"}
+  *   POST   /v1/graph/{g}/cypher              → {"query":"MATCH (a:L)-[:T]->(b) RETURN a"}
   *                                              ⇒ ND-JSON nested objects
   *   POST   /v1/graph/{g}/vertex              → {"gid","label","data"?}
   *   POST   /v1/graph/{g}/edge                → {"from","to","label","gid"?,"data"?}
@@ -95,6 +96,24 @@ class GraftServer(spark: SparkSession, port: Int) {
         val it = result.toJSON.toLocalIterator()
         while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
         ex.close()
+      }
+
+      // read-only openCypher MATCH subset (the reference's POC endpoint
+      // made to work — see graft.cypher.Cypher for the supported surface);
+      // same result contract as /query: one rendered row per ND-JSON line
+      case ("POST", g :: "cypher" :: Nil) => withGraph(ex, g) { mg =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val qNode = body.get("query")
+        if (qNode == null || !qNode.isTextual) err(ex, 400, "missing 'query' text")
+        else {
+          val result = Traversal.run(spark, mg.graph, graft.cypher.Cypher.parse(qNode.asText()))
+          ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+          ex.sendResponseHeaders(200, 0)
+          val out = ex.getResponseBody
+          val it = result.toJSON.toLocalIterator()
+          while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
+          ex.close()
+        }
       }
 
       case ("POST", g :: "graphql" :: Nil) => withGraph(ex, g) { mg =>

@@ -71,6 +71,14 @@ class ServerSpec extends AnyFunSuite {
       assert(gq.body().linesIterator.toSeq.map(_.trim).sorted ==
         Seq("""{"name":"marko"}""", """{"name":"vadas"}"""))
 
+      // Cypher route: pattern + WHERE + projection over the same graph
+      val cy = req(c, p, "POST", "/v1/graph/test/cypher",
+        """{"query": "MATCH (a:Person)-[:knows]->(b) WHERE a.age > 21 RETURN b.name AS friend"}""")
+      assert(cy.statusCode() == 200)
+      // render rows stream as JSON text in the render column (the same
+      // contract as the /query route)
+      assert(cy.body().trim == "{\"render\":\"{\\\"friend\\\":\\\"vadas\\\"}\"}")
+
       // malformed query → 400 with a message, not a 500
       val bad = req(c, p, "POST", "/v1/graph/test/query", """{"query":"V().frobnicate()"}""")
       assert(bad.statusCode() == 400 && bad.body().contains("unknown method"))
