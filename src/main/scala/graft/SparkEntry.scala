@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.gripql.{Query, P, GValue, Agg}
 import graft.compiler.Traversal
 import graft.model.TpchGraph
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Events}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Events, Curation}
 
 /** Driver contract — one oracle-checked entry per operator (SURVEY.md §2)
   * plus the LLM-data-pipeline operators, all runnable on the TESTDATA
@@ -171,6 +171,9 @@ object SparkEntry {
     "p18_dedup_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.nearDupNgram(docs(s, d), "doc_id", "text"), "a_id", "b_id")
         .select(col("id").as("doc_id"), col("cluster_id"))),
+    // the one-call curation composition: dedup survivors + quality +
+    // token gates + language tag in a single corpus pass
+    "p19_curate" -> ((s, d) => Curation.curate(docs(s, d), "doc_id", "text")),
     "p16_events_props" -> ((s, d) => events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))),
@@ -218,21 +221,45 @@ object SparkEntry {
 
   /** Lang-id oracle generated from the SAME stopword profiles as the Scala
     * implementation, so the two can never drift apart. */
-  private def langIdSql: String = {
-    val hits = TextAnalysis.stopwords.map { case (lang, list) =>
-      val arr = list.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(w, x -> list_contains($arr, x))) AS h_$lang"
-    }.mkString(",\n  ")
+  private def langHits: String = TextAnalysis.stopwords.map { case (lang, list) =>
+    val arr = list.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(w, x -> list_contains($arr, x))) AS h_$lang"
+  }.mkString(",\n  ")
+
+  private def langCase: String = {
     val langs = TextAnalysis.stopwords.map(_._1)
     val cases = langs.map { lang =>
       val ge = langs.filter(_ != lang).map(o => s"h_$lang >= h_$o").mkString(" AND ")
       s"WHEN $ge THEN '$lang'"
     }.dropRight(1).mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  private def langIdSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
        |h AS (SELECT doc_id,
-       |  $hits
+       |  $langHits
        |FROM t)
-       |SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred FROM h""".stripMargin
+       |SELECT doc_id, $langCase AS lang_pred FROM h""".stripMargin
+
+  /** Curation oracle: the p07/p08/p09 signal SQL composed with the p01
+    * survivor set and the gate predicates — same fragments, same
+    * generated stopword lists, so the Scala and SQL sides cannot drift. */
+  private def curateSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w, text FROM documents),
+       |h AS (SELECT doc_id,
+       |  $langHits,
+       |  cast(len(w) AS double) AS n,
+       |  cast(len(list_filter(w, x -> list_contains($en, x))) AS double) AS s,
+       |  cast(len(string_split(text, ' ')) AS bigint) AS ws FROM t),
+       |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text)))
+       |SELECT * FROM (
+       |  SELECT h.doc_id, $langCase AS lang_pred,
+       |    round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS quality,
+       |    ws AS ws_tokens
+       |  FROM h JOIN k ON h.doc_id = k.doc_id)
+       |WHERE quality >= 0.5 AND ws_tokens BETWEEN 5 AND 10000""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,6 +380,7 @@ object SparkEntry {
     "p03_dedup_simhash" -> shingleCte,
     "p04_dedup_ngram" -> shingleCte,
     "p18_dedup_clusters" -> clusterSql,
+    "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +
       "c AS (SELECT vec_id AS nid, cast(embedding AS double[]) AS cv FROM embeddings), " +
       "s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim FROM q CROSS JOIN c WHERE qid <> nid), " +

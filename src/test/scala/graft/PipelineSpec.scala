@@ -174,6 +174,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
+  test("curate drops exact dups and low-quality docs in one pass") {
+    // docs 2 and 4 are normalized dups of 0 (dropped); doc 3 has no
+    // stopwords (quality 0.04 < 0.5, dropped); 0 and 1 pass at 0.545
+    val out = Curation.curate(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    val row = out.filter(col("doc_id") === 0).head()
+    assert(row.getAs[String]("lang_pred") == "en")
+    assert(row.getAs[Double]("quality") == 0.545)
+    assert(row.getAs[Long]("ws_tokens") == 9L)
+  }
+
   test("survivors keeps cluster canonicals and unpaired docs") {
     // docs 0,2,4 are mutual dups, 1 pairs with 0's cluster too -> one
     // cluster {0,1,2,4} with canonical 0; doc 3 unpaired
