@@ -36,6 +36,17 @@ object PlanAudit {
       println(s"==== $name ====")
       Traversal.run(spark, g, q).explain("formatted")
     }
+    // pipeline plans: the embed near-dup join condition must short-circuit
+    // on the id test and carry graft_dot (not an interpreted fold or a
+    // too-big-to-JIT unrolled sum); unwind→term must fuse (no json_set UDF)
+    println("==== embed_neardup_pair_join ====")
+    graft.pipeline.Similarity.nearDupEmbed(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.45)
+      .explain("formatted")
+    println("==== unwind_term_fused ====")
+    Traversal.run(spark, g,
+      Q.V().hasLabel("part").unwind("words").aggregate(Agg.Term("w", "words", 0)))
+      .explain("formatted")
     spark.stop()
   }
 }

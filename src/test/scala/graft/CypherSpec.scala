@@ -64,6 +64,15 @@ class CypherSpec extends AnyFunSuite {
     assert(run("MATCH (c:Character) RETURN c LIMIT 3").count() == 3)
   }
 
+  test("relationship property maps filter in edge state") {
+    val q = Cypher.parse("MATCH (a)-[:knows {weight: 5}]->(b) RETURN count(*)")
+    assert(q.stmts == Query().V().as("a").outE("knows")
+      .has(HasExpr.Cond("weight", GValue.GInt(5), CondOp.EQ)).out()
+      .as("b").count().stmts)
+    intercept[IllegalArgumentException](
+      Cypher.parse("MATCH (a)-[:knows {weight: 5}]-(b) RETURN count(*)"))
+  }
+
   test("unsupported constructs fail with clear errors") {
     intercept[IllegalArgumentException](Cypher.parse("MATCH (a:X:Y) RETURN a"))
     intercept[IllegalArgumentException](Cypher.parse("MATCH (a)-[:K*1..2]-(b) RETURN a"))
