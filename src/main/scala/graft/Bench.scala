@@ -45,10 +45,18 @@ object Bench {
         rdd.unpersist(false)
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values: the harness that collects this output keeps only
+    // the LAST 2000 chars of the run, and full-precision doubles push the
+    // line head past that window (observed truncated mid-JSON two rounds
+    // running). 77 queries at 3 decimals fit with room to spare.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact restatement LAST: even if a future query set overflows the
+    // window again, the total survives at the window's end
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
