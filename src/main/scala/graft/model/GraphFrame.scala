@@ -34,10 +34,18 @@ case class GraphFrame(vertices: DataFrame, edges: DataFrame,
   def save(dir: String): Unit = {
     vertices.write.mode("overwrite").partitionBy("label").parquet(s"$dir/vertices")
     edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
-    topology.foreach { ts =>
-      val spark = vertices.sparkSession
-      import spark.implicits._
-      ts.toDF().coalesce(1).write.mode("overwrite").json(s"$dir/topology")
+    val spark = vertices.sparkSession
+    val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    topology match {
+      case Some(ts) =>
+        import spark.implicits._
+        ts.toDF().coalesce(1).write.mode("overwrite").json(s"$dir/topology")
+      case None =>
+        // a topology=None graph saved over a previous topology-bearing save
+        // must NOT resurrect the old contract on load — stale triples would
+        // silently prune hops over edge labels added since
+        if (fs.exists(tPath)) fs.delete(tPath, true)
     }
   }
 }
@@ -55,6 +63,20 @@ object GraphFrame {
     StructField("to", StringType, nullable = false),
     StructField("data", StringType, nullable = true)))
 
+  /** (from-label, edge-label, to-label) triples observed in the data —
+    * the fallback when no topology/schema is declared; one small
+    * distinct query over edges joined to vertex labels. */
+  def deriveTriples(g: GraphFrame): Seq[EdgeType] = {
+    import org.apache.spark.sql.functions.col
+    val vl = g.vertices.select(col("gid"), col("label"))
+    g.edges.alias("e")
+      .join(vl.select(col("gid").as("from"), col("label").as("__fl")), Seq("from"))
+      .join(vl.select(col("gid").as("to"), col("label").as("__tl")), Seq("to"))
+      .select(col("__fl"), col("e.label").as("label"), col("__tl"))
+      .distinct().collect()
+      .map(r => EdgeType(r.getString(0), r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Load a saved graph, including the topology contract if present. */
   def load(spark: SparkSession, dir: String): GraphFrame = {
     import spark.implicits._
@@ -62,11 +84,18 @@ object GraphFrame {
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val topo =
       if (fs.exists(tPath))
-        Some(spark.read.json(s"$dir/topology").as[EdgeType].collect().toSeq)
+        // explicit schema: an EMPTY declared topology ("no edges allowed")
+        // writes a data-less JSON dataset that schema inference can't read
+        Some(spark.read.schema(org.apache.spark.sql.Encoders.product[EdgeType].schema)
+          .json(s"$dir/topology").as[EdgeType].collect().toSeq)
       else None
+    // explicit schemas: an empty side (a vertex-only graph has no edge
+    // part-files at all) would otherwise fail parquet schema inference
     GraphFrame(
-      spark.read.parquet(s"$dir/vertices").select("gid", "label", "data"),
-      spark.read.parquet(s"$dir/edges").select("gid", "label", "from", "to", "data"),
+      spark.read.schema(vertexSchema).parquet(s"$dir/vertices")
+        .select("gid", "label", "data"),
+      spark.read.schema(edgeSchema).parquet(s"$dir/edges")
+        .select("gid", "label", "from", "to", "data"),
       topo)
   }
 

@@ -105,9 +105,13 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
         coalesce(col("data").cast("string"), lit("{}")).as("data"))
       val ok = col("gid").isNotNull && length(col("gid")) > 0 &&
         col("label").isNotNull && length(col("label")) > 0
-      val r = vv.agg(count(lit(1)), count(when(ok, 1))).head()
+      // pin BEFORE counting: the error count and the rows that flush must
+      // come from the same evaluation of a possibly-nondeterministic
+      // source (and the source shouldn't be scanned twice regardless)
+      val pinned = vv.localCheckpoint(true)
+      val r = pinned.agg(count(lit(1)), count(when(ok, 1))).head()
       errors += r.getLong(0) - r.getLong(1)
-      vFrames += vv.filter(ok).withColumn("__seq", lit(nextSeq()))
+      vFrames += pinned.filter(ok).withColumn("__seq", lit(nextSeq()))
     }
     if (edges != null) {
       val ee = edges.select(col("gid").cast("string").as("gid"),
@@ -117,9 +121,13 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
       val ok = col("label").isNotNull && length(col("label")) > 0 &&
         col("from").isNotNull && length(col("from")) > 0 &&
         col("to").isNotNull && length(col("to")) > 0
-      val r = ee.agg(count(lit(1)), count(when(ok, 1))).head()
+      // same single-evaluation contract as the vertex side; the second
+      // checkpoint additionally pins the minted uuids (nondeterministic
+      // per execution — a retry must not re-mint ids)
+      val pinned = ee.localCheckpoint(true)
+      val r = pinned.agg(count(lit(1)), count(when(ok, 1))).head()
       errors += r.getLong(0) - r.getLong(1)
-      eFrames += ee.filter(ok)
+      eFrames += pinned.filter(ok)
         .withColumn("gid", coalesce(when(length(col("gid")) > 0, col("gid")), expr("uuid()")))
         .withColumn("__seq", lit(nextSeq()))
         .localCheckpoint(true)
@@ -161,6 +169,20 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
   }
 
   def graph: GraphFrame = { flush(); GraphFrame(v, e) }
+
+  private var topoCache: (DataFrame, DataFrame, Seq[EdgeType]) = null
+
+  /** Observed (from-label, edge-label, to-label) triples, cached across
+    * calls until the next mutation. Every mutation reassigns `v`/`e`
+    * (flush merges frames, deletes filter in place), so reference
+    * identity of the pair is an airtight dirty bit — no invalidation
+    * hooks to forget. */
+  def derivedTopology: Seq[EdgeType] = {
+    flush()
+    if (topoCache == null || !(topoCache._1 eq v) || !(topoCache._2 eq e))
+      topoCache = (v, e, GraphFrame.deriveTriples(GraphFrame(v, e)))
+    topoCache._3
+  }
 
   def getVertex(gid: String): Option[Row] = {
     flush(); v.filter(col("gid") === gid).collect().headOption

@@ -351,11 +351,25 @@ object Dedup {
     val idType = pairs.schema(aCol).dataType
     require(pairs.schema(bCol).dataType == idType,
       s"pair columns must share a type, got $idType vs ${pairs.schema(bCol).dataType}")
+    // Checkpoint bookkeeping: Dataset.unpersist is a NO-OP for
+    // localCheckpoint blocks (they live outside the CacheManager), so each
+    // round tracks the RDD ids its checkpoint registered and releases the
+    // previous round's ids directly — the same mechanism as the traversal
+    // jump loop. Ids are diffed around the checkpoint call, so a caller's
+    // own persisted data is never touched (assumes no concurrent job is
+    // persisting in this session mid-diff).
+    val sc = pairs.sparkSession.sparkContext
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      for (id <- ids; rdd <- sc.getPersistentRDDs.get(id)) rdd.unpersist(false)
     // current edge set (u, v): an undirected forest-in-progress; starts as
     // the input pairs minus self-loops
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    var (edges, edgeIds) = tracked(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
     // fixpoint test: the edge set is a set; same size + same order-free
     // content hash ⇒ unchanged. bit_xor of row hashes, not sum — XOR is
     // order-free, cannot overflow under ANSI, and rows are distinct so
@@ -367,7 +381,12 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var prevSig = sig(edges)
-    if (prevSig._1 <= localThreshold) return clustersLocal(edges, idType)
+    if (prevSig._1 <= localThreshold) {
+      // the local result is plain driver rows — the seed checkpoint can go
+      val out = clustersLocal(edges, idType)
+      release(edgeIds)
+      return out
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -383,20 +402,22 @@ object Dedup {
       val canon = ls.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
       val ssMin = canon.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = canon.join(ssMin, "u")
+      val (ss, ssIds) = tracked(canon.join(ssMin, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .filter(col("u") =!= col("v")).distinct())
       // one sig job per round: this round's signature doubles as the next
       // round's "previous"
       val ssSig = sig(ss)
       converged = ssSig == prevSig
       prevSig = ssSig
-      edges.unpersist(false)
-      edges = ss
+      release(edgeIds)
+      edges = ss; edgeIds = ssIds
       iter += 1
     }
+    // the final round's checkpoint intentionally stays persisted: the
+    // returned plan reads from it (callers release it with their usual
+    // post-query cleanup, e.g. Bench's scoped unpersist)
     if (!converged)
       org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
         s"clusters: not converged after $maxIters rounds; assignments may chain")

@@ -50,16 +50,42 @@ class GraftServer(spark: SparkSession, port: Int) {
   def boundPort: Int = server.getAddress.getPort
 
   private def send(ex: HttpExchange, code: Int, body: String,
-                   contentType: String = "application/json"): Unit = {
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-    ex.close()
-  }
+                   contentType: String = "application/json"): Unit =
+    try {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    } catch {
+      // headers already committed (a streaming route failed mid-body and
+      // the outer catch re-entered here): nothing more can be said on
+      // this exchange — close it rather than throw out of the handler
+      case _: Exception => try ex.close() catch { case _: Exception => () }
+    }
 
   private def err(ex: HttpExchange, code: Int, msg: String): Unit =
     send(ex, code, mapper.createObjectNode().put("error", msg).toString)
+
+  /** Stream ND-JSON rows. Once the 200 is committed a mid-stream Spark
+    * failure can't change the status — it is reported IN-BAND as a final
+    * `{"error": ...}` line so clients can distinguish a failed stream
+    * from a short result. */
+  private def streamNdjson(ex: HttpExchange, lines: Iterator[String]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    try {
+      while (lines.hasNext) { out.write(lines.next().getBytes(UTF_8)); out.write('\n') }
+    } catch {
+      case e: Exception =>
+        try {
+          out.write(mapper.createObjectNode()
+            .put("error", String.valueOf(e.getMessage)).toString.getBytes(UTF_8))
+          out.write('\n')
+        } catch { case _: Exception => () }
+    } finally ex.close()
+  }
 
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath.stripPrefix("/v1/graph").stripPrefix("/")
@@ -90,12 +116,7 @@ class GraftServer(spark: SparkSession, port: Int) {
           else Json.parseQuery(qNode.toString) // protojson statement array
         val result = Traversal.run(spark, mg.graph, query)
         // ND-JSON streaming: one row per line, bounded server memory
-        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-        ex.sendResponseHeaders(200, 0)
-        val out = ex.getResponseBody
-        val it = result.toJSON.toLocalIterator()
-        while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
-        ex.close()
+        streamNdjson(ex, result.toJSON.toLocalIterator().asScala)
       }
 
       // read-only openCypher MATCH subset (the reference's POC endpoint
@@ -107,12 +128,7 @@ class GraftServer(spark: SparkSession, port: Int) {
         if (qNode == null || !qNode.isTextual) err(ex, 400, "missing 'query' text")
         else {
           val result = Traversal.run(spark, mg.graph, graft.cypher.Cypher.parse(qNode.asText()))
-          ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-          ex.sendResponseHeaders(200, 0)
-          val out = ex.getResponseBody
-          val it = result.toJSON.toLocalIterator()
-          while (it.hasNext) { out.write(it.next().getBytes(UTF_8)); out.write('\n') }
-          ex.close()
+          streamNdjson(ex, result.toJSON.toLocalIterator().asScala)
         }
       }
 
@@ -121,13 +137,8 @@ class GraftServer(spark: SparkSession, port: Int) {
         val qNode = body.get("query")
         if (qNode == null || !qNode.isTextual) err(ex, 400, "missing 'query' text")
         else {
-          val result = GraphQL.run(spark, mg.graph, qNode.asText())
-          ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-          ex.sendResponseHeaders(200, 0)
-          val out = ex.getResponseBody
-          val it = result.toLocalIterator()
-          while (it.hasNext) { out.write(it.next().getString(0).getBytes(UTF_8)); out.write('\n') }
-          ex.close()
+          val result = GraphQL.run(spark, mg.graph, qNode.asText(), Some(mg.derivedTopology))
+          streamNdjson(ex, result.toLocalIterator().asScala.map(_.getString(0)))
         }
       }
 

@@ -82,25 +82,25 @@ object GraphQL {
   }
 
   // ---- compilation to one DataFrame plan
-  def run(spark: SparkSession, g: GraphFrame, query: String): DataFrame = {
+  def run(spark: SparkSession, g: GraphFrame, query: String): DataFrame =
+    run(spark, g, query, None)
+
+  /** `triplesOverride` lets a caller that already knows the topology (e.g.
+    * the server, which caches per-graph derived triples across requests)
+    * skip the derive joins. */
+  def run(spark: SparkSession, g: GraphFrame, query: String,
+          triplesOverride: Option[Seq[EdgeType]]): DataFrame = {
     val root = parse(query)
     require(root.subs.nonEmpty, s"root selection '${root.name}' needs a selection set")
-    val triples: Seq[EdgeType] = g.topology.getOrElse(deriveTriples(g))
+    val triples: Seq[EdgeType] =
+      triplesOverride.orElse(g.topology).getOrElse(deriveTriples(g))
     val df = nodeDf(g, triples, root.name, root.gid, root.subs)
     df.select(to_json(struct(root.subs.map(s => col(s.name)): _*)).as(root.name))
   }
 
   /** (from-label, edge-label, to-label) triples observed in the graph —
     * used when no topology/schema is declared; one small distinct query. */
-  def deriveTriples(g: GraphFrame): Seq[EdgeType] = {
-    val vl = g.vertices.select(col("gid"), col("label"))
-    g.edges.alias("e")
-      .join(vl.select(col("gid").as("from"), col("label").as("__fl")), Seq("from"))
-      .join(vl.select(col("gid").as("to"), col("label").as("__tl")), Seq("to"))
-      .select(col("__fl"), col("e.label").as("label"), col("__tl"))
-      .distinct().collect()
-      .map(r => EdgeType(r.getString(0), r.getString(1), r.getString(2))).toSeq
-  }
+  def deriveTriples(g: GraphFrame): Seq[EdgeType] = GraphFrame.deriveTriples(g)
 
   /** Rows of `label` vertices with one column per selection: scalars from
     * the data document, edge fields as sorted arrays of child structs. */

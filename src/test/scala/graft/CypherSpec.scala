@@ -73,6 +73,24 @@ class CypherSpec extends AnyFunSuite {
       Cypher.parse("MATCH (a)-[:knows {weight: 5}]-(b) RETURN count(*)"))
   }
 
+  test("no-space operators and spaced patterns parse (driver-emitted forms)") {
+    // a.age>=21 with no spaces: the operand char after >= must not be
+    // mistaken for a keyword boundary
+    val q = Cypher.parse("MATCH (a:Character) WHERE a.height>=170 AND a.mass<>77 RETURN count(*)")
+    assert(q.stmts.exists {
+      case Stmt.Has(HasExpr.And(cs)) => cs == Seq(
+        HasExpr.Cond("$a.height", GValue.GInt(170), CondOp.GTE),
+        HasExpr.Cond("$a.mass", GValue.GInt(77), CondOp.NEQ))
+      case _ => false
+    })
+    // whitespace between pattern elements is legal Cypher
+    val q2 = Cypher.parse("MATCH (a:Film)-[:characters]->(b) <-[:homeworld]-(c) RETURN count(*)")
+    assert(q2.stmts.count { case _: Stmt.In => true; case _: Stmt.Out => true; case _ => false } == 2)
+    // SKIP/LIMIT after count(*) is refused, not silently dropped
+    intercept[IllegalArgumentException](
+      Cypher.parse("MATCH (n:Film) RETURN count(*) SKIP 1"))
+  }
+
   test("unsupported constructs fail with clear errors") {
     intercept[IllegalArgumentException](Cypher.parse("MATCH (a:X:Y) RETURN a"))
     intercept[IllegalArgumentException](Cypher.parse("MATCH (a)-[:K*1..2]-(b) RETURN a"))

@@ -137,4 +137,41 @@ class EditSpec extends AnyFunSuite {
     val g2 = GraphFrame.load(spark, dir)
     assert(n(g2, Q.V()) == 2 && n(g2, Q.E()) == 1)
   }
+
+  test("saving topology=None over a topology-bearing save clears the stale contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topo").toString
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("a", "x"); mg.addVertex("b", "y"); mg.addEdge("a", "b", "z")
+    GraphFrame(mg.graph.vertices, mg.graph.edges,
+      Some(Seq(graft.model.EdgeType("x", "z", "y")))).save(dir)
+    assert(GraphFrame.load(spark, dir).topology.isDefined)
+    // re-save the same data through a topology-less handle (the
+    // MutableGraph path): the old triples must NOT resurrect on load —
+    // they would prune hops over any edge label added since
+    mg.addEdge("b", "a", "w")
+    mg.save(dir)
+    val g2 = GraphFrame.load(spark, dir)
+    assert(g2.topology.isEmpty)
+    assert(n(g2, Q.V("a").out("w")) == 0 && n(g2, Q.V("b").out("w")) == 1)
+  }
+
+  test("an explicitly empty topology survives save + load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topo0").toString
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("a", "x")
+    GraphFrame(mg.graph.vertices, mg.graph.edges, Some(Seq.empty)).save(dir)
+    val g2 = GraphFrame.load(spark, dir)
+    assert(g2.topology == Some(Seq.empty))
+  }
+
+  test("derived topology caches across calls and refreshes after mutations") {
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("a", "x"); mg.addVertex("b", "y"); mg.addEdge("a", "b", "z")
+    val t1 = mg.derivedTopology
+    assert(t1 == Seq(graft.model.EdgeType("x", "z", "y")))
+    assert(mg.derivedTopology eq t1) // cached: same instance, no recompute
+    mg.addEdge("b", "a", "w")
+    assert(mg.derivedTopology.toSet ==
+      Set(graft.model.EdgeType("x", "z", "y"), graft.model.EdgeType("y", "w", "x")))
+  }
 }

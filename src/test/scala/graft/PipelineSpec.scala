@@ -166,6 +166,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(dist == expect)
   }
 
+  test("clusters releases its per-round checkpoint blocks") {
+    val sc = spark.sparkContext
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val before = sc.getPersistentRDDs.size
+    Dedup.clusters(pairs, "a_id", "b_id", localThreshold = 0L).count()
+    // only the FINAL round's checkpoint may remain (the result reads from
+    // it); every intermediate round must have been released
+    assert(sc.getPersistentRDDs.size <= before + 1)
+  }
+
   test("clusters: empty pair list and string ids") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.clusters(empty, "a_id", "b_id").count() == 0)
