@@ -59,11 +59,15 @@ object Dedup {
     * [[minhashSignatures]] (explode + hash-aggregate, stays in codegen). */
   def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
     val (a, b) = coeffs(numHashes, seed)
-    val hs = transform(sh, s => pmod(xxhash64(s), lit(HASH_DOMAIN)))
     val aCol = typedLit(a); val bCol = typedLit(b)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hs,
-        x => pmod(element_at(aCol, i + 1) * x + element_at(bCol, i + 1), lit(P)))))
+    // shingle hashes bound ONCE per row (single-element transform lambda):
+    // referencing the hash subtree inside the per-hash lambda would
+    // re-hash every shingle once per hash function (64x) — same
+    // no-subexpression-elimination-in-lambdas trap as shingles()
+    element_at(transform(array(transform(sh, s => pmod(xxhash64(s), lit(HASH_DOMAIN)))), hs =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hs,
+          x => pmod(element_at(aCol, i + 1) * x + element_at(bCol, i + 1), lit(P)))))), 1)
   }
 
   /** Corpus-wide MinHash signatures as (id, sig): explode shingles, hash

@@ -52,11 +52,13 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(next()))
   }
 
-  /** Random-hyperplane LSH bucket id (int of `bits` sign bits). */
+  /** Random-hyperplane LSH bucket id (int of `bits` sign bits). The raw
+    * vector feeds graft_dot directly (it casts per element), so the
+    * array-level double cast isn't re-materialized once per bit. */
   def lshBucket(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(bits, dim, seed)
     (0 until bits).map { i =>
-      when(dot(toDouble(vec), typedLit(planes(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, typedLit(planes(i))) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
