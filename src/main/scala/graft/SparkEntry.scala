@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gripql.{Query, P, GValue, Agg}
 import graft.compiler.Traversal
-import graft.model.TpchGraph
+import graft.model.{Gripper, TpchGraph}
 import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Events, Curation}
 
 /** Driver contract — one oracle-checked entry per operator (SURVEY.md §2)
@@ -37,6 +37,30 @@ object SparkEntry {
 
   private def runQ(s: SparkSession, dir: String)(build: Query => Query): DataFrame =
     Traversal.run(s, TpchGraph(s, dir), build(Query()))
+
+  /** A GRIPPER-mapped graph over the raw TESTDATA parquet: the nation and
+    * region collections become vertices, the nation rows' own region key
+    * becomes a field-to-id edge — the same mapping shape as the reference's
+    * swapi.yaml homeworld edge. */
+  private def gripperGraph(s: SparkSession, dir: String): graft.model.GraphFrame =
+    Gripper.graph(
+      """
+vertices:
+  - gid: "n:"
+    label: nation
+    data: {source: testdata, collection: nation}
+  - gid: "r:"
+    label: region
+    data: {source: testdata, collection: region}
+edges:
+  - gid: nr
+    from: "n:"
+    to: "r:"
+    label: region
+    data: {source: testdata, collection: nation, fromField: n_nationkey, toField: n_regionkey}
+""",
+      Map("testdata" -> Gripper.DirSource(s, dir,
+        idCols = Map("nation" -> "n_nationkey", "region" -> "r_regionkey"))))
 
   /** Traversal result flattened to (gid, label) — the stable comparable
     * projection (data JSON text layout is engine-specific). */
@@ -128,6 +152,9 @@ object SparkEntry {
     "q57_skip_limit_hop" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer").out("nation").skip(100).limit(50).count())),
     "q58_multi_agg_mixed" -> ((s, d) => runQ(s, d)(_.V().hasLabel("orders").aggregate(
       Agg.Histogram("h", "o_totalprice", 100000), Agg.Percentile("p", "o_totalprice", Seq(50), exact = true)))),
+    // GRIPPER: the declarative collections-as-graph mapping over raw parquet
+    "q59_gripper_hop" -> ((s, d) => gl(Traversal.run(s, gripperGraph(s, d),
+      Query().V().hasLabel("nation").out("region")))),
 
     // ---- control flow (mark/jump)
     "q45_jump_walk" -> ((s, d) => runQ(s, d)(_.V().hasLabel("region").mark("a").in("nation", "region").jump("a", None, emit = true).count())),
@@ -369,6 +396,8 @@ object SparkEntry {
       "SELECT 'h' AS name, cast(cast(r.bucket AS double) AS varchar) AS \"key\", " +
       "cast(coalesce(b.c, 0) AS double) AS value FROM r LEFT JOIN b ON r.bucket = b.bucket " +
       "UNION ALL SELECT 'p', '50', quantile_cont(o_totalprice, 0.50) FROM orders"),
+    "q59_gripper_hop" -> ("SELECT concat('r:', r_regionkey) AS gid, 'region' AS label " +
+      "FROM nation JOIN region ON n_regionkey = r_regionkey"),
     "q45_jump_walk" -> ("SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + " +
       "(SELECT count(*) FROM supplier) AS count"),
     "q46_jump_counter" -> ("SELECT '{\"n\":1}' AS render FROM customer WHERE c_custkey = 1 " +
