@@ -629,20 +629,19 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
           // unwind→aggregate fusion: the aggregate is terminal and reads
           // ONLY the unwound field, so the exploded element needn't be
           // json_set back into the full property bag (a whole-document
-          // parse+serialize UDF per exploded row); a minimal
-          // {"field": elem} document built by codegen string concat
-          // carries exactly what the aggregation resolves
+          // parse+serialize UDF per exploded row) — or even wrapped into a
+          // minimal document: each element is already JSON text, so the
+          // aggregation key is its scalar decode ([elem] → $[0], one tiny
+          // parse) and the container-skip test is its first character,
+          // replacing two variant parses per exploded row
           val (_, parts) = FieldRef.parse(field)
           val elems = GJson.json_array_elems(col("cur.data"), lit(parts.mkString(".")))
           val exploded = df.withColumn("__uw", explode_outer(elems))
-          val minimal = parts.foldRight(coalesce(col("__uw"), lit("null")): Column)(
-            (p, acc) => concat(lit("{\"" + p + "\":"), acc, lit("}")))
-          val out = exploded.withColumn("cur", struct(
-            col("cur.gid").as("gid"), col("cur.label").as("label"),
-            col("cur.from").as("from"), col("cur.to").as("to"),
-            minimal.as("data"))).drop("__uw")
+          val pre = Aggregations.Pre(
+            scalar = get_json_object(concat(lit("["), col("__uw"), lit("]")), "$[0]"),
+            isContainer = col("__uw").startsWith("[") || col("__uw").startsWith("{"))
           val aggs = stmts(i + 1).asInstanceOf[Stmt.Aggregate].aggs
-          df = Aggregations.run(out, aggs)
+          df = Aggregations.run(exploded, aggs, Some(pre))
           i += 1 // the aggregate was consumed by the fusion
 
         case s =>
