@@ -86,11 +86,89 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_dot"
 }
 
+/** Count of common elements between two SORTED ascending long arrays, as a
+  * native codegen merge scan. The near-dup verify joins intersect a hashed
+  * shingle set per candidate pair; `array_intersect` allocates and fills a
+  * hash set per CALL (per pair — millions of times under a wide-radius
+  * candidate ball), while a merge over two sorted ArrayData is
+  * allocation-free and ~na+nb long comparisons. Inputs are produced once
+  * per DOCUMENT (array_distinct + sort_array), so the per-pair hot path
+  * does only the scan.
+  *
+  * Semantics: null input → null; null elements are skipped (none exist in
+  * the shingle pipeline, which hashes non-null strings); duplicate
+  * elements (possible only via 64-bit hash collision) count once on the
+  * probe side per match, matching size(array_intersect) on the
+  * already-distinct inputs the pipeline feeds it. */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x < y) i += 1 else if (x > y) j += 1 else { c += 1; i += 1; j += 1 }
+      }
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |    if ($x < $y) { $i++; } else if ($x > $y) { $j++; }
+         |    else { $c++; $i++; $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect"
+}
+
 object VectorExprs {
   /** `graft_dot(a, b)` as a Column — the fast path for every dot/cosine
     * in [[graft.pipeline.Similarity]]. */
   def dotProduct(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(DotProduct(shims.expression(a), shims.expression(b)))
+  }
+
+  /** `graft_sorted_intersect(a, b)` as a Column — the per-pair hot path of
+    * the near-dup Jaccard verify. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(SortedIntersectCount(shims.expression(a), shims.expression(b)))
   }
 }

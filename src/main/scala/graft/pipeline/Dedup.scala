@@ -110,12 +110,17 @@ object Dedup {
     * collision inside one pair's union (~10² shingles over a 2⁶⁴ domain,
     * p ≈ 10⁻¹⁵) is the only way this diverges from string Jaccard. */
   private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double): DataFrame = {
+    // sort + dedup once per DOCUMENT so the per-PAIR intersection is a
+    // native allocation-free merge scan (graft_sorted_intersect) instead
+    // of a hash set built per candidate pair — the verify join runs over
+    // the full candidate ball (millions of pairs under a wide radius)
     val hashed = shingleDf.select(col("__id"),
-      transform(col("__sh"), s => xxhash64(s)).as("__shh"))
+      sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__shh"))
     val sa = hashed.select(col("__id").as("a_id"), col("__shh").as("__sha"))
     val sb = hashed.select(col("__id").as("b_id"), col("__shh").as("__shb"))
     pairs.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("double"))
+      .withColumn("__i", graft.functions.VectorExprs
+        .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
       .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"))

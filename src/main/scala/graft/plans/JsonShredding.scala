@@ -250,5 +250,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
         graft.functions.DotProduct(args.head, args(1))
       }))
+    // graft_sorted_intersect(a, b): merge-scan common-element count over
+    // sorted long arrays — the near-dup verify hot path
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+        "graft_sorted_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_sorted_intersect expects 2 arguments, got ${args.length}")
+        graft.functions.SortedIntersectCount(args.head, args(1))
+      }))
   }
 }

@@ -72,4 +72,33 @@ class VectorExprsSpec extends AnyFunSuite {
       err.getMessage.toLowerCase.contains("datatype_mismatch") ||
       err.getMessage.toLowerCase.contains("cannot resolve"))
   }
+
+  test("sorted intersect count matches size(array_intersect) on random sets") {
+    import graft.functions.VectorExprs.sortedIntersectCount
+    // deterministic pseudo-random distinct-long sets of varied size/overlap
+    val sets = spark.range(200).select(col("id"),
+      sort_array(array_distinct(transform(
+        sequence(lit(0L), pmod(xxhash64(col("id")), lit(40L))),
+        i => pmod(xxhash64(col("id") * 7 + i), lit(60L))))).as("s"))
+    val l = sets.select(col("id").as("la"), col("s").as("a"))
+    val r = sets.select(col("id").as("lb"), col("s").as("b"))
+    val both = l.crossJoin(r).select(
+      sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(both.filter(col("fast") > 0).count() > 0)
+  }
+
+  test("sorted intersect: null input null, empty array zero, SQL callable") {
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(2L, 3L, 9L))),
+      (Some(Seq[Long]()), Some(Seq(1L, 2L))),
+      (None: Option[Seq[Long]], Some(Seq(1L)))
+    ).toDF("a", "b")
+    val out = df.select(graft.functions.VectorExprs
+      .sortedIntersectCount(col("a"), col("b")).as("c")).collect()
+    assert(out(0).getInt(0) == 2 && out(1).getInt(0) == 0 && out(2).isNullAt(0))
+    df.createOrReplaceTempView("__sic")
+    assert(spark.sql("SELECT graft_sorted_intersect(a, b) FROM __sic").collect().head.getInt(0) == 2)
+  }
 }
