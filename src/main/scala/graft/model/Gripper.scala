@@ -69,7 +69,7 @@ object Gripper {
   final case class FrameSource(tables: Map[String, DataFrame]) extends SourceProvider {
     def collections: Seq[String] = tables.keys.toSeq.sorted
     def collection(name: String): DataFrame =
-      tables.getOrElse(name, sys.error(s"Unable to get collection information: $name"))
+      tables.getOrElse(name, throw new IllegalArgumentException(s"Unable to get collection information: $name"))
   }
 
   /** Directory provider: each parquet table under `dir` is a collection
@@ -101,7 +101,7 @@ object Gripper {
   def parse(text: String): GraphConfig = {
     val root = asScalaTree(new org.yaml.snakeyaml.Yaml().load[Object](text)) match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-      case other => sys.error(s"gripper config: expected a mapping at top level, got $other")
+      case other => throw new IllegalArgumentException(s"gripper config: expected a mapping at top level, got $other")
     }
     def elem(m: Map[String, Any]): ElementConfig = ElementConfig(
       source = str(m, "source"), collection = str(m, "collection"),
@@ -118,7 +118,7 @@ object Gripper {
         m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).map {
           case (k, v) => (k, v.asInstanceOf[Map[String, Any]])
         }
-      case Some(other) => sys.error(s"gripper config: $key must be a list or map, got $other")
+      case Some(other) => throw new IllegalArgumentException(s"gripper config: $key must be a list or map, got $other")
     }
     val vs = entries("vertices").map { case (prefix, m) =>
       VertexConfig(prefix, str(m, "label"),
@@ -150,24 +150,24 @@ object Gripper {
 
     def table(e: ElementConfig, what: String): DataFrame = {
       val src = sources.getOrElse(e.source,
-        sys.error(s"$what: unknown source '${e.source}'"))
+        throw new IllegalArgumentException(s"$what: unknown source '${e.source}'"))
       if (!src.collections.contains(e.collection))
-        sys.error(s"Unable to get collection information ${e.source} : ${e.collection}")
+        throw new IllegalArgumentException(s"Unable to get collection information ${e.source} : ${e.collection}")
       src.collection(e.collection)
     }
 
     conf.vertices.foreach(v => table(v.data, s"vertex ${v.prefix}"))
     conf.edges.foreach { e =>
       if (!byPrefix.contains(e.to) || !byPrefix.contains(e.from))
-        sys.error(s"Edge ToVertex not found: ${e.prefix}")
+        throw new IllegalArgumentException(s"Edge ToVertex not found: ${e.prefix}")
       val d = e.data
       if (d.collection.isEmpty || d.source.isEmpty || d.fromField.isEmpty || d.toField.isEmpty)
-        sys.error(s"Edge missing config info: ${e.prefix}")
+        throw new IllegalArgumentException(s"Edge missing config info: ${e.prefix}")
       val cols = table(d, s"edge ${e.prefix}").columns.toSet
       if (!cols.contains(d.toField))
-        sys.error(s"Edge 'To' Field not indexed: ${d.collection} ${d.toField}")
+        throw new IllegalArgumentException(s"Edge 'To' Field not indexed: ${d.collection} ${d.toField}")
       if (!cols.contains(d.fromField))
-        sys.error(s"Edge 'From' Field not indexed: ${d.collection} ${d.fromField}")
+        throw new IllegalArgumentException(s"Edge 'From' Field not indexed: ${d.collection} ${d.fromField}")
     }
 
     def rowJson(df: DataFrame): Column =

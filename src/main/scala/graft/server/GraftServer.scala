@@ -4,7 +4,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
 import graft.gripql.{Json, Parser, Query}
-import graft.model.{GraphFrame, MutableGraph}
+import graft.model.{GraphFrame, Gripper, MutableGraph}
 import graft.compiler.Traversal
 
 import java.net.InetSocketAddress
@@ -32,10 +32,15 @@ import scala.jdk.CollectionConverters._
   *   POST   /v1/graph/{g}/edge                → {"from","to","label","gid"?,"data"?}
   *   GET    /v1/graph/{g}/vertex/{gid}        → the element, 404 if absent
   *   GET    /v1/graph/{g}/edge/{gid}          → the element, 404 if absent
+  *   POST   /v1/graph/{g}/mapping             → {"mapping": <GRIPPER config>,
+  *                                               "sources": {name: dir}}
+  *                                              opens g as the mapped view
+  *   GET    /v1/graph/{g}/mapping             → the stored mapping text
   */
 class GraftServer(spark: SparkSession, port: Int) {
   private val mapper = new ObjectMapper()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
+  private val mappings = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Pre-register an existing graph (e.g. a loaded parquet graph). */
   def addGraph(name: String, g: GraphFrame): Unit =
@@ -105,7 +110,38 @@ class GraftServer(spark: SparkSession, port: Int) {
 
       case ("DELETE", g :: Nil) =>
         if (graphs.remove(g) == null) err(ex, 404, s"no graph '$g'")
-        else send(ex, 200, "{}")
+        else { mappings.remove(g); send(ex, 200, "{}") }
+
+      // GRIPPER mapping surface (reference: gripql/gripql.proto:496
+      // AddMapping, :345 GetMapping; instantiation = what the reference
+      // does from its startup config, gripper/graphdb.go): POST stores the
+      // mapping AND opens graph g as the mapped view over the named
+      // parquet-directory sources.
+      //   body: {"mapping": "<yaml|json GraphConfig>",
+      //          "sources": {"<sourceName>": "<dir of <coll>.parquet>"}}
+      case ("POST", g :: "mapping" :: Nil) =>
+        if (graphs.containsKey(g)) err(ex, 409, s"graph '$g' exists")
+        else {
+          val body = mapper.readTree(ex.getRequestBody)
+          val text = Option(body.get("mapping")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException("missing 'mapping'"))
+          val srcNode = Option(body.get("sources"))
+            .getOrElse(throw new IllegalArgumentException("missing 'sources'"))
+          val sources = srcNode.properties().asScala
+            .map(e => e.getKey -> (Gripper.DirSource(spark, e.getValue.asText()): Gripper.SourceProvider))
+            .toMap
+          val mapped = Gripper.graph(Gripper.parse(text), sources)
+          graphs.put(g, MutableGraph(spark, mapped))
+          mappings.put(g, text)
+          send(ex, 200, "{}")
+        }
+
+      case ("GET", g :: "mapping" :: Nil) =>
+        mappings.get(g) match {
+          case null => err(ex, 404, s"no mapping for graph '$g'")
+          case text => send(ex, 200,
+            mapper.createObjectNode().put("graph", g).put("mapping", text).toString)
+        }
 
       case ("POST", g :: "query" :: Nil) => withGraph(ex, g) { mg =>
         val body = mapper.readTree(ex.getRequestBody)

@@ -87,4 +87,34 @@ class ServerSpec extends AnyFunSuite {
       assert(req(c, p, "GET", "/v1/graph/test/vertex/v1").statusCode() == 404)
     }
   }
+
+  test("mapping routes open a GRIPPER view over parquet sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-map-src").toString
+    Seq(("1", "ada", "2"), ("2", "lin", "")).toDF("id", "name", "boss")
+      .write.mode("overwrite").parquet(s"$dir/people.parquet")
+    val mapping =
+      """{"vertices": {"P:": {"label": "Person",
+        |   "data": {"source": "hr", "collection": "people"}}},
+        | "edges": {"boss": {"from": "P:", "to": "P:", "label": "boss",
+        |   "data": {"source": "hr", "collection": "people",
+        |            "fromField": "id", "toField": "boss"}}}}""".stripMargin
+    withServer { (c, p) =>
+      val body = new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+      body.put("mapping", mapping)
+      body.putObject("sources").put("hr", dir)
+      assert(req(c, p, "POST", "/v1/graph/hr/mapping", body.toString).statusCode() == 200)
+      // stored mapping is readable back (GetMapping)
+      val got = req(c, p, "GET", "/v1/graph/hr/mapping")
+      assert(got.statusCode() == 200 && got.body().contains("fromField"))
+      // the mapped view answers traversals; the empty boss field made no edge
+      val q = req(c, p, "POST", "/v1/graph/hr/query", """{"query":"V('P:1').out('boss')"}""")
+      assert(q.statusCode() == 200 && q.body().contains("\"P:2\""))
+      val q2 = req(c, p, "POST", "/v1/graph/hr/query", """{"query":"V('P:2').out('boss').count()"}""")
+      assert(q2.body().trim == """{"count":0}""")
+      // a second mapping under the same name conflicts; unknown source errors as 400
+      assert(req(c, p, "POST", "/v1/graph/hr/mapping", body.toString).statusCode() == 409)
+      assert(req(c, p, "GET", "/v1/graph/other/mapping").statusCode() == 404)
+    }
+  }
 }
