@@ -17,6 +17,10 @@ package graft.gripql
 object Parser {
   def parse(text: String): Query = new P(text).full()
 
+  /** Parse a seedless extension chain (`.out().count()`), the job-resume
+    * form — statements validate when compiled in extension mode. */
+  def parseExtension(text: String): Query = new P(text).extension()
+
   private final class P(s: String) {
     private var i = 0
     private def err(msg: String): Nothing =
@@ -221,9 +225,29 @@ object Parser {
         case "E" => Query(Vector(Stmt.E(stringArgs())))
         case other => err(s"query must start with V(...) or E(...), got '$other'")
       }
-      while (opt('.')) {
-        val m = ident()
-        q = m match {
+      while (opt('.')) q = step(q, ident())
+      end()
+      q
+    }
+
+    /** A seedless statement chain — the job-resume extension form
+      * (reference: gripql/gripql.proto:416 ExtendQuery): `.out().count()`
+      * or `out().count()`, no V()/E() start. */
+    def extension(): Query = {
+      ws(); opt('.')
+      var q = step(Query(Vector.empty), ident())
+      while (opt('.')) q = step(q, ident())
+      end()
+      q
+    }
+
+    private def end(): Unit = {
+      ws()
+      if (i < s.length) err(s"trailing input '${s.substring(i)}'")
+    }
+
+    private def step(q: Query, m: String): Query =
+      m match {
           case "out" => q.out(stringArgs(): _*)
           case "outNull" => q.outNull(stringArgs(): _*)
           case "in" | "in_" => q.in(stringArgs(): _*)
@@ -279,11 +303,6 @@ object Parser {
             as += aggregation(); while (opt(',')) as += aggregation()
             eat(')'); q.aggregate(as.result(): _*)
           case other => err(s"unknown method '$other'")
-        }
       }
-      ws()
-      if (i < s.length) err(s"trailing input '${s.substring(i)}'")
-      q
-    }
   }
 }

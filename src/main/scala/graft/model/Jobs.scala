@@ -23,8 +23,14 @@ object Jobs {
   private def kindName(k: Kind): String = if (k == VertexK) "vertex" else "edge"
 
   /** Run the traversal, spool travelers, return the job id. */
-  def submit(spark: SparkSession, g: GraphFrame, q: Query, dir: String): String = {
-    val jobId = "job-" + java.util.UUID.randomUUID().toString.take(12)
+  def submit(spark: SparkSession, g: GraphFrame, q: Query, dir: String): String =
+    submitAs(spark, g, q, dir, "job-" + java.util.UUID.randomUUID().toString.take(12))
+
+  /** [[submit]] with a caller-chosen id — async callers (the server's job
+    * routes) allocate the id up front so status polls work while the spool
+    * job is still running. */
+  def submitAs(spark: SparkSession, g: GraphFrame, q: Query, dir: String,
+               jobId: String): String = {
     val (travelers, kind, markKinds) =
       new Traversal(g, q.stmts.toIndexedSeq, spark, extensionMode = true).spool()
     travelers.write.mode("overwrite").parquet(s"$dir/$jobId/travelers")
@@ -50,6 +56,23 @@ object Jobs {
       java.nio.file.Files.exists(meta) &&
         java.nio.file.Files.readString(meta).contains(s""""checksum":"$want"""")
     }
+  }
+
+  /** Spooled results in the standard element output shape (the reference's
+    * ViewJob, gripql/gripql.proto:409) — a resume with an identity
+    * projection. */
+  def view(spark: SparkSession, g: GraphFrame, dir: String, jobId: String): DataFrame =
+    resume(spark, g, dir, jobId, Query(Vector(graft.gripql.Stmt.Fields(Nil))))
+
+  /** Drop a spooled job (the reference's DeleteJob). */
+  def deleteJob(dir: String, jobId: String): Boolean = {
+    val d = new java.io.File(s"$dir/$jobId")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (!d.isDirectory || !jobId.startsWith("job-")) false
+    else { rm(d); true }
   }
 
   /** Resume a spooled job with additional statements. */

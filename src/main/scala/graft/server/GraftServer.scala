@@ -4,7 +4,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
 import graft.gripql.{Json, Parser, Query}
-import graft.model.{GraphFrame, Gripper, MutableGraph}
+import graft.model.{GraphFrame, Gripper, Jobs, MutableGraph}
 import graft.compiler.Traversal
 
 import java.net.InetSocketAddress
@@ -36,11 +36,36 @@ import scala.jdk.CollectionConverters._
   *                                               "sources": {name: dir}}
   *                                              opens g as the mapped view
   *   GET    /v1/graph/{g}/mapping             → the stored mapping text
+  *   POST   /v1/graph/{g}/job                 → {"query": ...} async spool,
+  *                                              returns {"id": jobId}
+  *   GET    /v1/graph/{g}/job                 → {"jobs":[{id,state}...]}
+  *   GET    /v1/graph/{g}/job/{id}            → {id, state, error?}
+  *   DELETE /v1/graph/{g}/job/{id}            → drop the spool
+  *   GET    /v1/graph/{g}/job/{id}/view       → spooled results, ND-JSON
+  *   POST   /v1/graph/{g}/job/{id}/resume     → {"query": ".out()..."}
+  *                                              extend the spooled stream
   */
 class GraftServer(spark: SparkSession, port: Int) {
   private val mapper = new ObjectMapper()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
   private val mappings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // (graph, jobId) → (state, error); spools live under jobsRoot/<graph>
+  private val jobStates =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+  private val jobsRoot =
+    java.nio.file.Files.createTempDirectory("graft-jobs").toString
+  private def jobsDir(g: String) = s"$jobsRoot/$g"
+
+  private def jobState(g: String, id: String): Option[(String, String)] =
+    Option(jobStates.get(g -> id)).orElse(
+      if (Jobs.listJobs(jobsDir(g)).contains(id)) Some("COMPLETE" -> null) else None)
+
+  private def requireComplete(g: String, id: String): Unit = jobState(g, id) match {
+    case None => throw new IllegalArgumentException(s"no job '$id'")
+    case Some(("COMPLETE", _)) => ()
+    case Some((st, e)) => throw new IllegalArgumentException(
+      s"job '$id' is $st${if (e != null) s": $e" else ""}")
+  }
 
   /** Pre-register an existing graph (e.g. a loaded parquet graph). */
   def addGraph(name: String, g: GraphFrame): Unit =
@@ -142,6 +167,76 @@ class GraftServer(spark: SparkSession, port: Int) {
           case text => send(ex, 200,
             mapper.createObjectNode().put("graph", g).put("mapping", text).toString)
         }
+
+      // Job service (reference: gripql/gripql.proto:377-423 Submit /
+      // ListJobs / GetJob / DeleteJob / ViewJob / ResumeJob;
+      // server/job_manager.go): submit runs async, spooling the traveler
+      // stream to parquet; view replays it; resume extends it with more
+      // statements through the compiler's extension mode.
+      case ("POST", g :: "job" :: Nil) => withGraph(ex, g) { mg =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val qNode = Option(body.get("query"))
+          .getOrElse(throw new IllegalArgumentException("missing 'query'"))
+        val query = if (qNode.isTextual) Parser.parse(qNode.asText())
+                    else Json.parseQuery(qNode.toString)
+        val jobId = "job-" + java.util.UUID.randomUUID().toString.take(12)
+        jobStates.put(g -> jobId, "RUNNING" -> null)
+        val graph = mg.graph // snapshot under the serial executor
+        new Thread(() => {
+          try {
+            Jobs.submitAs(spark, graph, query, jobsDir(g), jobId)
+            jobStates.put(g -> jobId, "COMPLETE" -> null)
+          } catch {
+            case e: Throwable => jobStates.put(g -> jobId, "ERROR" -> String.valueOf(e.getMessage))
+          }
+        }, s"graft-job-$jobId").start()
+        send(ex, 200, mapper.createObjectNode().put("id", jobId).toString)
+      }
+
+      case ("GET", g :: "job" :: Nil) => withGraph(ex, g) { _ =>
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("jobs")
+        val known = jobStates.asScala.collect { case ((`g`, id), (st, _)) => id -> st }.toMap
+        // on-disk spools from previous sessions list as COMPLETE
+        val all = known ++ Jobs.listJobs(jobsDir(g)).filterNot(known.contains).map(_ -> "COMPLETE")
+        all.toSeq.sortBy(_._1).foreach { case (id, st) =>
+          arr.addObject().put("id", id).put("state", st)
+        }
+        send(ex, 200, node.toString)
+      }
+
+      case ("GET", g :: "job" :: id :: Nil) => withGraph(ex, g) { _ =>
+        jobState(g, id) match {
+          case None => err(ex, 404, s"no job '$id'")
+          case Some((st, e)) =>
+            val node = mapper.createObjectNode().put("id", id).put("state", st)
+            if (e != null) node.put("error", e)
+            send(ex, 200, node.toString)
+        }
+      }
+
+      case ("DELETE", g :: "job" :: id :: Nil) => withGraph(ex, g) { _ =>
+        jobStates.remove(g -> id)
+        if (Jobs.deleteJob(jobsDir(g), id)) send(ex, 200, "{}")
+        else err(ex, 404, s"no job '$id'")
+      }
+
+      case ("GET", g :: "job" :: id :: "view" :: Nil) => withGraph(ex, g) { mg =>
+        requireComplete(g, id)
+        streamNdjson(ex, Jobs.view(spark, mg.graph, jobsDir(g), id)
+          .toJSON.toLocalIterator().asScala)
+      }
+
+      case ("POST", g :: "job" :: id :: "resume" :: Nil) => withGraph(ex, g) { mg =>
+        requireComplete(g, id)
+        val body = mapper.readTree(ex.getRequestBody)
+        val qNode = Option(body.get("query"))
+          .getOrElse(throw new IllegalArgumentException("missing 'query'"))
+        val ext = if (qNode.isTextual) Parser.parseExtension(qNode.asText())
+                  else Json.parseQuery(qNode.toString)
+        streamNdjson(ex, Jobs.resume(spark, mg.graph, jobsDir(g), id, ext)
+          .toJSON.toLocalIterator().asScala)
+      }
 
       case ("POST", g :: "query" :: Nil) => withGraph(ex, g) { mg =>
         val body = mapper.readTree(ex.getRequestBody)

@@ -102,4 +102,16 @@ class ParserSpec extends AnyFunSuite {
     // (who then have no outgoing "characters" edges, ending the walk)
     assert(n("""V("Film:1").mark("a").out("characters").jump("a", null, true)""") == 18)
   }
+
+  test("extension chains parse without a seed (job-resume form)") {
+    import graft.gripql.{Parser, Stmt}
+    val q = Parser.parseExtension(""".out("knows").count()""")
+    assert(q.stmts == Vector(Stmt.Out(Seq("knows")), Stmt.Count()))
+    // the leading dot is optional
+    assert(Parser.parseExtension("""hasLabel("x").limit(3)""").stmts ==
+      Vector(Stmt.HasLabel(Seq("x")), Stmt.Limit(3)))
+    // a seeded query is still rejected as an extension, and vice versa
+    intercept[IllegalArgumentException](Parser.parseExtension("""V().count()"""))
+    intercept[IllegalArgumentException](Parser.parse(""".out().count()"""))
+  }
 }

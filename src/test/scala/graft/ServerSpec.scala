@@ -88,6 +88,44 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("job routes: async submit, poll, view, resume, delete") {
+    withServer { (c, p) =>
+      assert(req(c, p, "POST", "/v1/graph/jg").statusCode() == 200)
+      for (i <- 1 to 3)
+        req(c, p, "POST", "/v1/graph/jg/vertex",
+          s"""{"gid":"v$i","label":"Person","data":{"age":${20 + i}}}""")
+      req(c, p, "POST", "/v1/graph/jg/edge", """{"from":"v1","to":"v2","label":"knows"}""")
+      req(c, p, "POST", "/v1/graph/jg/edge", """{"from":"v1","to":"v3","label":"knows"}""")
+
+      val sub = req(c, p, "POST", "/v1/graph/jg/job", """{"query":"V().hasLabel('Person')"}""")
+      assert(sub.statusCode() == 200)
+      val id = sub.body().split("\"")(3)
+      assert(id.startsWith("job-"))
+      // poll to COMPLETE (async spool)
+      var state = ""
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (state != "COMPLETE" && System.nanoTime() < deadline) {
+        val st = req(c, p, "GET", s"/v1/graph/jg/job/$id")
+        assert(st.statusCode() == 200)
+        state = if (st.body().contains("COMPLETE")) "COMPLETE"
+                else { assert(!st.body().contains("ERROR"), st.body()); Thread.sleep(100); "" }
+      }
+      assert(state == "COMPLETE")
+      assert(req(c, p, "GET", "/v1/graph/jg/job").body().contains(id))
+      // view: the spooled travelers in element shape
+      assert(req(c, p, "GET", s"/v1/graph/jg/job/$id/view").body().linesIterator.size == 3)
+      // resume: extend the spooled stream with more statements
+      val res = req(c, p, "POST", s"/v1/graph/jg/job/$id/resume",
+        """{"query":".out('knows').count()"}""")
+      assert(res.statusCode() == 200 && res.body().trim == """{"count":2}""")
+      // resuming an unknown job is a 400, delete works once
+      assert(req(c, p, "POST", "/v1/graph/jg/job/job-nope/resume",
+        """{"query":".count()"}""").statusCode() == 400)
+      assert(req(c, p, "DELETE", s"/v1/graph/jg/job/$id").statusCode() == 200)
+      assert(req(c, p, "DELETE", s"/v1/graph/jg/job/$id").statusCode() == 404)
+    }
+  }
+
   test("mapping routes open a GRIPPER view over parquet sources") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-map-src").toString
