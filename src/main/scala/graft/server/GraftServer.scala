@@ -45,7 +45,8 @@ import scala.jdk.CollectionConverters._
   *   POST   /v1/graph/{g}/job/{id}/resume     → {"query": ".out()..."}
   *                                              extend the spooled stream
   */
-class GraftServer(spark: SparkSession, port: Int) {
+class GraftServer(spark: SparkSession, port: Int,
+                  auth: Option[GraftServer.Auth] = None) {
   private val mapper = new ObjectMapper()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
   private val mappings = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -97,6 +98,27 @@ class GraftServer(spark: SparkSession, port: Int) {
   private def err(ex: HttpExchange, code: Int, msg: String): Unit =
     send(ex, code, mapper.createObjectNode().put("error", msg).toString)
 
+  /** Basic-auth + per-graph policy gate. False = a 401/403 was sent
+    * (reference: accounts/basic.go Validate → "authorization failed";
+    * casbin Enforce failure → "permission denied", the commented HTTP
+    * status pair in server/server.go:256-273). The graph-list route needs
+    * only valid credentials, like the reference's ListGraphs. */
+  private def authorized(ex: HttpExchange, method: String, parts: List[String]): Boolean =
+    auth match {
+      case None => true
+      case Some(a) =>
+        a.validate(Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+            err(ex, 401, "authorization failed"); false
+          case Some(user) =>
+            val ok = parts.isEmpty ||
+              a.enforce(user, parts.head, GraftServer.operation(method, parts))
+            if (!ok) err(ex, 403, "permission denied")
+            ok
+        }
+    }
+
   /** Stream ND-JSON rows. Once the 200 is committed a mid-stream Spark
     * failure can't change the status — it is reported IN-BAND as a final
     * `{"error": ...}` line so clients can distinguish a failed stream
@@ -121,6 +143,7 @@ class GraftServer(spark: SparkSession, port: Int) {
     val path = ex.getRequestURI.getPath.stripPrefix("/v1/graph").stripPrefix("/")
     val parts = if (path.isEmpty) Array.empty[String] else path.split("/")
     val method = ex.getRequestMethod
+    if (!authorized(ex, method, parts.toList)) return
     (method, parts.toList) match {
       case ("GET", Nil) =>
         val node = mapper.createObjectNode()
@@ -343,6 +366,45 @@ class GraftServer(spark: SparkSession, port: Int) {
 /** Standalone entry: `runmain graft.server.GraftServer <port> [graphDir]` —
   * optionally pre-loads a saved graph as "main". */
 object GraftServer {
+  /** Basic-auth credentials + per-graph access policies — the reference's
+    * accounts package re-expressed (reference: accounts/basic.go:9-39
+    * BasicAuth.Validate, accounts/interface.go:6-15 the operation
+    * taxonomy, accounts/casbin.go:25-36 Enforce(user, graph, op)). A
+    * policy grants `user` the listed `actions` on `graph`; "*" wildcards
+    * either side. Operations: query, read, write, exec. */
+  case class Credential(user: String, password: String)
+  case class Policy(user: String, graph: String, actions: Set[String])
+  case class Auth(credentials: Seq[Credential], policies: Seq[Policy]) {
+    /** Authorization header → authenticated user (None = 401). */
+    def validate(header: Option[String]): Option[String] = header.flatMap { h =>
+      if (!h.startsWith("Basic ")) None
+      else {
+        val decoded = try new String(
+          java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
+          java.nio.charset.StandardCharsets.UTF_8) catch { case _: Exception => "" }
+        decoded.split(":", 2) match {
+          case Array(u, p) if credentials.exists(c => c.user == u && c.password == p) => Some(u)
+          case _ => None
+        }
+      }
+    }
+    def enforce(user: String, graph: String, op: String): Boolean =
+      policies.exists(p => (p.user == user || p.user == "*") &&
+        (p.graph == graph || p.graph == "*") &&
+        (p.actions.contains(op) || p.actions.contains("*")))
+  }
+
+  /** Route → operation, mirroring the reference's MethodMap
+    * (accounts/interface.go:17-51): traversal endpoints are `query`, job
+    * submit/resume are `exec`, GETs are `read`, mutations are `write`. */
+  private[server] def operation(method: String, parts: List[String]): String =
+    (method, parts) match {
+      case ("POST", _ :: tail) if Set("query", "cypher", "graphql").exists(tail.headOption.contains) => "query"
+      case ("POST", _ :: "job" :: Nil) => "exec"
+      case ("POST", _ :: "job" :: _ :: "resume" :: Nil) => "exec"
+      case ("GET", _) => "read"
+      case _ => "write"
+    }
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(8201)
     val spark = SparkSession.builder().master("local[*]")

@@ -126,6 +126,48 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("basic auth + per-graph policies gate every route (auth_basic shape)") {
+    import graft.server.GraftServer.{Auth, Credential, Policy}
+    val auth = Auth(
+      credentials = Seq(Credential("admin", "secret"), Credential("bob", "pw")),
+      policies = Seq(
+        Policy("admin", "*", Set("*")),
+        Policy("bob", "g1", Set("query", "read")))) // bob: no write, no g2
+    val srv = new graft.server.GraftServer(spark, 0, Some(auth))
+    srv.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val p = srv.boundPort
+      def basic(u: String, pw: String) =
+        "Basic " + java.util.Base64.getEncoder.encodeToString(s"$u:$pw".getBytes)
+      def reqAuth(method: String, path: String, hdr: Option[String], body: String = "") = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+        hdr.foreach(h => b.header("Authorization", h))
+        val r = method match {
+          case "GET" => b.GET()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        }
+        c.send(r.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // no/bad credentials → 401 with the WWW-Authenticate challenge
+      val anon = reqAuth("GET", "/v1/graph", None)
+      assert(anon.statusCode() == 401 &&
+        anon.headers().firstValue("WWW-Authenticate").orElse("") == "Basic")
+      assert(reqAuth("GET", "/v1/graph", Some(basic("bob", "wrong"))).statusCode() == 401)
+      // admin can create and write
+      assert(reqAuth("POST", "/v1/graph/g1", Some(basic("admin", "secret"))).statusCode() == 200)
+      assert(reqAuth("POST", "/v1/graph/g1/vertex", Some(basic("admin", "secret")),
+        """{"gid":"v1","label":"X"}""").statusCode() == 200)
+      // bob can query g1 but not write it, and cannot touch g2
+      assert(reqAuth("POST", "/v1/graph/g1/query", Some(basic("bob", "pw")),
+        """{"query":"V().count()"}""").statusCode() == 200)
+      assert(reqAuth("POST", "/v1/graph/g1/vertex", Some(basic("bob", "pw")),
+        """{"gid":"v2","label":"X"}""").statusCode() == 403)
+      assert(reqAuth("POST", "/v1/graph/g2", Some(basic("bob", "pw"))).statusCode() == 403)
+      assert(reqAuth("GET", "/v1/graph/g2/vertex/v1", Some(basic("bob", "pw"))).statusCode() == 403)
+    } finally srv.stop()
+  }
+
   test("mapping routes open a GRIPPER view over parquet sources") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-map-src").toString
