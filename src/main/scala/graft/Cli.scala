@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.model.{Catalog, GraphFrame, Gripper, Jobs, Rdf}
+import graft.gripql.Parser
+import graft.compiler.Traversal
+
+/** Command-line surface mirroring the reference CLI (reference: cmd/ —
+  * create, drop, list, load, dump, info, query, schema, rdf, mapping,
+  * job, server). The graph store is a Catalog directory of
+  * label-partitioned parquet graphs (default `./graft-graphs`, override
+  * with GRAFT_HOME).
+  *
+  *   graft create <graph>
+  *   graft drop <graph>
+  *   graft list
+  *   graft info <graph>
+  *   graft load <graph> --vertices f.jsonl --edges f.jsonl | --rdf f.nt
+  *   graft dump <graph> [--vertices|--edges]           → ND-JSON on stdout
+  *   graft query <graph> "V().hasLabel('x').count()"   → ND-JSON on stdout
+  *   graft schema <graph> [--sample-n N]               → sampled schema JSON
+  *   graft mapping <graph> <config.yaml> <sourcesDir>  → create mapped graph
+  *   graft job submit <graph> <query> | list <graph> | view <graph> <id>
+  *             | resume <graph> <id> <extension> | drop <graph> <id>
+  *   graft server [port]                               → HTTP server over the store
+  */
+object Cli {
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft <create|drop|list|info|load|dump|query|schema|mapping|job|server> ...
+        |see Cli.scala scaladoc for per-command arguments""".stripMargin)
+    sys.exit(2)
+  }
+
+  private lazy val spark: SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private lazy val home: String = sys.env.getOrElse("GRAFT_HOME", "graft-graphs")
+  private lazy val catalog = new Catalog(spark, home)
+  private def jobsDir(g: String) = s"$home/$g/.jobs"
+
+  private def opt(args: Seq[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  private def printNdjson(df: org.apache.spark.sql.DataFrame): Unit = {
+    val it = df.toJSON.toLocalIterator()
+    while (it.hasNext) println(it.next())
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "create" :: g :: Nil =>
+      catalog.createGraph(g, graft.model.MutableGraph.empty(spark).graph)
+      println(s"created $g")
+
+    case "drop" :: g :: Nil =>
+      catalog.dropGraph(g); println(s"dropped $g")
+
+    case "list" :: Nil =>
+      catalog.listGraphs().foreach(println)
+
+    case "info" :: g :: Nil =>
+      val gf = catalog.graph(g)
+      val (vl, el) = catalog.listLabels(g)
+      println(s"""{"graph":"$g","vertices":${gf.vertices.count()},"edges":${gf.edges.count()},""" +
+        s""""vertexLabels":${vl.mkString("[\"", "\",\"", "\"]")},""" +
+        s""""edgeLabels":${el.mkString("[\"", "\",\"", "\"]")}}""")
+
+    case "load" :: g :: rest =>
+      val gf = opt(rest, "--rdf") match {
+        case Some(nt) => Rdf.load(spark, nt)
+        case None => GraphFrame.fromJsonLines(spark,
+          opt(rest, "--vertices").getOrElse(usage()),
+          opt(rest, "--edges").getOrElse(usage()))
+      }
+      catalog.createGraph(g, gf)
+      println(s"loaded $g")
+
+    case "dump" :: g :: rest =>
+      val gf = catalog.graph(g)
+      if (!rest.contains("--edges")) printNdjson(gf.vertices)
+      if (!rest.contains("--vertices")) printNdjson(gf.edges)
+
+    case "query" :: g :: q :: Nil =>
+      printNdjson(Traversal.run(spark, catalog.graph(g), Parser.parse(q)))
+
+    case "schema" :: g :: rest =>
+      val n = opt(rest, "--sample-n").map(_.toInt).getOrElse(50)
+      val sg = catalog.getSchema(g, n)
+      printNdjson(sg.vertices); printNdjson(sg.edges)
+
+    case "mapping" :: g :: conf :: sources :: Nil =>
+      val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(conf)), "UTF-8")
+      val cfg = Gripper.parse(text)
+      val srcNames = (cfg.vertices.map(_.data.source) ++ cfg.edges.map(_.data.source)).distinct
+      val provider = Gripper.DirSource(spark, sources)
+      catalog.createGraph(g,
+        Gripper.graph(cfg, srcNames.map(_ -> (provider: Gripper.SourceProvider)).toMap))
+      println(s"created $g from mapping $conf")
+
+    case "job" :: "submit" :: g :: q :: Nil =>
+      println(Jobs.submit(spark, catalog.graph(g), Parser.parse(q), jobsDir(g)))
+    case "job" :: "list" :: g :: Nil =>
+      Jobs.listJobs(jobsDir(g)).foreach(println)
+    case "job" :: "view" :: g :: id :: Nil =>
+      printNdjson(Jobs.view(spark, catalog.graph(g), jobsDir(g), id))
+    case "job" :: "resume" :: g :: id :: ext :: Nil =>
+      printNdjson(Jobs.resume(spark, catalog.graph(g), jobsDir(g), id, Parser.parseExtension(ext)))
+    case "job" :: "drop" :: g :: id :: Nil =>
+      if (Jobs.deleteJob(jobsDir(g), id)) println(s"dropped $id") else usage()
+
+    case "server" :: rest =>
+      val port = rest.headOption.map(_.toInt).getOrElse(8201)
+      val srv = new graft.server.GraftServer(spark, port)
+      catalog.listGraphs().foreach(g => srv.addGraph(g, catalog.graph(g)))
+      srv.start()
+      println(s"graft server listening on :$port (graphs: ${catalog.listGraphs().mkString(", ")})")
+      Thread.currentThread().join()
+
+    case _ => usage()
+  }
+}
