@@ -125,6 +125,66 @@ edges:
       EdgeType("Film", "characters", "Character"))))
   }
 
+  test("a fully mapped SWAPI is traversal-equivalent to the loaded fixture") {
+    import org.apache.spark.sql.functions._
+    val res = getClass.getResource("/swapi/swapi.vertices").getPath
+    val dir = new java.io.File(res).getParent
+    val direct = graft.model.GraphFrame.fromJsonLines(
+      spark, s"$dir/swapi.vertices", s"$dir/swapi.edges")
+
+    // derive one collection per vertex label (id = gid sans prefix) and one
+    // per (fromLabel, label, toLabel) triple — the shape the reference's
+    // table server exposes (gripper/test-graph: entity TSVs + link TSVs)
+    val vLab = direct.vertices.select(col("gid"), col("label"))
+    val triples = direct.edges.alias("e")
+      .join(vLab.select(col("gid").as("from"), col("label").as("fl")), "from")
+      .join(vLab.select(col("gid").as("to"), col("label").as("tl")), "to")
+      .select(col("fl"), col("e.label").as("el"), col("tl"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val vertexLabels = vLab.select("label").distinct().as[String].collect().sorted
+
+    val vCollections = vertexLabels.map { l =>
+      l -> direct.vertices.filter(col("label") === l)
+        .select(expr(s"substring(gid, ${l.length + 2})").as("id"))
+    }
+    val eCollections = triples.map { case (fl, el, tl) =>
+      s"${fl}_${el}_$tl" -> direct.edges.filter(col("label") === el).alias("e")
+        .join(vLab.filter(col("label") === fl).select(col("gid").as("from")), "from")
+        .join(vLab.filter(col("label") === tl).select(col("gid").as("to")), "to")
+        .select(monotonically_increasing_id().cast("string").as("id"),
+          expr(s"substring(from, ${fl.length + 2})").as("src"),
+          expr(s"substring(to, ${tl.length + 2})").as("dst"))
+    }
+    val source = FrameSource((vCollections ++ eCollections).toMap)
+
+    val conf = Gripper.GraphConfig(
+      vertices = vertexLabels.map(l =>
+        Gripper.VertexConfig(s"$l:", l, Gripper.ElementConfig("s", l))),
+      edges = triples.zipWithIndex.map { case ((fl, el, tl), i) =>
+        Gripper.EdgeConfig(s"e$i", from = s"$fl:", to = s"$tl:", label = el,
+          data = Gripper.ElementConfig("s", s"${fl}_${el}_$tl", "src", "dst"))
+      })
+    val mapped = Gripper.graph(conf, Map("s" -> source))
+
+    // identical vertex gid set, identical (from, label, to) edge multiset
+    assert(mapped.vertices.select("gid").as[String].collect().sorted.toSeq ==
+      direct.vertices.select("gid").as[String].collect().sorted.toSeq)
+    def fmt(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("from"), col("label"), col("to")).as[(String, String, String)]
+        .collect().sorted.toSeq
+    assert(fmt(mapped.edges) == fmt(direct.edges))
+
+    // same conformance answers through the full compiler
+    def n(g: graft.model.GraphFrame, q: Query) =
+      Traversal.run(spark, g, q).collect()(0).getLong(0)
+    for (q <- Seq(
+        Q.V().hasLabel("Character").out("homeworld").count(),
+        Q.V("Film:1").out().out().out().count(),
+        Q.V("Starship:12").out("pilots").count()))
+      assert(n(mapped, q) == n(direct, q))
+  }
+
   test("config validation mirrors NewTabularGraph's errors") {
     def failing(tweak: Gripper.GraphConfig => Gripper.GraphConfig): String = {
       val e = intercept[RuntimeException] {
