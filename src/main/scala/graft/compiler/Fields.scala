@@ -150,19 +150,30 @@ object Conditions {
 
   private def leaf(key: String, v: GValue, op: CondOp): Column = {
     val raw = FieldRef.resolve(key)
+    // A non-castable CONSTANT is known false at compile time (reference:
+    // match.go cast.ToFloat64E error → false). Encoding it as a NaN
+    // literal would be wrong on the small side of a comparison: in
+    // Spark's SQL ordering NaN sorts LARGEST, so `x < NaN` KEEPS every
+    // row the reference drops (Java/Go float semantics make any NaN
+    // comparison false; Spark's differ by design).
+    def cmp(f: (Column, Column) => Column): Column = valueNum(v) match {
+      case Some(d) => f(num(raw), lit(d))
+      case None => lit(false)
+    }
+    def range(f: (Column, Double, Double) => Column): Column = {
+      val (a, b) = rangePair(v)
+      if (a.isNaN || b.isNaN) lit(false) else f(num(raw), a, b)
+    }
     val c = op match {
       case CondOp.EQ => eqExpr(raw, v)
       case CondOp.NEQ => !coalesce(eqExpr(raw, v), lit(false))
-      case CondOp.GT => num(raw) > lit(valueNum(v).getOrElse(Double.NaN))
-      case CondOp.GTE => num(raw) >= lit(valueNum(v).getOrElse(Double.NaN))
-      case CondOp.LT => num(raw) < lit(valueNum(v).getOrElse(Double.NaN))
-      case CondOp.LTE => num(raw) <= lit(valueNum(v).getOrElse(Double.NaN))
-      case CondOp.INSIDE =>
-        val (a, b) = rangePair(v); num(raw) > lit(a) && num(raw) < lit(b)
-      case CondOp.OUTSIDE =>
-        val (a, b) = rangePair(v); num(raw) < lit(a) || num(raw) > lit(b)
-      case CondOp.BETWEEN =>
-        val (a, b) = rangePair(v); num(raw) >= lit(a) && num(raw) < lit(b)
+      case CondOp.GT => cmp(_ > _)
+      case CondOp.GTE => cmp(_ >= _)
+      case CondOp.LT => cmp(_ < _)
+      case CondOp.LTE => cmp(_ <= _)
+      case CondOp.INSIDE => range((x, a, b) => x > lit(a) && x < lit(b))
+      case CondOp.OUTSIDE => range((x, a, b) => x < lit(a) || x > lit(b))
+      case CondOp.BETWEEN => range((x, a, b) => x >= lit(a) && x < lit(b))
       case CondOp.WITHIN => v match {
         case GArray(vs) if vs.nonEmpty => vs.map(x => coalesce(eqExpr(raw, x), lit(false))).reduce(_ || _)
         case _ => lit(false)
