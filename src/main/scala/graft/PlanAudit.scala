@@ -47,6 +47,26 @@ object PlanAudit {
     Traversal.run(spark, g,
       Q.V().hasLabel("part").unwind("words").aggregate(Agg.Term("w", "words", 0)))
       .explain("formatted")
+    // GRIPPER mapped view: a label scan + property filter must still reach
+    // the parquet scan as PushedFilters (the mapping synthesizes data with
+    // to_json, so JsonShredding has to see through it), and a hop join
+    // must prune to the mapped topology's reachable branches
+    println("==== gripper_label_has_filter ====")
+    val gg = graft.model.Gripper.graph(
+      """
+vertices:
+  - {gid: "n:", label: nation, data: {source: t, collection: nation}}
+  - {gid: "r:", label: region, data: {source: t, collection: region}}
+edges:
+  - {gid: nr, from: "n:", to: "r:", label: region,
+     data: {source: t, collection: nation, fromField: n_nationkey, toField: n_regionkey}}
+""",
+      Map("t" -> graft.model.Gripper.DirSource(spark, dir,
+        idCols = Map("nation" -> "n_nationkey", "region" -> "r_regionkey"))))
+    Traversal.run(spark, gg,
+      Q.V().hasLabel("nation").has(P.eq_("n_name", "KENYA"))).explain("formatted")
+    println("==== gripper_hop ====")
+    Traversal.run(spark, gg, Q.V().hasLabel("nation").out("region")).explain("formatted")
     spark.stop()
   }
 }
