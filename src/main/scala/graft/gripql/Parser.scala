@@ -21,6 +21,82 @@ object Parser {
     * form — statements validate when compiled in extension mode. */
   def parseExtension(text: String): Query = new P(text).extension()
 
+  /** Render a Query back to the textual surface this parser accepts —
+    * `parse(render(q)) == q` for queries in the grammar's normal form
+    * (range bounds as numbers, one `select` name = SelectOne; the one
+    * lossy spot is Percentile.exact, which the text form cannot spell).
+    * Used by the CLI and by the parser round-trip property test. */
+  def render(q: Query): String = q.stmts.map(renderStmt).mkString(".")
+
+  private def jstr(s: String): String = GValue.toJson(GValue.GString(s))
+  private def args(xs: Seq[String]): String = xs.map(jstr).mkString(", ")
+
+  private def renderStmt(s: Stmt): String = s match {
+    case Stmt.V(ids) => s"V(${args(ids)})"
+    case Stmt.E(ids) => s"E(${args(ids)})"
+    case Stmt.Out(ls, emitNull) => s"${if (emitNull) "outNull" else "out"}(${args(ls)})"
+    case Stmt.In(ls, emitNull) => s"${if (emitNull) "inNull" else "in"}(${args(ls)})"
+    case Stmt.Both(ls) => s"both(${args(ls)})"
+    case Stmt.OutE(ls, emitNull) => s"${if (emitNull) "outENull" else "outE"}(${args(ls)})"
+    case Stmt.InE(ls, emitNull) => s"${if (emitNull) "inENull" else "inE"}(${args(ls)})"
+    case Stmt.BothE(ls) => s"bothE(${args(ls)})"
+    case Stmt.Has(e) => s"has(${renderPred(e)})"
+    case Stmt.HasLabel(ls) => s"hasLabel(${args(ls)})"
+    case Stmt.HasId(ids) => s"hasId(${args(ids)})"
+    case Stmt.HasKey(ks) => s"hasKey(${args(ks)})"
+    case Stmt.Limit(n) => s"limit($n)"
+    case Stmt.Skip(n) => s"skip($n)"
+    case Stmt.Range(a, b) => s"range($a, $b)"
+    case Stmt.Distinct(fs) => s"distinct(${args(fs)})"
+    case Stmt.As(n) => s"as(${jstr(n)})"
+    case Stmt.SelectOne(n) => s"select(${jstr(n)})"
+    case Stmt.SelectMany(ns) => s"select(${args(ns)})"
+    case Stmt.Fields(fs) => s"fields(${args(fs)})"
+    case Stmt.Render(t) => s"render(${GValue.toJson(t)})"
+    case Stmt.Path() => "path()"
+    case Stmt.Unwind(f) => s"unwind(${jstr(f)})"
+    case Stmt.SetField(k, v) => s"set(${jstr(k)}, ${GValue.toJson(v)})"
+    case Stmt.Increment(k, d) => s"increment(${jstr(k)}, $d)"
+    case Stmt.Mark(n) => s"mark(${jstr(n)})"
+    case Stmt.Jump(m, cond, emit) =>
+      s"jump(${jstr(m)}, ${cond.map(renderPred).getOrElse("null")}, $emit)"
+    case Stmt.Count() => "count()"
+    case Stmt.Aggregate(aggs) => s"aggregate(${aggs.map(renderAgg).mkString(", ")})"
+  }
+
+  private def renderPred(e: HasExpr): String = e match {
+    case HasExpr.And(cs) => s"and(${cs.map(renderPred).mkString(", ")})"
+    case HasExpr.Or(cs) => s"or(${cs.map(renderPred).mkString(", ")})"
+    case HasExpr.Not(c) => s"not(${renderPred(c)})"
+    case HasExpr.Cond(k, v, op) =>
+      val name = op match {
+        case CondOp.EQ => "eq"; case CondOp.NEQ => "neq"
+        case CondOp.GT => "gt"; case CondOp.GTE => "gte"
+        case CondOp.LT => "lt"; case CondOp.LTE => "lte"
+        case CondOp.INSIDE => "inside"; case CondOp.OUTSIDE => "outside"
+        case CondOp.BETWEEN => "between"; case CondOp.WITHIN => "within"
+        case CondOp.WITHOUT => "without"; case CondOp.CONTAINS => "contains"
+      }
+      val vs = (op, v) match {
+        // ranges render as two scalar args, the form the grammar re-coerces
+        case (CondOp.INSIDE | CondOp.OUTSIDE | CondOp.BETWEEN, GValue.GArray(Seq(a, b))) =>
+          s"${GValue.toJson(a)}, ${GValue.toJson(b)}"
+        case _ => GValue.toJson(v)
+      }
+      s"$name(${jstr(k)}, $vs)"
+  }
+
+  private def renderAgg(a: Agg): String = a match {
+    case Agg.Term(n, f, size) =>
+      if (size > 0) s"term(${jstr(n)}, ${jstr(f)}, $size)" else s"term(${jstr(n)}, ${jstr(f)})"
+    case Agg.Histogram(n, f, i) => s"histogram(${jstr(n)}, ${jstr(f)}, ${GValue.toJson(GValue.GNum(i))})"
+    case Agg.Percentile(n, f, ps, _) =>
+      s"percentile(${jstr(n)}, ${jstr(f)}, ${ps.map(p => GValue.toJson(GValue.GNum(p))).mkString(", ")})"
+    case Agg.FieldAgg(n, f) => s"field(${jstr(n)}, ${jstr(f)})"
+    case Agg.TypeAgg(n, f) => s"type(${jstr(n)}, ${jstr(f)})"
+    case Agg.CountAgg(n) => s"count(${jstr(n)})"
+  }
+
   private final class P(s: String) {
     private var i = 0
     private def err(msg: String): Nothing =

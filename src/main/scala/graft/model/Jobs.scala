@@ -36,7 +36,12 @@ object Jobs {
     travelers.write.mode("overwrite").parquet(s"$dir/$jobId/travelers")
     val marksJson = markKinds.toSeq.sortBy(_._1)
       .map { case (n, k) => s""""$n":"${kindName(k)}"""" }.mkString("{", ",", "}")
-    val meta = s"""{"kind":"${kindName(kind)}","checksum":"${checksum(q)}","marks":$marksJson}"""
+    // the rendered text form rides along for human inspection (job
+    // status/list); the checksum stays the structural one
+    val queryJson = graft.gripql.GValue.toJson(
+      graft.gripql.GValue.GString(graft.gripql.Parser.render(q)))
+    val meta = s"""{"kind":"${kindName(kind)}","checksum":"${checksum(q)}",""" +
+      s""""query":$queryJson,"marks":$marksJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$jobId/meta.json"), meta)
     jobId
   }

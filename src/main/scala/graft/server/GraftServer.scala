@@ -2,6 +2,7 @@ package graft.server
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.SparkSession
 import graft.gripql.{Json, Parser, Query}
 import graft.model.{GraphFrame, Gripper, Jobs, MutableGraph}
@@ -234,6 +235,12 @@ class GraftServer(spark: SparkSession, port: Int,
           case Some((st, e)) =>
             val node = mapper.createObjectNode().put("id", id).put("state", st)
             if (e != null) node.put("error", e)
+            // spooled jobs carry the rendered query text in their meta
+            val meta = java.nio.file.Paths.get(s"${jobsDir(g)}/$id/meta.json")
+            if (java.nio.file.Files.exists(meta)) {
+              val m = mapper.readTree(java.nio.file.Files.readString(meta))
+              Option(m.get("query")).foreach(qn => node.set[ObjectNode]("query", qn))
+            }
             send(ex, 200, node.toString)
         }
       }
