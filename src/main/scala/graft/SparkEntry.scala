@@ -217,6 +217,12 @@ edges:
     "p14_multimodal" -> ((s, d) => Multimodal.extractFeatures(s,
       Multimodal.asBinaryColumn(docs(s, d), "doc_id", "text", "text"))
       .select(col("id"), col("n_bytes"), col("first_code"))),
+    // frame sampling: the row-multiplying video shape — every 4th
+    // 256-byte frame survives with its index and length
+    "p20_mm_frames" -> ((s, d) => Multimodal.sampleFrames(s,
+      Multimodal.asBinaryColumn(docs(s, d), "doc_id", "text", "video"), 256, 4)
+      .select(col("id").as("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_len"))),
   )
 
   /** Shared SQL fragments for the document-shingle oracles. */
@@ -447,5 +453,11 @@ edges:
       "(PARTITION BY user_id ORDER BY value DESC, event_id) AS bigint) AS rank FROM events QUALIFY rank <= 3"),
     "p14_multimodal" -> ("SELECT doc_id AS id, cast(strlen(text) AS bigint) AS n_bytes, " +
       "cast(unicode(text[1]) AS bigint) AS first_code FROM documents"),
+    // corpus text is ASCII (p14's strlen==octet_length equivalence is
+    // hash-checked), so frame arithmetic can ride on strlen
+    "p20_mm_frames" -> ("SELECT doc_id, frame_idx, cast(least(256, len - frame_idx*256) AS bigint) AS frame_len " +
+      "FROM (SELECT doc_id, cast(strlen(text) AS bigint) AS len, " +
+      "unnest(generate_series(0, cast(ceil(strlen(text)/256.0) AS bigint) - 1, 4)) AS frame_idx " +
+      "FROM documents)"),
   )
 }

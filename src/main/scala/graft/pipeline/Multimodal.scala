@@ -42,6 +42,57 @@ object Multimodal {
     Array(n, first, last, n % 251)
   }
 
+  /** STUB resize: a real implementation decodes, resamples WxH, re-encodes;
+    * the stub nearest-neighbor-samples the raw bytes to `outLen` so the
+    * transform keeps the binary-in/binary-out shape and determinism. */
+  def stubResize(bytes: Array[Byte], outLen: Int): Array[Byte] =
+    if (bytes.isEmpty || outLen <= 0) Array.emptyByteArray
+    else Array.tabulate(outLen) { j =>
+      // center sampling (standard nearest-neighbor): ((j+0.5)/outLen)*len
+      bytes((((2L * j + 1) * bytes.length) / (2L * outLen)).toInt)
+    }
+
+  /** Resize pass: binary→binary per row, partition-local, meta updated with
+    * the output size — the shape of an image thumbnailing stage. */
+  def resize(spark: SparkSession, df: DataFrame, outLen: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("modality", StringType),
+      StructField("content", BinaryType),
+      StructField("meta", StructType(Seq(StructField("n_bytes", LongType))))))
+    val rdd = df.select(col("id"), col("modality"), col("content")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val out = stubResize(row.getAs[Array[Byte]](2), outLen)
+        Row(row.getLong(0), row.getString(1), out, Row(out.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling: one row per kept frame — content is sliced into
+    * `frameBytes`-sized frames and every `every`-th frame survives (a real
+    * video decoder would demux; the row-multiplying explode shape, frame
+    * indexing, and partition locality are what the engine contributes).
+    * Output: (id, modality, frame_idx, frame binary). */
+  def sampleFrames(spark: SparkSession, df: DataFrame,
+                   frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("modality", StringType),
+      StructField("frame_idx", LongType), StructField("frame", BinaryType)))
+    val rdd = df.select(col("id"), col("modality"), col("content")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](2)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by every).iterator.map { i =>
+          val from = i * frameBytes
+          Row(row.getLong(0), row.getString(1), i.toLong,
+            java.util.Arrays.copyOfRange(bytes, from, math.min(from + frameBytes, bytes.length)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partition-local batched feature extraction over the binary column.
     * mapPartitions keeps the decode loop off the driver and amortizes any
     * per-batch model setup a real decoder would need. */

@@ -133,6 +133,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(8L) == ((0L, 0L)))
   }
 
+  test("multimodal resize and frame sampling keep shape and determinism") {
+    val payload = ("x" * 1000) + "Z" // 1001 bytes
+    val d = Seq((1L, payload), (2L, ""), (3L, ("a" * 31) + "Z")).toDF("doc_id", "text")
+    val bin = Multimodal.asBinaryColumn(d, "doc_id", "text", "video")
+    // resize: binary→binary at the requested size, empty stays empty,
+    // center sampling reaches the tail on aligned inputs
+    val rs = Multimodal.resize(spark, bin, 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(rs(1L).length == 16 && rs(1L).forall(_ == 'x'.toByte))
+    assert(rs(2L).length == 0)
+    assert(rs(3L)(15) == 'Z'.toByte && rs(3L)(0) == 'a'.toByte)
+    // frames: 1001 bytes / 256 = 4 frames (sizes 256,256,256,233),
+    // every 2nd frame kept -> idx 0 and 2
+    val fr = Multimodal.sampleFrames(spark, bin, 256, 2).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(2) -> r.getAs[Array[Byte]](3).length).toMap
+    assert(fr == Map(0L -> 256, 2L -> 256))
+    // a non-multiple tail frame survives when sampled
+    val fr3 = Multimodal.sampleFrames(spark, bin, 256, 3).collect()
+      .filter(_.getLong(0) == 1L).map(r => r.getLong(2) -> r.getAs[Array[Byte]](3).length).toMap
+    assert(fr3 == Map(0L -> 256, 3L -> 233))
+    // empty payload produces no frames
+    assert(Multimodal.sampleFrames(spark, bin, 256, 1).filter(col("id") === 2L).count() == 0)
+  }
+
   test("events sessionization counts gap-separated sessions") {
     // ns-long timestamps: user 1 has events at t=0s, 10s, 4000s -> 2 sessions
     val e = Seq(
