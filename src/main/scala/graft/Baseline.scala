@@ -33,6 +33,19 @@ object Baseline {
     GraphFrame(roots.unionByName(kids), edges)
   }
 
+  /** Synthetic near-dup corpus for the scaling probe: ~150 words drawn by
+    * hash from a 500-word shared vocabulary (template-homogeneous, like
+    * the driver corpus), and the last 2% of docs are near-copies of early
+    * docs (149 shared words + 1 unique), so the LSH path has real work. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = array((0 until 500).map(i => lit(s"w$i")): _*)
+    val seed = col("id") % lit(math.max(1L, n * 49 / 50))
+    val words = (0 until 149).map(k =>
+      element_at(vocab, (pmod(xxhash64(seed * 31 + k), lit(500)) + 1).cast("int")))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words :+ concat(lit("u"), col("id")): _*).as("text"))
+  }
+
   def timeIt(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -64,6 +77,21 @@ object Baseline {
     results("agg_term_hist_pct") = median3 { run(Q.V().hasLabel("Person").aggregate(
       Agg.Term("t", "score", 10), Agg.Histogram("h", "score", 10),
       Agg.Percentile("p", "score", Seq(25, 50, 75, 99)))) }
+
+    // corpus scaling probe: the dedup family at bench scale (5k docs =
+    // sf0.1's documents table) and at 10x, single timed run each after the
+    // 5k warm-up — the 10x/1x ratio is the evidence that the LSH banded
+    // join scales near-linearly rather than quadratically
+    val c5 = corpus(spark, 5000)
+    val c50 = corpus(spark, 50000)
+    // one unrecorded warm-up run so the 5k number measures the pipeline,
+    // not the shingle/hash machinery's first-touch classload — otherwise
+    // the 10x/1x ratio reads flatter than it is
+    graft.pipeline.Dedup.nearDupMinhash(c5, "doc_id", "text").count()
+    results("minhash_neardup_5k") = timeIt { graft.pipeline.Dedup.nearDupMinhash(c5, "doc_id", "text").count() }
+    results("minhash_neardup_50k") = timeIt { graft.pipeline.Dedup.nearDupMinhash(c50, "doc_id", "text").count() }
+    results("exact_dedup_50k") = timeIt { graft.pipeline.Dedup.exact(c50, "doc_id", "text").count() }
+    results("curate_50k") = timeIt { graft.pipeline.Curation.curate(c50, "doc_id", "text").count() }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline","unit":"sec","workloads":$qs,"cpus":$cpus}""")
