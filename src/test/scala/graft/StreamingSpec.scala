@@ -110,4 +110,28 @@ class StreamingSpec extends AnyFunSuite {
       q.stop(); index.unpersist()
     }
   }
+
+  test("streaming curation dedups, tags, and gates arrivals") {
+    import spark.implicits._
+    import graft.streaming.{CurationStreaming, DedupStreaming}
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = CurationStreaming.curateStream(input.toDF(), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("scurate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(1, good, ts(1000)),
+        DedupStreaming.Doc(2, "too short", ts(1001)),          // token gate
+        DedupStreaming.Doc(3, "%%% ### !!! *** %%% ### !!! *** %%% ### !!!", ts(1002))) // quality gate
+      q.processAllAvailable()
+      input.addData(DedupStreaming.Doc(4, "  " + good.toUpperCase, ts(1010))) // dup of 1
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, lang_pred FROM scurate_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._1).toSet == Set(1L))
+      assert(rows.head._2 == "en")
+    } finally q.stop()
+  }
 }
