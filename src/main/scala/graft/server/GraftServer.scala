@@ -37,6 +37,8 @@ import scala.jdk.CollectionConverters._
   *                                               "sources": {name: dir}}
   *                                              opens g as the mapped view
   *   GET    /v1/graph/{g}/mapping             → the stored mapping text
+  *   GET    /v1/graph/{g}/label               → {vertex_labels, edge_labels}
+  *   GET    /v1/graph/{g}/schema              → sampled schema graph, ND-JSON
   *   POST   /v1/graph/{g}/job                 → {"query": ...} async spool,
   *                                              returns {"id": jobId}
   *   GET    /v1/graph/{g}/job                 → {"jobs":[{id,state}...]}
@@ -191,6 +193,28 @@ class GraftServer(spark: SparkSession, port: Int,
           case text => send(ex, 200,
             mapper.createObjectNode().put("graph", g).put("mapping", text).toString)
         }
+
+      // ListLabels (reference: gripql/gripql.proto ListLabels RPC)
+      case ("GET", g :: "label" :: Nil) => withGraph(ex, g) { mg =>
+        val node = mapper.createObjectNode()
+        val vArr = node.putArray("vertex_labels")
+        val eArr = node.putArray("edge_labels")
+        mg.graph.vertices.select("label").distinct().collect()
+          .map(_.getString(0)).sorted.foreach(vArr.add)
+        mg.graph.edges.select("label").distinct().collect()
+          .map(_.getString(0)).sorted.foreach(eArr.add)
+        send(ex, 200, node.toString)
+      }
+
+      // SampleSchema (reference: gripql/gripql.proto SampleSchema /
+      // GetSchema): the sampled schema-as-graph, vertices then edges,
+      // streamed as ND-JSON elements like the query routes
+      case ("GET", g :: "schema" :: Nil) => withGraph(ex, g) { mg =>
+        val sg = graft.model.SchemaSampler.sampleSchema(spark, mg.graph)
+        streamNdjson(ex,
+          sg.vertices.toJSON.toLocalIterator().asScala ++
+            sg.edges.toJSON.toLocalIterator().asScala)
+      }
 
       // Job service (reference: gripql/gripql.proto:377-423 Submit /
       // ListJobs / GetJob / DeleteJob / ViewJob / ResumeJob;

@@ -79,6 +79,13 @@ class ServerSpec extends AnyFunSuite {
       // contract as the /query route)
       assert(cy.body().trim == "{\"render\":\"{\\\"friend\\\":\\\"vadas\\\"}\"}")
 
+      // labels and sampled schema (ListLabels / SampleSchema shapes)
+      val lbl = req(c, p, "GET", "/v1/graph/test/label")
+      assert(lbl.statusCode() == 200 &&
+        lbl.body().contains("\"Person\"") && lbl.body().contains("\"knows\""))
+      val sch = req(c, p, "GET", "/v1/graph/test/schema")
+      assert(sch.statusCode() == 200 && sch.body().contains("Person"))
+
       // malformed query → 400 with a message, not a 500
       val bad = req(c, p, "POST", "/v1/graph/test/query", """{"query":"V().frobnicate()"}""")
       assert(bad.statusCode() == 400 && bad.body().contains("unknown method"))
