@@ -34,9 +34,17 @@ case object EdgeK extends Kind
   *  - jump loops are driver-side frontier iteration with localCheckpoint to
   *    cut lineage (GraphX-Pregel shape).
   */
-class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
+class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
                 extensionMode: Boolean = false) {
   import Traversal._
+
+  // statement normalization mirroring the reference's IndexStartOptimize
+  // (engine/core/optimize.go:9-100): top-level has(and(...)) flattens to a
+  // filter sequence, and has(eq/within on _label/_gid) becomes
+  // hasLabel/hasId — same rows (label and gid are never null), but the
+  // compiler's label-state then sees it, so union-branch and topology
+  // hop pruning fire on the spelled-out form too
+  private val stmts: IndexedSeq[Stmt] = Traversal.normalize(stmts0)
 
   /** Element kind saved by as(name) — select(name) restores it (the
     * reference's MarkTypes, engine/core/compile.go:284,306). */
@@ -669,6 +677,35 @@ class Traversal(g: GraphFrame, stmts: IndexedSeq[Stmt], spark: SparkSession,
 }
 
 object Traversal {
+  /** Statement-level normalization (reference: engine/core/optimize.go
+    * IndexStartOptimize): flatten top-level has(and(...)) and rewrite
+    * label/gid equality filters into their indexed statement forms. */
+  private[graft] def normalize(stmts: IndexedSeq[Stmt]): IndexedSeq[Stmt] = {
+    def strings(v: GValue): Option[Seq[String]] = v match {
+      case GValue.GString(s) => Some(Seq(s))
+      case GValue.GArray(vs) =>
+        val ss = vs.collect { case GValue.GString(s) => s }
+        if (ss.length == vs.length) Some(ss) else None
+      case _ => None
+    }
+    def expand(e: HasExpr): Seq[Stmt] = e match {
+      case HasExpr.And(cs) => cs.flatMap(expand)
+      case HasExpr.Cond("_label", GValue.GString(s), CondOp.EQ) =>
+        Seq(Stmt.HasLabel(Seq(s)))
+      case HasExpr.Cond("_label", v @ GValue.GArray(_), CondOp.WITHIN) if strings(v).isDefined =>
+        Seq(Stmt.HasLabel(strings(v).get))
+      case HasExpr.Cond("_gid", GValue.GString(s), CondOp.EQ) =>
+        Seq(Stmt.HasId(Seq(s)))
+      case HasExpr.Cond("_gid", v @ GValue.GArray(_), CondOp.WITHIN) if strings(v).isDefined =>
+        Seq(Stmt.HasId(strings(v).get))
+      case other => Seq(Stmt.Has(other))
+    }
+    stmts.flatMap {
+      case Stmt.Has(e) => expand(e)
+      case s => IndexedSeq(s)
+    }
+  }
+
   /** Statically-known label set of the current element; None = unknown. */
   type Labels = Option[Set[String]]
 

@@ -209,6 +209,35 @@ class ConditionPropertySpec extends AnyFunSuite {
     assert(n(HasExpr.Cond("x", GString("0"), CondOp.GT)) == 1)
   }
 
+  test("_label/_gid equality filters normalize to indexed statement forms") {
+    import graft.compiler.{Traversal => T}
+    val in = Vector(
+      Stmt.V(Nil),
+      Stmt.Has(HasExpr.And(Seq(
+        HasExpr.Cond("_label", GString("Person"), CondOp.EQ),
+        HasExpr.Cond("age", GInt(21), CondOp.GT)))),
+      Stmt.Has(HasExpr.Cond("_gid", GArray(Seq(GString("a"), GString("b"))), CondOp.WITHIN)))
+    assert(T.normalize(in) == Vector(
+      Stmt.V(Nil),
+      Stmt.HasLabel(Seq("Person")),
+      Stmt.Has(HasExpr.Cond("age", GInt(21), CondOp.GT)),
+      Stmt.HasId(Seq("a", "b"))))
+    // NOT rewritten: deep-equal to an array, mixed-type within, or/not trees
+    val keep = Vector(
+      Stmt.Has(HasExpr.Cond("_label", GArray(Seq(GString("x"))), CondOp.EQ)),
+      Stmt.Has(HasExpr.Cond("_label", GArray(Seq(GString("x"), GInt(5))), CondOp.WITHIN)),
+      Stmt.Has(HasExpr.Or(Seq(HasExpr.Cond("_label", GString("x"), CondOp.EQ)))))
+    assert(T.normalize(keep) == keep)
+    // and the rewritten spelling returns the same rows as the native one
+    val res = getClass.getResource("/swapi/swapi.vertices").getPath
+    val dir = new java.io.File(res).getParent
+    val swapi = GraphFrame.fromJsonLines(spark, s"$dir/swapi.vertices", s"$dir/swapi.edges")
+    def n(q: Query) = Traversal.run(spark, swapi, q).collect()(0).getLong(0)
+    assert(n(Query().V().has(HasExpr.Cond("_label", GString("Character"), CondOp.EQ))
+      .out("homeworld").count()) ==
+      n(Query().V().hasLabel("Character").out("homeworld").count()))
+  }
+
   test("random condition trees: Spark (plain + shredded views) == 3VL model") {
     val docs = sample(genDoc, 120, 11L).zipWithIndex
       .map { case (d, i) => d.copy(id = i.toLong) }
