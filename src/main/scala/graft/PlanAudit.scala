@@ -31,7 +31,10 @@ object PlanAudit {
         .aggregate(Agg.Term("r", "r_name", 0)),
       "and_or_filter" -> Q.V().hasLabel("customer").has(
         P.and_(P.gte("c_acctbal", 1000), P.or_(P.eq_("c_mktsegment", "BUILDING"), P.eq_("c_mktsegment", "MACHINERY")))),
-      "edge_state_in" -> Q.E().hasLabel("customer").in())
+      "edge_state_in" -> Q.E().hasLabel("customer").in(),
+      // point-seed adjacency seek: the literal gid must appear as a
+      // PushedFilters In/EqualTo on the EDGE scans, not just the seed scan
+      "point_bothe" -> Q.V("n:3").bothE())
     for ((name, q) <- cases) {
       println(s"==== $name ====")
       Traversal.run(spark, g, q).explain("formatted")

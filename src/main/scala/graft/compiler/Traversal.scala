@@ -50,6 +50,28 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     * reference's MarkTypes, engine/core/compile.go:284,306). */
   private val asKinds = scala.collection.mutable.Map.empty[String, Kind]
 
+  /** Statically-known superset of the current travelers' gids — defined
+    * after a literal V(ids)/E(ids)/hasId and preserved through
+    * gid-preserving statements. A hop from a known point set pre-filters
+    * the edge side on its join key, so `V("x").bothE()` seeks the seed's
+    * adjacency instead of scanning every edge branch — the batch analogue
+    * of the reference's per-id adjacency-prefix seeks
+    * (kvgraph/graph.go:352-431). */
+  private var pointIds: Option[Seq[String]] = None
+  private val pointIdsMax = 10000
+
+  private def updatePoints(s: Stmt): Unit = s match {
+    case Stmt.V(ids) if ids.nonEmpty => pointIds = Some(ids)
+    case Stmt.E(ids) if ids.nonEmpty => pointIds = Some(ids)
+    case Stmt.HasId(ids) => pointIds = Some(pointIds.fold(ids)(_ intersect ids))
+    // gid-preserving statements keep the superset invariant
+    case _: Stmt.Has | _: Stmt.HasLabel | _: Stmt.HasKey | _: Stmt.Limit |
+         _: Stmt.Skip | _: Stmt.Range | _: Stmt.Distinct | _: Stmt.Fields |
+         _: Stmt.SetField | _: Stmt.Increment | _: Stmt.As | _: Stmt.Unwind |
+         _: Stmt.Render | _: Stmt.Path => ()
+    case _ => pointIds = None
+  }
+
   /** Statically-known label set saved by as(name); merged (not replaced) on
     * re-binding so a select() after a loop sees every iteration's labels —
     * a larger set only costs pruning precision, never correctness. */
@@ -220,7 +242,16 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
           case None => e0
         }
         val eKey = if (dir) col("__e.from") else col("__e.to")
-        val joined = df.join(e, col("cur.gid") === eKey, joinType)
+        // point-seed adjacency seek: travelers' gids are a known literal
+        // set, so only matching edge rows can join (safe under left_outer
+        // too — a filtered-out row could only have matched a gid outside
+        // the set, which no traveler carries)
+        val e1 = (kind, pointIds) match {
+          case (VertexK, Some(ids)) if ids.nonEmpty && ids.size <= pointIdsMax =>
+            e.filter(eKey.isin(ids: _*))
+          case _ => e
+        }
+        val joined = df.join(e1, col("cur.gid") === eKey, joinType)
         if (toEdge) {
           val cur = struct(col("__e.gid").as("gid"), col("__e.label").as("label"),
             col("__e.from").as("from"), col("__e.to").as("to"), col("__e.data").as("data"))
@@ -461,8 +492,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         kind = k
         shape(sdf, col("cur"), col("marks"), col("path"), col("vars"))
       case None => stmts.head match {
-        case Stmt.V(ids) => kind = VertexK; seed(ids, fromVerts = true)
-        case Stmt.E(ids) => kind = EdgeK; seed(ids, fromVerts = false)
+        case Stmt.V(ids) => kind = VertexK; updatePoints(stmts.head); seed(ids, fromVerts = true)
+        case Stmt.E(ids) => kind = EdgeK; updatePoints(stmts.head); seed(ids, fromVerts = false)
         case other => throw new IllegalArgumentException(s"query must start with V() or E(), got $other")
       }
     }
@@ -656,6 +687,9 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
           val r = applySimple(df, kind, labels, s)
           df = r._1; kind = r._2; labels = r._3
       }
+      // the hop that just ran read the PRE-statement point set; update it
+      // for the next statement (Mark/Jump/hops invalidate, filters keep)
+      updatePoints(stmts(i))
       i += 1
     }
 
