@@ -19,7 +19,7 @@ import graft.compiler.Traversal
   *   graft dump <graph> [--vertices|--edges]           → ND-JSON on stdout
   *   graft query <graph> "V().hasLabel('x').count()"   → ND-JSON on stdout
   *   graft schema <graph> [--sample-n N]               → sampled schema JSON
-  *   graft mapping <graph> <config.yaml> <sourcesDir>  → create mapped graph
+  *   graft mapping <graph> <config.yaml> <sourcesDir> [--id coll=col ...]
   *   graft job submit <graph> <query> | list <graph> | view <graph> <id>
   *             | resume <graph> <id> <extension> | drop <graph> <id>
   *   graft server [port]                               → HTTP server over the store
@@ -97,11 +97,19 @@ object Cli {
       val sg = catalog.getSchema(g, n)
       printNdjson(sg.vertices); printNdjson(sg.edges)
 
-    case "mapping" :: g :: conf :: sources :: Nil =>
+    case "mapping" :: g :: conf :: sources :: rest =>
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(conf)), "UTF-8")
       val cfg = Gripper.parse(text)
       val srcNames = (cfg.vertices.map(_.data.source) ++ cfg.edges.map(_.data.source)).distinct
-      val provider = Gripper.DirSource(spark, sources)
+      // --id collection=column designates the Row.Id column for
+      // collections that don't already carry an `id` column
+      val idCols = rest.sliding(2, 2).collect {
+        case Seq("--id", kv) => kv.split("=", 2) match {
+          case Array(c, k) => c -> k
+          case _ => usage()
+        }
+      }.toMap
+      val provider = Gripper.DirSource(spark, sources, idCols)
       catalog.createGraph(g,
         Gripper.graph(cfg, srcNames.map(_ -> (provider: Gripper.SourceProvider)).toMap))
       println(s"created $g from mapping $conf")
