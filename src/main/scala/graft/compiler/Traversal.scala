@@ -60,16 +60,19 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
   private var pointIds: Option[Seq[String]] = None
   private val pointIdsMax = 10000
 
-  private def updatePoints(s: Stmt): Unit = s match {
-    case Stmt.V(ids) if ids.nonEmpty => pointIds = Some(ids)
-    case Stmt.E(ids) if ids.nonEmpty => pointIds = Some(ids)
-    case Stmt.HasId(ids) => pointIds = Some(pointIds.fold(ids)(_ intersect ids))
+  /** Pure state transition — every execution path that applies a statement
+    * (the main loop AND each jump-loop iteration) must step this in
+    * lockstep, or a later hop would read a stale id set. */
+  private def nextPoints(cur: Option[Seq[String]], s: Stmt): Option[Seq[String]] = s match {
+    case Stmt.V(ids) if ids.nonEmpty => Some(ids)
+    case Stmt.E(ids) if ids.nonEmpty => Some(ids)
+    case Stmt.HasId(ids) => Some(cur.fold(ids)(_ intersect ids))
     // gid-preserving statements keep the superset invariant
     case _: Stmt.Has | _: Stmt.HasLabel | _: Stmt.HasKey | _: Stmt.Limit |
          _: Stmt.Skip | _: Stmt.Range | _: Stmt.Distinct | _: Stmt.Fields |
          _: Stmt.SetField | _: Stmt.Increment | _: Stmt.As | _: Stmt.Unwind |
-         _: Stmt.Render | _: Stmt.Path => ()
-    case _ => pointIds = None
+         _: Stmt.Render | _: Stmt.Path => cur
+    case _ => None
   }
 
   /** Statically-known label set saved by as(name); merged (not replaced) on
@@ -492,8 +495,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         kind = k
         shape(sdf, col("cur"), col("marks"), col("path"), col("vars"))
       case None => stmts.head match {
-        case Stmt.V(ids) => kind = VertexK; updatePoints(stmts.head); seed(ids, fromVerts = true)
-        case Stmt.E(ids) => kind = EdgeK; updatePoints(stmts.head); seed(ids, fromVerts = false)
+        case Stmt.V(ids) => kind = VertexK; pointIds = nextPoints(None, stmts.head); seed(ids, fromVerts = true)
+        case Stmt.E(ids) => kind = EdgeK; pointIds = nextPoints(None, stmts.head); seed(ids, fromVerts = false)
         case other => throw new IllegalArgumentException(s"query must start with V() or E(), got $other")
       }
     }
@@ -586,7 +589,16 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
               var d2 = d0
               var k2 = kind
               var l2 = loopLabels
-              for (s <- body) { val r = applySimple(d2, k2, l2, s); d2 = r._1; k2 = r._2; l2 = r._3 }
+              // arrivals enter with the jump-time gid superset (they are
+              // the filtered END of the previous body pass); inside the
+              // body the point state must step per statement exactly like
+              // the main loop, then reset for the next iteration
+              val entryPoints = pointIds
+              for (s <- body) {
+                val r = applySimple(d2, k2, l2, s); d2 = r._1; k2 = r._2; l2 = r._3
+                pointIds = nextPoints(pointIds, s)
+              }
+              pointIds = entryPoints
               require(k2 == kind,
                 s"jump loop body must preserve the element kind (starts $kind, ends $k2)")
               loopLabels = l2
@@ -689,7 +701,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
       }
       // the hop that just ran read the PRE-statement point set; update it
       // for the next statement (Mark/Jump/hops invalidate, filters keep)
-      updatePoints(stmts(i))
+      pointIds = nextPoints(pointIds, stmts(i))
       i += 1
     }
 

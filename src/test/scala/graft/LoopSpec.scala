@@ -31,6 +31,31 @@ class LoopSpec extends AnyFunSuite {
     assert(Traversal.run(spark, tiny, q).count() == 149)
   }
 
+  test("hasId between hops inside a loop body filters per-iteration state") {
+    // regression pin for the point-seek state machine: the body's second
+    // hop must read the id set established by the hasId BEFORE it in the
+    // SAME iteration — a stale jump-time snapshot (v2, the body's final
+    // hasId) would filter the first hop's edges wrongly and kill the
+    // second iteration. Cycle: v1 -link-> v2 -back-> v1.
+    val cyc = {
+      import spark.implicits._
+      GraphFrame(
+        Seq(("v1", "node", "{}"), ("v2", "node", "{}")).toDF("gid", "label", "data"),
+        Seq(("e1", "link", "v1", "v2", "{}"), ("e2", "back", "v2", "v1", "{}"))
+          .toDF("gid", "label", "from", "to", "data"))
+    }
+    // counter rides the $start mark namespace (current-element vars are
+    // intentionally dropped on hops — the reference's ot_repeat pattern)
+    val q = Q.V("v1").set("n", GValue.GInt(0)).as("s").mark("a")
+      .increment("$s.n", 1)
+      .out("link").hasId("v2").out("back").hasId("v1")
+      .has(P.lt("$s.n", 3)).jump("a", None, emit = true)
+    // iterations arrive at the jump with n = 1 and 2 (n = 3 dies at the
+    // has() before the jump); both emitted. A stale id set would kill the
+    // second iteration's `out("back")` and leave only one row.
+    assert(Traversal.run(spark, cyc, q).count() == 2)
+  }
+
   test("exceeding maxIters is an error, not a truncated result") {
     val q = Q.V("v1").set("n", GValue.GInt(0)).mark("a").increment("n", 1)
       .has(P.lt("n", 50)).jump("a", None, emit = true)
