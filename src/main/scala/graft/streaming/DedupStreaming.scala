@@ -50,7 +50,10 @@ object DedupStreaming {
       Dedup.shingles(col(textCol), shingleN).as("__sh"))
     val signed = Dedup.minhashSignatures(sh, "__cid", "__sh", numHashes)
       .join(sh, "__cid")
-      .select(col("__cid"), transform(col("__sh"), s => xxhash64(s)).as("__cshh"),
+      // sorted+distinct so the per-candidate verify is a merge scan
+      // (graft_sorted_intersect) — must match the stream side's encoding
+      .select(col("__cid"),
+        sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__cshh"),
         posexplode(bandKeys(col("__sig"), bands, rows)))
     signed.select(col("__cid"), col("__cshh"),
       col("pos").as("__band"), col("col").as("__bh"))
@@ -70,14 +73,15 @@ object DedupStreaming {
     val rows = numHashes / bands
     val sh = Dedup.shingles(col(textCol), shingleN)
     val withSig = stream
-      .withColumn("__shh", transform(sh, s => xxhash64(s)))
+      .withColumn("__shh", sort_array(array_distinct(transform(sh, s => xxhash64(s)))))
       .withColumn("__sig", Dedup.minhashSignature(sh, numHashes))
       .select(col(idCol), col(tsCol), col("__shh"),
         posexplode(bandKeys(col("__sig"), bands, rows)))
       .select(col(idCol), col(tsCol), col("__shh"),
         col("pos").as("__band"), col("col").as("__bh"))
     val cand = withSig.join(index, Seq("__band", "__bh"))
-    val inter = size(array_intersect(col("__shh"), col("__cshh"))).cast("double")
+    val inter = graft.functions.VectorExprs
+      .sortedIntersectCount(col("__shh"), col("__cshh")).cast("double")
     cand
       .withColumn("__i", inter)
       .withColumn("jaccard",
