@@ -238,7 +238,9 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         // the feasible set can narrow an unlabeled hop too (out() from a
         // known label joins only that label's outgoing edge types)
         val edgeLabels: Labels = feas.map(_.map(_.label).toSet)
-        val e0 = g.edges.alias("__e")
+        // in-direction hops prefer the to-keyed edge copy when the graph
+        // is bucketed storage (BucketedGraph) — same rows, join-key layout
+        val e0 = (if (dir) g.edges else g.edgesByTo.getOrElse(g.edges)).alias("__e")
         val e = edgeLabels match {
           case Some(s) => e0.filter(col("__e.label").isin(s.toSeq.sorted: _*))
           case None if labels.nonEmpty => e0.filter(col("__e.label").isin(labels: _*))

@@ -26,7 +26,13 @@ import org.apache.spark.sql.types._
 case class EdgeType(from: String, label: String, to: String)
 
 case class GraphFrame(vertices: DataFrame, edges: DataFrame,
-                      topology: Option[Seq[EdgeType]] = None) {
+                      topology: Option[Seq[EdgeType]] = None,
+                      /** Same edge rows as `edges` but physically
+                        * organized for `to`-keyed joins (bucketed storage,
+                        * [[BucketedGraph]]); in()/inE() hops read this copy
+                        * when present so neither adjacency direction
+                        * shuffles the edge side. */
+                      edgesByTo: Option[DataFrame] = None) {
   /** Persist as label-partitioned parquet (the "label index" of the
     * reference's KV backends becomes partition pruning). The topology
     * contract round-trips as a tiny JSON dataset so a saved+loaded graph
