@@ -78,6 +78,25 @@ object Baseline {
       Agg.Term("t", "score", 10), Agg.Histogram("h", "score", 10),
       Agg.Percentile("p", "score", Seq(25, 50, 75, 99)))) }
 
+    // bucketed layout: the same 1-hop under shuffle-join conditions
+    // (broadcast disabled — the big-data regime), plain parquet vs the
+    // bucketed adjacency layout; the delta is the stored side's shuffle
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      results("onehop_shuffle_plain") = median3 {
+        run(Q.V().hasLabel("Person").out("knows").count())
+      }
+      graft.model.BucketedGraph.drop(spark, "baseline_bg")
+      results("bucketed_save") = timeIt {
+        graft.model.BucketedGraph.save(spark, g, "baseline_bg")
+      }
+      val bg = graft.model.BucketedGraph.load(spark, "baseline_bg")
+      results("onehop_shuffle_bucketed") = median3 {
+        Traversal.run(spark, bg, Q.V().hasLabel("Person").out("knows").count()).count()
+      }
+      graft.model.BucketedGraph.drop(spark, "baseline_bg")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     // corpus scaling probe: the dedup family at bench scale (5k docs =
     // sf0.1's documents table) and at 10x, single timed run each after the
     // 5k warm-up — the 10x/1x ratio is the evidence that the LSH banded
