@@ -713,8 +713,9 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
   /** Default output: flatten current element (reference: pipes.go:118-243
     * Convert); pending vars fold into data HERE, once — never per iteration. */
   private def finish(df: DataFrame): DataFrame =
-    stmts.last match {
-      case _: Stmt.Count | _: Stmt.Aggregate | _: Stmt.Render | _: Stmt.Path | _: Stmt.SelectMany => df
+    stmts.lastOption match {
+      case Some(_: Stmt.Count | _: Stmt.Aggregate | _: Stmt.Render | _: Stmt.Path | _: Stmt.SelectMany) => df
+      // None = empty extension (Jobs.view): emit the full element
       case _ =>
         val dataOut =
           if (needVars) GJson.json_merge_vars(col("cur.data"), col("vars"), lit(""))

@@ -35,7 +35,9 @@ object Validate {
     * validates a pipeline EXTENSION (job resume — reference:
     * gdbi/pipeline.go:19-23 CompileOptions.PipelineExtension). */
   def apply(stmts: Seq[Stmt], initial: S = NoS, extMarks: Map[String, S] = Map.empty): S = {
-    if (stmts.isEmpty) fail("empty query")
+    // an empty EXTENSION is valid: it replays the spooled stream as full
+    // elements (Jobs.view); an empty top-level query stays an error
+    if (stmts.isEmpty && initial == NoS) fail("empty query")
     var state: S = initial
     val markTypes = scala.collection.mutable.Map.empty[String, S] ++ extMarks
     val jumpMarks = stmts.collect { case Stmt.Mark(n) => n }.toSet

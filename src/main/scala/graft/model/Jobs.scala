@@ -64,10 +64,12 @@ object Jobs {
   }
 
   /** Spooled results in the standard element output shape (the reference's
-    * ViewJob, gripql/gripql.proto:409) — a resume with an identity
-    * projection. */
+    * ViewJob, server/job_manager.go:90 streams full elements via
+    * pipeline.Convert) — a resume with NO extension statements, so the
+    * finisher emits the complete element. A `Fields(Nil)` extension would
+    * instead compile to `data: {}` (fields semantics), stripping properties. */
   def view(spark: SparkSession, g: GraphFrame, dir: String, jobId: String): DataFrame =
-    resume(spark, g, dir, jobId, Query(Vector(graft.gripql.Stmt.Fields(Nil))))
+    resume(spark, g, dir, jobId, Query(Vector.empty))
 
   /** Drop a spooled job (the reference's DeleteJob). */
   def deleteJob(dir: String, jobId: String): Boolean = {

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * partition-overwrite of label-partitioned parquet ([[GraphFrame.save]]);
   * on a lakehouse table format this whole class collapses into MERGE INTO.
   */
-class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
+class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
+                   wrapped: Option[GraphFrame] = None) {
   import MutableGraph._
 
   private var v: DataFrame = v0
@@ -168,7 +169,20 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame) {
     }
   }
 
-  def graph: GraphFrame = { flush(); GraphFrame(v, e) }
+  /** The readable graph. While no mutation has touched the frames, the
+    * wrapped graph passes through INTACT — topology-based hop pruning and
+    * the to-keyed edge copy of a bucketed graph survive server
+    * registration. Any mutation reassigns `v`/`e` (same identity dirty
+    * bit as [[derivedTopology]]), after which the extras are dropped:
+    * edits may have invalidated the declared topology, and a merged edge
+    * frame no longer matches the bucketed to-copy. */
+  def graph: GraphFrame = {
+    flush()
+    wrapped match {
+      case Some(g) if (v eq v0) && (e eq e0) => g
+      case _ => GraphFrame(v, e)
+    }
+  }
 
   private var topoCache: (DataFrame, DataFrame, Seq[EdgeType]) = null
 
@@ -204,7 +218,7 @@ object MutableGraph {
   }
 
   def apply(spark: SparkSession, g: GraphFrame): MutableGraph =
-    new MutableGraph(spark, g.vertices, g.edges)
+    new MutableGraph(spark, g.vertices, g.edges, Some(g))
 
   /** Keep only the LAST row per gid (upsert ordering: later add wins,
     * reference ot_update.py test_replace). Input carries a `__seq` batch

@@ -270,9 +270,17 @@ class GraftServer(spark: SparkSession, port: Int,
       }
 
       case ("DELETE", g :: "job" :: id :: Nil) => withGraph(ex, g) { _ =>
-        jobStates.remove(g -> id)
-        if (Jobs.deleteJob(jobsDir(g), id)) send(ex, 200, "{}")
-        else err(ex, 404, s"no job '$id'")
+        // a RUNNING job has no spool yet and its worker thread will re-put
+        // state on completion — deleting now would 404 AND resurrect the job
+        // with an orphaned spool; reject until it settles
+        jobState(g, id) match {
+          case Some(("RUNNING", _)) =>
+            err(ex, 409, s"job '$id' is running; retry after it completes")
+          case st =>
+            val hadSpool = Jobs.deleteJob(jobsDir(g), id)
+            if (hadSpool || st.isDefined) { jobStates.remove(g -> id); send(ex, 200, "{}") }
+            else err(ex, 404, s"no job '$id'")
+        }
       }
 
       case ("GET", g :: "job" :: id :: "view" :: Nil) => withGraph(ex, g) { mg =>
@@ -406,6 +414,13 @@ object GraftServer {
   case class Credential(user: String, password: String)
   case class Policy(user: String, graph: String, actions: Set[String])
   case class Auth(credentials: Seq[Credential], policies: Seq[Policy]) {
+    // compare fixed-length digests with MessageDigest.isEqual so a probe
+    // can't time how many leading characters of the password matched
+    private def sha(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    private val credDigests: Seq[(String, Array[Byte])] =
+      credentials.map(c => c.user -> sha(c.password))
     /** Authorization header → authenticated user (None = 401). */
     def validate(header: Option[String]): Option[String] = header.flatMap { h =>
       if (!h.startsWith("Basic ")) None
@@ -414,7 +429,11 @@ object GraftServer {
           java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ").trim),
           java.nio.charset.StandardCharsets.UTF_8) catch { case _: Exception => "" }
         decoded.split(":", 2) match {
-          case Array(u, p) if credentials.exists(c => c.user == u && c.password == p) => Some(u)
+          case Array(u, p) =>
+            val supplied = sha(p)
+            if (credDigests.exists { case (cu, cd) =>
+              cu == u && java.security.MessageDigest.isEqual(cd, supplied) }) Some(u)
+            else None
           case _ => None
         }
       }

@@ -164,6 +164,24 @@ class EditSpec extends AnyFunSuite {
     assert(g2.topology == Some(Seq.empty))
   }
 
+  test("wrapping preserves topology/edgesByTo until the first mutation") {
+    val m0 = MutableGraph.empty(spark)
+    m0.addVertex("a", "x"); m0.addVertex("b", "y"); m0.addEdge("a", "b", "z")
+    val base = m0.graph
+    val g = GraphFrame(base.vertices, base.edges,
+      Some(Seq(graft.model.EdgeType("x", "z", "y"))), Some(base.edges))
+    val mg = MutableGraph(spark, g)
+    // unmutated: the wrapped graph passes through whole — the server's
+    // registered view keeps topology pruning and the to-keyed edge copy
+    assert(mg.graph eq g)
+    assert(mg.graph.topology.isDefined && mg.graph.edgesByTo.isDefined)
+    // first mutation drops the extras (they may no longer describe the data)
+    mg.addEdge("b", "a", "w")
+    val g2 = mg.graph
+    assert(g2.topology.isEmpty && g2.edgesByTo.isEmpty)
+    assert(n(g2, Q.V("b").out("w")) == 1)
+  }
+
   test("derived topology caches across calls and refreshes after mutations") {
     val mg = MutableGraph.empty(spark)
     mg.addVertex("a", "x"); mg.addVertex("b", "y"); mg.addEdge("a", "b", "z")

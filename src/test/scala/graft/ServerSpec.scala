@@ -119,8 +119,11 @@ class ServerSpec extends AnyFunSuite {
       }
       assert(state == "COMPLETE")
       assert(req(c, p, "GET", "/v1/graph/jg/job").body().contains(id))
-      // view: the spooled travelers in element shape
-      assert(req(c, p, "GET", s"/v1/graph/jg/job/$id/view").body().linesIterator.size == 3)
+      // view: the spooled travelers as FULL elements (ViewJob streams whole
+      // elements incl. data — reference server/job_manager.go:90)
+      val view = req(c, p, "GET", s"/v1/graph/jg/job/$id/view").body()
+      assert(view.linesIterator.size == 3)
+      assert(view.contains("age"), s"view must carry element data: $view")
       // resume: extend the spooled stream with more statements
       val res = req(c, p, "POST", s"/v1/graph/jg/job/$id/resume",
         """{"query":".out('knows').count()"}""")
