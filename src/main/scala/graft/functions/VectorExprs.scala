@@ -157,6 +157,62 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   override def prettyName: String = "graft_sorted_intersect"
 }
 
+/** Reconstruct a 64-bit SimHash fingerprint from 16 lane-packed majority
+  * counters (4 × 16-bit lanes per long; pack j lane l = count of hash bit
+  * l*16+j) and the token count: bit p of the result is set iff its counter
+  * strictly exceeds n/2.
+  *
+  * Why an expression: the equivalent Column tree is 64 ×
+  * (shift + mask + compare + when) folded by adds — ~500 Catalyst nodes
+  * whose whole-stage source costs seconds of Janino compile time on first
+  * run (measured 3.3 s of p03's first-run 7.6 s). This loop is a ~30-line
+  * method body that compiles instantly and JITs immediately. */
+case class PackedMajority(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_packed_majority expects (array<bigint>, bigint), got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val n = r.asInstanceOf[Long]
+    if (a.numElements() != 16) return null
+    var sim = 0L
+    var p = 0
+    while (p < 64) {
+      val cnt = (a.getLong(p & 15) >>> ((p >> 4) << 4)) & 0xFFFFL
+      if (cnt * 2 > n) sim |= 1L << p
+      p += 1
+    }
+    sim
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val p = ctx.freshName("p"); val cnt = ctx.freshName("cnt"); val sim = ctx.freshName("sim")
+      s"""
+         |if ($a.numElements() != 16) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sim = 0L;
+         |  for (int $p = 0; $p < 64; $p++) {
+         |    long $cnt = ($a.getLong($p & 15) >>> (($p >> 4) << 4)) & 0xFFFFL;
+         |    if ($cnt * 2 > $n) $sim |= 1L << $p;
+         |  }
+         |  ${ev.value} = $sim;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_packed_majority"
+}
+
 object VectorExprs {
   /** `graft_dot(a, b)` as a Column — the fast path for every dot/cosine
     * in [[graft.pipeline.Similarity]]. */
@@ -170,5 +226,12 @@ object VectorExprs {
   def sortedIntersectCount(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(SortedIntersectCount(shims.expression(a), shims.expression(b)))
+  }
+
+  /** `graft_packed_majority(packs, n)` as a Column — SimHash fingerprint
+    * reconstruction from the packed majority counters. */
+  def packedMajority(packs: Column, n: Column): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(PackedMajority(shims.expression(packs), shims.expression(n)))
   }
 }

@@ -247,11 +247,11 @@ object Dedup {
       }.reduce(_ + _)).as(s"__p$j")
     } :+ count(lit(1)).as("__n")
     val bits = ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val sim = (0 until 64).map { p =>
-      val (l, j) = (p / 16, p % 16)
-      val cnt = shiftrightunsigned(col(s"__p$j"), l * 16).bitwiseAND(lit(0xFFFFL))
-      when(cnt * 2 > col("__n"), lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // fingerprint reconstruction as ONE native loop expression — the
+    // equivalent 64-term when() tree costs ~3 s of whole-stage Janino
+    // compile on first run (graft.functions.PackedMajority's scaladoc)
+    val sim = graft.functions.VectorExprs.packedMajority(
+      array((0 until 16).map(j => col(s"__p$j")): _*), col("__n"))
     bits.select(col(idCol), sim.as("__sim"))
   }
 
