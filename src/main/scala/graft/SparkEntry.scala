@@ -223,6 +223,16 @@ edges:
       Multimodal.asBinaryColumn(docs(s, d), "doc_id", "text", "video"), 256, 4)
       .select(col("id").as("doc_id"), col("frame_idx"),
         octet_length(col("frame")).cast("long").as("frame_len"))),
+    // overlapping token-window chunking (pre-embedding segmentation);
+    // corpus docs are 10-99 words, so 32/8 yields 1-4 chunks per doc
+    "p21_chunks" -> ((s, d) => TextAnalysis.chunk(docs(s, d), "doc_id", "text", 32, 8)),
+    // PII redaction: the corpus has no emails/digits, so the query plants
+    // deterministic doc_id-derived spans (same construction in the oracle)
+    // and every pattern family — email, phone, long id — must fire
+    "p22_redact" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.redact(concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com call +1 (555) 010-"), col("doc_id"),
+        lit(" ref 99887766"))).as("redacted"))),
   )
 
   /** Shared SQL fragments for the document-shingle oracles. */
@@ -459,5 +469,17 @@ edges:
       "FROM (SELECT doc_id, cast(strlen(text) AS bigint) AS len, " +
       "unnest(generate_series(0, cast(ceil(strlen(text)/256.0) AS bigint) - 1, 4)) AS frame_idx " +
       "FROM documents)"),
+    "p21_chunks" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "k AS (SELECT doc_id, w, len(w) AS n, " +
+      "greatest(1, cast(ceil((len(w) - 32) / 24.0) AS int) + 1) AS k FROM t), " +
+      "c AS (SELECT doc_id, w, n, unnest(generate_series(0, k - 1)) AS cid FROM k) " +
+      "SELECT doc_id, cast(cid AS bigint) AS chunk_id, " +
+      "array_to_string(list_slice(w, cid*24 + 1, cid*24 + 32), ' ') AS chunk_text, " +
+      "cast(least(32, n - cid*24) AS bigint) AS chunk_tokens FROM c"),
+    "p22_redact" -> ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+      "text || ' contact: user' || doc_id || '@example.com call +1 (555) 010-' || doc_id || ' ref 99887766', " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'[0-9]{6,}', '<ID>', 'g'), " +
+      "'\\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted FROM documents"),
   )
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.functions._
 
 /** Text analysis over a document corpus: language ID, quality scoring,
@@ -61,4 +61,52 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(transform(words(text), w => length(w).cast("long")),
       lit(7L), (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+
+  /** Split documents into overlapping token-window chunks — the standard
+    * pre-embedding/pre-training segmentation. Chunk c covers whitespace
+    * tokens [c·(size−overlap), c·(size−overlap)+size); every document
+    * yields at least one chunk; the last chunk may be short. Output:
+    * (id, chunk_id, chunk_text, chunk_tokens).
+    *
+    * Scale shape: one `posexplode` per document — row count grows by
+    * ~n/stride with NO shuffle at all (chunking is embarrassingly
+    * parallel); the window arithmetic is pure column expressions, so the
+    * whole op stays inside one codegen stage and the parquet scan still
+    * prunes to (id, text). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int = 256, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size, got $overlap/$size")
+    val stride = size - overlap
+    val w = split(col(textCol), " ")
+    df.select(col(idCol), w.as("__w"))
+      .withColumn("__k", greatest(lit(1),
+        ceil((functions.size(col("__w")) - lit(size)).cast("double") / stride).cast("int") + 1))
+      .select(col(idCol), col("__w"),
+        posexplode(transform(sequence(lit(0), col("__k") - 1), c =>
+          concat_ws(" ", slice(col("__w"), c * stride + 1, lit(size))))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"),
+        least(lit(size), functions.size(col("__w")) - col("pos") * stride).cast("long")
+          .as("chunk_tokens"))
+  }
+
+  /** PII patterns scrubbed by [[redact]]: kept RE2-compatible (no
+    * backreferences/lookaround) so the exact same pattern text runs in
+    * Spark's Java regex AND the DuckDB oracle's RE2. Order matters:
+    * emails first (digit rules would tear them apart), then bare long
+    * digit runs as <ID>, then separator-bearing spans as <PHONE> — a
+    * pure digit run is an id/account number, not a phone. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{6,}" -> "<ID>",
+    "\\+?[0-9][0-9() .-]{7,}[0-9]" -> "<PHONE>")
+
+  /** Redact PII-looking spans (emails, phone-shaped digit runs, long ids)
+    * with typed placeholders — the cheap regex scrub every training-data
+    * pipeline runs before tokenization. Pure `regexp_replace` chain:
+    * codegen'd, shuffle-free, linear scan per document. */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, lit(pat), lit(tag))
+    }
 }

@@ -227,4 +227,38 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(0L, 3L))
   }
+
+  test("chunking covers every token with the configured overlap") {
+    val words = (1 to 25).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", size = 10, overlap = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // 25 tokens, stride 7: chunks at 0,7,14,21 -> 4 chunks, last holds 4
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 10L, 4L))
+    assert(d1(1)._3.startsWith("w8 ") && d1(3)._3 == "w22 w23 w24 w25")
+    // every token appears in some chunk; consecutive chunks share `overlap`
+    assert(d1.flatMap(_._3.split(" ")).toSet == words.toSet)
+    assert(d1(0)._3.split(" ").takeRight(3).toSeq == d1(1)._3.split(" ").take(3).toSeq)
+    // short docs: one chunk, whole text
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "solo", 1L)))
+  }
+
+  test("redact scrubs emails, phone spans, and long ids but not prose") {
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +1 (555) 010-7788 today",
+      "order 123456789 shipped",
+      "short 12345 stays, year 2024 stays",
+      "plain text untouched").toDF("text")
+    val got = rows.select(TextAnalysis.redact($"text").as("r")).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> today",
+      "order <ID> shipped",
+      "short 12345 stays, year 2024 stays",
+      "plain text untouched"))
+  }
 }
