@@ -161,6 +161,13 @@ edges:
     "q46_jump_counter" -> ((s, d) => runQ(s, d)(_.V("c:1").set("n", GValue.GInt(0)).mark("a").increment("n", 1)
       .has(P.lt("n", 4)).jump("a", None, emit = true)
       .render(GValue.GObj(Seq("n" -> GValue.GString("$.n")))))),
+    // FORWARD jump (reference: engine/logic/jump.go:178-186 — matching
+    // travelers route to the later mark; emit=true also copies EVERY
+    // traveler downstream): low-nationkey customers bypass the segment
+    // filter, so the count is |BUILDING| + |nationkey < 5|
+    "q60_jump_forward" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer")
+      .jump("skip", Some(P.lt("c_nationkey", 5)), emit = true)
+      .has(P.eq_("c_mktsegment", "BUILDING")).mark("skip").count())),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -419,6 +426,8 @@ edges:
     "q46_jump_counter" -> ("SELECT '{\"n\":1}' AS render FROM customer WHERE c_custkey = 1 " +
       "UNION ALL SELECT '{\"n\":2}' FROM customer WHERE c_custkey = 1 " +
       "UNION ALL SELECT '{\"n\":3}' FROM customer WHERE c_custkey = 1"),
+    "q60_jump_forward" -> ("SELECT (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') + " +
+      "(SELECT count(*) FROM customer WHERE c_nationkey < 5) AS count"),
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     "p02_dedup_minhash" -> shingleCte,
