@@ -134,4 +134,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.head._2 == "en")
     } finally q.stop()
   }
+
+  test("chunking and redaction apply to a stream unchanged (stateless ops)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.pipeline.TextAnalysis
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupStreaming.Doc]
+    // both are pure per-row transforms, so the BATCH operator runs on the
+    // micro-batch plan as-is — no watermark, no state, append mode
+    val q = TextAnalysis.chunk(
+        input.toDF().withColumn("text",
+          concat(col("text"), lit(" ping 123456789 or user7@ex.org"))),
+        "doc_id", "text", size = 4, overlap = 1)
+      .withColumn("chunk_text", TextAnalysis.redact(col("chunk_text")))
+      .writeStream.format("memory").queryName("schunk_out")
+      .outputMode("append").start()
+    try {
+      input.addData(DedupStreaming.Doc(1, "a b c d e", ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT chunk_id, chunk_text FROM schunk_out ORDER BY chunk_id")
+        .as[(Long, String)].collect().toSeq
+      // 9 tokens, size 4 stride 3: chunks at 0,3,6 — redaction fires inside
+      assert(rows == Seq((0L, "a b c d"), (1L, "d e ping <ID>"), (2L, "<ID> or <EMAIL>")))
+    } finally q.stop()
+  }
 }
