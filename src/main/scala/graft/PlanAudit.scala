@@ -70,6 +70,12 @@ edges:
       Q.V().hasLabel("nation").has(P.eq_("n_name", "KENYA"))).explain("formatted")
     println("==== gripper_hop ====")
     Traversal.run(spark, gg, Q.V().hasLabel("nation").out("region")).explain("formatted")
+    // chunking must stay shuffle-free: one Generate inside the scan stage,
+    // NO Exchange anywhere, and the parquet scan pruned to (doc_id, text)
+    println("==== chunk_shuffle_free ====")
+    graft.pipeline.TextAnalysis.chunk(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 32, 8)
+      .explain("formatted")
     spark.stop()
   }
 }
