@@ -101,8 +101,13 @@ object Baseline {
     // sf0.1's documents table) and at 10x, single timed run each after the
     // 5k warm-up — the 10x/1x ratio is the evidence that the LSH banded
     // join scales near-linearly rather than quadratically
-    val c5 = corpus(spark, 5000)
-    val c50 = corpus(spark, 50000)
+    // MATERIALIZE the corpora before timing: corpus() is a lazy 149-wide
+    // hash projection, and an op that scans its input k times would
+    // otherwise be charged k corpus syntheses (curate measured 2x its
+    // real cost before this) — the probe times the OPERATOR on data at
+    // rest, like the driver's parquet tables
+    val c5 = corpus(spark, 5000).localCheckpoint(true)
+    val c50 = corpus(spark, 50000).localCheckpoint(true)
     // one unrecorded warm-up run so the 5k number measures the pipeline,
     // not the shingle/hash machinery's first-touch classload — otherwise
     // the 10x/1x ratio reads flatter than it is
