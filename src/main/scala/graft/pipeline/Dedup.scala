@@ -168,10 +168,14 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 1000L): DataFrame =
     withShingles(df, idCol, textCol, shingleN) { sh =>
-      val inv = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+      // the index carries xxhash64(shingle), not the ~30-byte string: the
+      // self-join shuffles 8-byte keys and compares longs (same collision
+      // argument as verifyJaccard — one in-doc-pair collision per ~10^15)
+      val inv = sh.select(col("__id"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
       val common = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("__s")
-      val commonList = common.collect().map(_.getString(0))
+      val commonList = common.collect().map(_.getLong(0))
       if (commonList.nonEmpty) {
         // mirror simhashCandidates' policy: recall loss is explicit, never
         // silent — a pair whose EVERY shared shingle is corpus-common
@@ -196,7 +200,8 @@ object Dedup {
         if (commonList.isEmpty) withSizes.withColumn("__i", col("__ir"))
         else {
           val cpd = sh.select(col("__id"),
-            array_intersect(col("__sh"), typedLit(commonList)).as("__c"))
+            array_intersect(transform(col("__sh"), s => xxhash64(s)),
+              typedLit(commonList)).as("__c"))
           withSizes
             .join(cpd.select(col("__id").as("a_id"), col("__c").as("__ca")), "a_id")
             .join(cpd.select(col("__id").as("b_id"), col("__c").as("__cb")), "b_id")
