@@ -40,8 +40,12 @@ object Baseline {
   def corpus(spark: SparkSession, n: Long): DataFrame = {
     val vocab = array((0 until 500).map(i => lit(s"w$i")): _*)
     val seed = col("id") % lit(math.max(1L, n * 49 / 50))
+    // hash (seed, k) as a PAIR: the earlier seed*31+k form made
+    // consecutive seeds draw the same hash-input range shifted by 31, so
+    // every seed-neighbor pair silently shared 118/149 words — ~49k
+    // accidental near-dup pairs at 50k docs instead of the 1k planted
     val words = (0 until 149).map(k =>
-      element_at(vocab, (pmod(xxhash64(seed * 31 + k), lit(500)) + 1).cast("int")))
+      element_at(vocab, (pmod(xxhash64(seed, lit(k)), lit(500)) + 1).cast("int")))
     spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", words :+ concat(lit("u"), col("id")): _*).as("text"))
   }
@@ -114,6 +118,13 @@ object Baseline {
     graft.pipeline.Dedup.nearDupMinhash(c5, "doc_id", "text").count()
     results("minhash_neardup_5k") = timeIt { graft.pipeline.Dedup.nearDupMinhash(c5, "doc_id", "text").count() }
     results("minhash_neardup_50k") = timeIt { graft.pipeline.Dedup.nearDupMinhash(c50, "doc_id", "text").count() }
+    // the production banding for a 0.5 threshold: 16 bands x 4 rows
+    // (collision threshold (1/16)^(1/4) = 0.5) — the default 32x2 is kept
+    // loose for exact-oracle recall and admits this corpus's j~0.18
+    // background; this row is the evidence that the knob, not the
+    // algorithm, is what the homogeneous-corpus ratio measures
+    results("minhash_neardup_50k_16x4") = timeIt {
+      graft.pipeline.Dedup.nearDupMinhash(c50, "doc_id", "text", bands = 16).count() }
     results("exact_dedup_50k") = timeIt { graft.pipeline.Dedup.exact(c50, "doc_id", "text").count() }
     results("curate_50k") = timeIt { graft.pipeline.Curation.curate(c50, "doc_id", "text").count() }
     // simhash at the PRODUCTION radius (Manku et al. run 64-bit simhash at

@@ -86,20 +86,48 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
-  /** LSH candidate pairs (a < b) from banded minhash signatures.
-    * One shuffle to bucket by (band index, band hash), pairs built only
-    * within buckets — the scale-safe alternative to all-pairs. */
+  /** LSH candidate pairs (a < b) from banded minhash signatures: one
+    * shuffle to bucket by (band index, band hash), pairs built only
+    * within buckets — the scale-safe alternative to all-pairs.
+    *
+    * Degenerate-bucket guard (same policy as [[simhashCandidates]]):
+    * buckets above `maxBucket` — mass-identical documents collide in
+    * EVERY band, making the bucket join O(n²) on them — are dropped from
+    * the join and LOGGED. Run exact dedup first (as
+    * [[graft.pipeline.Curation.curate]] does) and such buckets cannot
+    * exist. */
   def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
-                    bands: Int, rows: Int): DataFrame = {
+                    bands: Int, rows: Int, maxBucket: Long = 100000L): DataFrame = {
+    // band hashes as a static array(...) of codegen'd expressions — a
+    // transform(sequence(...)) lambda runs interpreted per row (HOFs get
+    // no codegen, measured ~3 s/50k docs); materialized once and released
+    // after the (small) pair list is checkpointed
     val banded = sigDf.select(col(idCol).as("__id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(concat_ws(",", slice(col(sigCol), j * rows + 1, lit(rows)))))))
+        posexplode(array((0 until bands).map(j =>
+          xxhash64(concat_ws(",", slice(col(sigCol), j * rows + 1, rows)))): _*)))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__bh"))
-    val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
-        col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
-      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val big = banded.groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+      val bigRows = big.collect()
+      if (bigRows.nonEmpty)
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          s"lshCandidates: dropping ${bigRows.length} degenerate band buckets (> $maxBucket " +
+          s"docs): ${bigRows.take(5).mkString(", ")} — mass-identical documents collide in " +
+          "every band; exact-dedup the corpus first")
+      val kept =
+        if (bigRows.isEmpty) banded
+        else banded.join(broadcast(big.select("__band", "__bh")), Seq("__band", "__bh"), "left_anti")
+      // band-bucket self-join; per-pair work stays codegen'd (see
+      // simhashCandidates for why not groupBy+emit), strategy left to stats
+      val l = kept.alias("l"); val r = kept.alias("r")
+      l.join(r, col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
+          col("l.__id") < col("r.__id"))
+        .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally banded.unpersist(false)
   }
 
   /** Exact Jaccard over distinct-shingle arrays for candidate pairs.
@@ -113,17 +141,24 @@ object Dedup {
     // sort + dedup once per DOCUMENT so the per-PAIR intersection is a
     // native allocation-free merge scan (graft_sorted_intersect) instead
     // of a hash set built per candidate pair — the verify join runs over
-    // the full candidate ball (millions of pairs under a wide radius)
+    // the full candidate ball (millions of pairs under a wide radius).
+    // Materialized ONCE: the hash+sort projection is per-row lambda work
+    // (interpreted) and the two join sides would each recompute it.
     val hashed = shingleDf.select(col("__id"),
-      sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__shh"))
-    val sa = hashed.select(col("__id").as("a_id"), col("__shh").as("__sha"))
-    val sb = hashed.select(col("__id").as("b_id"), col("__shh").as("__shb"))
-    pairs.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("__i", graft.functions.VectorExprs
-        .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
-      .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"))
+      sort_array(array_distinct(
+        graft.functions.VectorExprs.hashArray(col("__sh")))).as("__shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sa = hashed.select(col("__id").as("a_id"), col("__shh").as("__sha"))
+      val sb = hashed.select(col("__id").as("b_id"), col("__shh").as("__shb"))
+      pairs.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("__i", graft.functions.VectorExprs
+          .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
+        .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+    } finally hashed.unpersist(false)
   }
 
   /** Near-dup pairs via MinHash-LSH candidates + exact Jaccard verification.
@@ -172,7 +207,7 @@ object Dedup {
       // self-join shuffles 8-byte keys and compares longs (same collision
       // argument as verifyJaccard — one in-doc-pair collision per ~10^15)
       val inv = sh.select(col("__id"),
-        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+        explode(graft.functions.VectorExprs.hashArray(col("__sh"))).as("__s"))
       val common = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("__s")
       val commonList = common.collect().map(_.getLong(0))
@@ -188,6 +223,12 @@ object Dedup {
       val rareInv =
         if (commonList.isEmpty) inv
         else inv.join(broadcast(common), Seq("__s"), "left_anti")
+      // index self-join; join + count beats a groupBy-and-emit-pairs form
+      // because pair volume is Σ df² — per-pair work must stay codegen'd,
+      // not inside an interpreted array lambda (measured 40% slower). The
+      // join strategy is left to stats: broadcast is right while the
+      // index fits (it did at bench scale) and is never picked once the
+      // estimate is corpus-sized.
       val l = rareInv.alias("l"); val r = rareInv.alias("r")
       val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
         .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
@@ -200,7 +241,7 @@ object Dedup {
         if (commonList.isEmpty) withSizes.withColumn("__i", col("__ir"))
         else {
           val cpd = sh.select(col("__id"),
-            array_intersect(transform(col("__sh"), s => xxhash64(s)),
+            array_intersect(graft.functions.VectorExprs.hashArray(col("__sh")),
               typedLit(commonList)).as("__c"))
           withSizes
             .join(cpd.select(col("__id").as("a_id"), col("__c").as("__ca")), "a_id")
@@ -303,6 +344,10 @@ object Dedup {
     val kept =
       if (bigRows.isEmpty) chunks
       else chunks.join(broadcast(big.select("__ck", "__cv")), Seq("__ck", "__cv"), "left_anti")
+    // chunk-bucket self-join. Under a wide radius the candidate ball is
+    // millions of pairs, so the per-pair hamming test must stay inside
+    // codegen: a groupBy-and-emit-pairs form puts it in an interpreted
+    // array lambda and measured 10× slower at radius 13.
     val l = kept.alias("l"); val r = kept.alias("r")
     l.join(r, col("l.__ck") === col("r.__ck") && col("l.__cv") === col("r.__cv") &&
         col("l.__id") < col("r.__id"))
