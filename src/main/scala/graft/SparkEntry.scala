@@ -200,6 +200,18 @@ edges:
     // (nearest pair cosines 0.4497 / 0.4501 at sf0.1) so float noise
     // cannot flip membership against the oracle
     "p17_dedup_embed" -> ((s, d) => Similarity.nearDupEmbed(emb(s, d), "vec_id", "embedding", 0.45)),
+    // the LSH-bucketed scale path: planted near-copies (vec_id+1e6, ~0.02
+    // rad of noise — probeQueries) are the only pairs above tau=0.9 by
+    // construction (cross-vector cosine measured <= 0.5), and at that
+    // angle the 4-table miss rate is ~6e-6 with FIXED hyperplanes, so the
+    // output is deterministically the planted pair list
+    "p23_dedup_embed_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.nearDupEmbedANN(
+        e.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+          .unionByName(probeQueries(e)),
+        "vec_id", "embedding", 0.9)
+    }),
     // pairs → connected components → (doc_id, cluster_id): the composition
     // that turns near-dup pair lists into dedup decisions
     "p18_dedup_clusters" -> ((s, d) =>
@@ -445,6 +457,8 @@ edges:
     // vector as its rank-1 neighbor (see probeQueries above)
     "p06_sim_ann" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
+    "p23_dedup_embed_ann" -> ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id " +
+      "FROM embeddings WHERE vec_id < 10"),
     "p15_sim_ivf" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p17_dedup_embed" -> ("WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings) " +

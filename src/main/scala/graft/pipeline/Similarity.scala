@@ -144,6 +144,40 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Embedding near-dup pairs at scale: multi-table random-hyperplane LSH
+    * buckets the corpus, pairs form only WITHIN a bucket (per table),
+    * then exact cosine verification — the embedding-space analogue of
+    * [[graft.pipeline.Dedup.nearDupMinhash]]'s candidates+verify split,
+    * and the scale path [[nearDupEmbed]]'s scaladoc promises: shuffle
+    * volume is corpus × tables, never all-pairs. A pair at angle θ
+    * collides in one table with p = (1 − θ/π)^bits and is missed by all
+    * L tables with (1−p)^L — for near-dup-grade pairs (θ ≈ 0.02 rad,
+    * bits=8, L=4) the miss rate is ~6e-6, and the fixed-seed hyperplanes
+    * make any given corpus's outcome deterministic. */
+  def nearDupEmbedANN(corpus: DataFrame, idCol: String, vecCol: String,
+                      tau: Double, bits: Int = 8, dim: Int = 64,
+                      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val withNorm = corpus.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = (0 until tables).map { t =>
+        val bucketed = withNorm.select(col("__id"),
+          lshBucket(col("__v"), bits, dim, seed + t).as("__b"))
+        val l = bucketed.alias("l"); val r = bucketed.alias("r")
+        l.join(r, col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
+          .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+      }.reduce(_ unionByName _).distinct()
+      val va = withNorm.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
+      val vb = withNorm.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
+      cand.join(va, "a_id").join(vb, "b_id")
+        .filter(dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+    } finally withNorm.unpersist(false)
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH (the classic
     * E2LSH shape): candidates share the query's bucket in ANY of `tables`
     * independent hyperplane tables. A pair at angle θ collides in one

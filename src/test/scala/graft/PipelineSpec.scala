@@ -228,6 +228,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 3L))
   }
 
+  test("LSH-bucketed embedding near-dup matches the exact quadratic form") {
+    // tight clusters (within-cluster angle ~0.03 rad): ANN candidates must
+    // recover every exact pair at tau=0.9 — per-pair miss rate ~3e-5 over
+    // 150 pairs with FIXED hyperplanes, so the comparison is deterministic
+    val vecs = (0 until 60).map { i =>
+      val c = i / 6
+      val base = Array.tabulate(8)(j => math.cos(c * 0.7 + j).toFloat)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.005f * ((i * 13 + j) % 7) })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupEmbed(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    val ann = Similarity.nearDupEmbedANN(vecs, "vec_id", "embedding", 0.9,
+        bits = 6, dim = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture drifted: no exact pairs at tau=0.9")
+    // precision is exact by construction (ANN verifies with the same dot)
+    assert(ann.subsetOf(exact), s"ANN emitted non-pairs: ${(ann -- exact).take(5)}")
+    assert(ann == exact, s"ANN missed ${(exact -- ann).size} of ${exact.size} pairs")
+  }
+
   test("chunking covers every token with the configured overlap") {
     val words = (1 to 25).map(i => s"w$i")
     val docs = Seq((1L, words.mkString(" ")), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
