@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventsStreaming
 import graft.streaming.EventsStreaming.{Event, Session}
 
+case class EmbedArrival(vec_id: Long, embedding: Array[Double], ts: java.sql.Timestamp)
+
 /** Structured Streaming event analytics driven through MemoryStream. */
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -133,6 +135,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_._1).toSet == Set(1L))
       assert(rows.head._2 == "en")
     } finally q.stop()
+  }
+
+  test("streaming embedding near-dup flags arrivals against a static index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.SimilarityStreaming
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: two well-separated directions in R^8
+    val corpus = Seq(
+      (100L, Array.tabulate(8)(j => math.cos(j * 0.5))),
+      (200L, Array.tabulate(8)(j => math.sin(j * 0.9) - 0.5))).toDF("vec_id", "embedding")
+    val index = SimilarityStreaming.embedIndex(corpus, "vec_id", "embedding", bits = 6, dim = 8)
+      .persist()
+    index.count()
+    val input = MemoryStream[EmbedArrival]
+    val q = SimilarityStreaming.nearDupEmbedStream(
+        input.toDF(), "vec_id", "embedding", "ts", index, tau = 0.95, bits = 6, dim = 8)
+      .writeStream.format("memory").queryName("semb_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // near-copy of corpus vector 100 (tiny perturbation)
+        EmbedArrival(1, Array.tabulate(8)(j => math.cos(j * 0.5) + 0.004 * j), ts(1000)),
+        // unrelated direction: must not be flagged
+        EmbedArrival(2, Array.tabulate(8)(j => if (j % 2 == 0) 1.0 else -1.0), ts(1001)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT vec_id, dup_of FROM semb_out")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 100L)), s"got $rows")
+    } finally { q.stop(); index.unpersist() }
   }
 
   test("chunking and redaction apply to a stream unchanged (stateless ops)") {
