@@ -38,8 +38,13 @@ object TpchGraph {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraphFrame]()
 
-  def apply(spark: SparkSession, dir: String): GraphFrame =
+  def apply(spark: SparkSession, dir: String): GraphFrame = {
+    // drop entries whose session has stopped so a long-lived JVM that
+    // churns sessions doesn't pin their plans (the map stays tiny: one
+    // entry per live (session, dataset) pair)
+    memo.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
     memo.computeIfAbsent((spark, dir), { case (s, d) => build(s, d) })
+  }
 
   private def build(spark: SparkSession, dir: String): GraphFrame = {
     def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
