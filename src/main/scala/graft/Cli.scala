@@ -42,7 +42,11 @@ object Cli {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  private lazy val home: String = sys.env.getOrElse("GRAFT_HOME", "graft-graphs")
+  /** Test seam: set BEFORE the first command runs to point the store at a
+    * scratch directory (the env var can't be mutated in-JVM). */
+  private[graft] var homeOverride: Option[String] = None
+  private lazy val home: String =
+    homeOverride.getOrElse(sys.env.getOrElse("GRAFT_HOME", "graft-graphs"))
   private lazy val catalog = new Catalog(spark, home)
   private def jobsDir(g: String) = s"$home/$g/.jobs"
 

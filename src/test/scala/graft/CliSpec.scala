@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI surface end-to-end against a scratch store: the same command
+  * sequence a reference user runs (create/load/info/query/schema/job/
+  * dump/drop), asserted on captured stdout. */
+class CliSpec extends AnyFunSuite {
+  // force the shared test session FIRST so Cli's lazy getOrCreate joins it
+  lazy val spark = SparkTestSession.spark
+
+  private def run(args: String*): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.main(args.toArray)
+    }
+    out.toString("UTF-8")
+  }
+
+  test("create/load/info/query/schema/job/dump/drop command flow") {
+    spark // init session
+    Cli.homeOverride = Some(java.nio.file.Files.createTempDirectory("graft-cli").toString)
+    val res = getClass.getResource("/swapi/swapi.vertices").getPath
+    val dir = new java.io.File(res).getParent
+
+    assert(run("create", "empty").contains("created empty"))
+    assert(run("list").linesIterator.toSeq.contains("empty"))
+
+    assert(run("load", "sw", "--vertices", s"$dir/swapi.vertices",
+      "--edges", s"$dir/swapi.edges").contains("loaded sw"))
+    val info = run("info", "sw")
+    assert(info.contains("\"graph\":\"sw\"") && info.contains("\"vertexLabels\""))
+
+    val q = run("query", "sw", "V().hasLabel('Film').count()")
+    assert(q.trim == """{"count":1}""", q)
+
+    val schema = run("schema", "sw", "--sample-n", "10")
+    assert(schema.contains("Film") && schema.contains("Character"))
+
+    // async surface, synchronously through the library: submit → list →
+    // view (full elements) → resume (extension) → drop
+    val id = run("job", "submit", "sw", "V().hasLabel('Planet')").trim
+    assert(id.startsWith("job-"))
+    assert(run("job", "list", "sw").linesIterator.toSeq.contains(id))
+    val view = run("job", "view", "sw", id)
+    assert(view.linesIterator.size == 3 && view.contains("Tatooine"))
+    val resumed = run("job", "resume", "sw", id, ".in('homeworld').count()")
+    assert(resumed.contains("\"count\":"))
+    assert(run("job", "drop", "sw", id).contains(s"dropped $id"))
+
+    val dump = run("dump", "sw", "--vertices")
+    assert(dump.linesIterator.size > 30 && dump.contains("\"gid\""))
+
+    assert(run("drop", "sw").contains("dropped sw"))
+    assert(!run("list").linesIterator.toSeq.contains("sw"))
+  }
+}
