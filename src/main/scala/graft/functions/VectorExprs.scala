@@ -197,14 +197,16 @@ case class HashArray(child: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
-      val xx = org.apache.spark.sql.catalyst.expressions.XxHash64Function.getClass.getName.stripSuffix("$")
+      // XXH64.hashUTF8String is the public static XxHash64Function.hash
+      // delegates to for strings; a MODULE$ path through the Scala object
+      // is unresolvable from Janino (silent interpreted fallback).
+      val xx = "org.apache.spark.sql.catalyst.expressions.XXH64"
       s"""
          |int $n = $a.numElements();
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $out[$i] = $a.isNullAt($i) ? 42L
-         |    : $xx.MODULE$$.hash($a.getUTF8String($i),
-         |        org.apache.spark.sql.types.DataTypes.StringType, 42L);
+         |    : $xx.hashUTF8String($a.getUTF8String($i), 42L);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
        """.stripMargin
@@ -214,6 +216,78 @@ case class HashArray(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "graft_hash_array"
+}
+
+/** Distinct word n-gram shingles from a pre-split token array, as one
+  * native pass — the corpus-scan hot path of every text near-dup op.
+  * The Column-expression form (`transform(sequence(...), i =>
+  * concat_ws(slice(...)))` + `array_distinct`) runs its lambdas
+  * interpreted per shingle; this loop builds each shingle with one
+  * UTF8String.concatWs and dedups in insertion order via LinkedHashSet,
+  * matching array_distinct's first-occurrence semantics exactly.
+  *
+  * Fallback parity with Dedup.shingles: fewer than n tokens → one
+  * shingle = all tokens joined (split-on-space is lossless, so this IS
+  * the normalized text). Null array → null; null tokens (never produced
+  * by split) join as empty. */
+case class ShingleArray(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleArray.build(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      // addReferenceObj, not a MODULE$ path: the companion's MODULE$ field
+      // lives on class `ShingleArray$`, which Janino can't resolve through
+      // the case-class name (falls back to interpreted silently).
+      val b = ctx.addReferenceObj("shingleBuilder", ShingleArray, ShingleArray.getClass.getName)
+      s"${ev.value} = $b.build($a, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object ShingleArray {
+  private val SP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val EMPTY = org.apache.spark.unsafe.types.UTF8String.fromString("")
+
+  /** Shared by eval and codegen: one allocation-light pass. */
+  def build(a: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val len = a.numElements()
+    def tok(i: Int): UTF8String = if (a.isNullAt(i)) EMPTY else a.getUTF8String(i)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (len < n) {
+      val all = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { all(i) = tok(i); i += 1 }
+      out.add(UTF8String.concatWs(SP, all: _*))
+    } else {
+      val w = new Array[UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { w(j) = tok(i + j); j += 1 }
+        out.add(UTF8String.concatWs(SP, w: _*))
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
 }
 
 /** Reconstruct a 64-bit SimHash fingerprint from 16 lane-packed majority
@@ -299,5 +373,12 @@ object VectorExprs {
   def hashArray(arr: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(HashArray(shims.expression(arr)))
+  }
+
+  /** `graft_shingles(tokens, n)` as a Column — distinct word n-grams from
+    * a pre-split token array, first-occurrence order. */
+  def shingleArray(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(ShingleArray(shims.expression(tokens), n))
   }
 }

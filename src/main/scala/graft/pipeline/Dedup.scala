@@ -31,20 +31,14 @@ object Dedup {
 
   def normalize(text: Column): Column = lower(trim(text))
 
-  /** Distinct word n-gram shingles of a text column.
-    *
-    * The split word array is bound ONCE per row through a single-element
-    * `transform` lambda: referencing the `split(...)` subtree directly
-    * inside the per-shingle lambda re-splits the whole text once per
-    * shingle (~90x per document — measured 5.7 s vs 0.6 s over the sf0.1
-    * corpus), because expression trees get no subexpression elimination
-    * inside higher-order-function lambdas. */
+  /** Distinct word n-gram shingles of a text column: native split (codegen)
+    * into the native [[graft.functions.ShingleArray]] window builder — the
+    * earlier Column-expression form ran one interpreted lambda dispatch
+    * per shingle (HOFs get no codegen) and dominated every near-dup op's
+    * corpus scan. Output identical: distinct n-grams in first-occurrence
+    * order; fewer than n words → one shingle = the normalized text. */
   def shingles(text: Column, n: Int): Column =
-    element_at(transform(array(split(normalize(text), " ")), w =>
-      when(size(w) >= n,
-        array_distinct(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
-        .otherwise(array(normalize(text)))), 1)
+    graft.functions.VectorExprs.shingleArray(split(normalize(text), " "), n)
 
   /** Exact dedup: one survivor (min id) per normalized-text group.
     * At scale this is a single hash-shuffle on a 64-bit text hash; grouping

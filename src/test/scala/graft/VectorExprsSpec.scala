@@ -101,4 +101,77 @@ class VectorExprsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("__sic")
     assert(spark.sql("SELECT graft_sorted_intersect(a, b) FROM __sic").collect().head.getInt(0) == 2)
   }
+
+  /** The HOF form ShingleArray replaced — kept here as the reference model. */
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) =
+    element_at(transform(array(split(lower(trim(text)), " ")), w =>
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+        .otherwise(array(lower(trim(text))))), 1)
+
+  test("shingles: native expression matches the HOF form on random texts") {
+    // pseudo-random word sequences of varied length (0..24 words) with a
+    // small vocabulary so duplicate shingles occur and dedup order matters
+    val texts = spark.range(300).select(col("id"),
+      concat_ws(" ", transform(
+        sequence(lit(0L), pmod(xxhash64(col("id")), lit(25L))),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 13 + i), lit(7L))))).as("t"))
+    for (n <- Seq(1, 3, 5)) {
+      val cmp = texts.select(
+        graft.pipeline.Dedup.shingles(col("t"), n).as("fast"),
+        hofShingles(col("t"), n).as("ref"))
+      assert(cmp.filter(not(col("fast") === col("ref"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("shingles: fewer than n words collapses to the normalized text; null is null") {
+    val df = Seq(Some("  Two WORDS  "), Some(""), None).toDF("t")
+    val out = df.select(graft.pipeline.Dedup.shingles(col("t"), 3).as("s")).collect()
+    assert(out(0).getSeq[String](0) == Seq("two words"))
+    assert(out(1).getSeq[String](0) == Seq(""))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("hash array matches per-element xxhash64 builtin") {
+    val arrs = spark.range(200).select(
+      transform(sequence(lit(0L), pmod(xxhash64(col("id")), lit(12L))),
+        i => concat(lit("s"), xxhash64(col("id") * 31 + i))).as("a"))
+    val cmp = arrs.select(
+      graft.functions.VectorExprs.hashArray(col("a")).as("fast"),
+      transform(col("a"), s => xxhash64(s)).as("ref"))
+    assert(cmp.filter(not(col("fast") === col("ref"))).count() == 0)
+  }
+
+  test("every native expression force-compiles (no silent interpreted fallback)") {
+    // Predicate/Projection factories swallow CompileException and fall back
+    // to interpreted eval with only a log line — results stay correct, the
+    // perf win silently vanishes. Generating the projection directly throws.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    val strArr = BoundReference(0, ArrayType(StringType), nullable = true)
+    val fltArr = BoundReference(1, ArrayType(FloatType), nullable = true)
+    val lngArr = BoundReference(2, ArrayType(LongType), nullable = true)
+    val exprs = Seq(
+      graft.functions.ShingleArray(strArr, 3),
+      graft.functions.HashArray(strArr),
+      graft.functions.DotProduct(fltArr, fltArr),
+      graft.functions.SortedIntersectCount(lngArr, lngArr),
+      graft.functions.PackedMajority(lngArr, Literal(5L)))
+    exprs.foreach { e =>
+      GenerateUnsafeProjection.generate(Seq(e.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Expression])) // throws on codegen failure
+    }
+  }
+
+  test("shingles: interpreted eval agrees with codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = Literal.create(Array("a", "b", "a", "b", "c"), ArrayType(StringType))
+    val e = graft.functions.ShingleArray(toks, 2)
+    val interp = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val got = (0 until interp.numElements()).map(interp.getUTF8String(_).toString)
+    assert(got == Seq("a b", "b a", "b c")) // distinct, first-occurrence order
+  }
 }
