@@ -252,6 +252,17 @@ edges:
       TextAnalysis.redact(concat(col("text"), lit(" contact: user"), col("doc_id"),
         lit("@example.com call +1 (555) 010-"), col("doc_id"),
         lit(" ref 99887766"))).as("redacted"))),
+    // benchmark decontamination: every 20th doc plays the held-out
+    // benchmark; the rest is the training corpus to be screened
+    "p24_decontaminate" -> ((s, d) => Dedup.decontaminate(
+      docs(s, d).filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docs(s, d).filter(col("doc_id") % 20 === 0), "text")),
+    // deterministic md5-bucket train/val/test assignment
+    "p25_split" -> ((s, d) => Curation.split(docs(s, d), "doc_id")),
+    // Gopher-style repetition signals: duplicate word + bigram fractions
+    "p26_repetition" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.dupWordFrac(col("text")).as("dup_word"),
+      TextAnalysis.dupBigramFrac(col("text")).as("dup_bigram"))),
   )
 
   /** Shared SQL fragments for the document-shingle oracles. */
@@ -504,5 +515,29 @@ edges:
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
       "'[0-9]{6,}', '<ID>', 'g'), " +
       "'\\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted FROM documents"),
+    "p24_decontaminate" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "sh4 AS (SELECT doc_id, CASE WHEN len(w) >= 4 " +
+      "THEN list_distinct(list_transform(generate_series(1, len(w)-3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) " +
+      "ELSE [array_to_string(w, ' ')] END AS s FROM dw), " +
+      "bench AS (SELECT DISTINCT unnest(s) AS bs FROM sh4 WHERE doc_id % 20 = 0), " +
+      "corp AS (SELECT doc_id, unnest(s) AS cs FROM sh4 WHERE doc_id % 20 <> 0) " +
+      "SELECT c.doc_id, count(*) AS hits FROM corp c JOIN bench b ON c.cs = b.bs GROUP BY c.doc_id"),
+    "p25_split" -> splitSql,
+    "p26_repetition" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "b AS (SELECT doc_id, w, " +
+      "list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM dw) " +
+      "SELECT doc_id, round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word, " +
+      "CASE WHEN len(w) - 1 <= 0 THEN 0.0 ELSE round(1.0 - len(bg) * 1.0 / (len(w) - 1), 4) END AS dup_bigram " +
+      "FROM b"),
   )
+
+  /** Train/val/test oracle generated from [[Curation.splitBoundaries]] —
+    * the same hex cut points the Column implementation compares against. */
+  private def splitSql: String = {
+    val bounds = Curation.splitBoundaries(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val cases = bounds.dropRight(1).map { case (name, hex) =>
+      s"WHEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '$hex' THEN '$name'"
+    }.mkString(" ")
+    s"SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS part FROM documents"
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-call corpus curation — the composition a training-data pipeline
@@ -25,5 +25,40 @@ object Curation {
         TextAnalysis.wsTokens(col(textCol)).as("ws_tokens"))
       .filter(col("quality") >= minQuality &&
         col("ws_tokens").between(minTokens, maxTokens))
+  }
+
+  /** Cumulative fraction boundaries as fixed-width lowercase hex strings;
+    * 8 hex digits of md5 give 2^32 buckets, so fraction resolution is
+    * ~2.3e-10. Fixed width + lowercase hex makes lexicographic comparison
+    * equal numeric comparison (digits sort before a-f in ASCII). Shared by
+    * the Column implementation and the generated oracle SQL — they cannot
+    * drift. */
+  def splitBoundaries(fractions: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $fractions")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    fractions.map(_._1).zip(cum.map(c =>
+      f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x"))
+  }
+
+  /** Deterministic train/val/test assignment: bucket each document by the
+    * first 8 hex digits of md5(id) and cut at the cumulative-fraction
+    * boundaries. Output: (idCol, part). The assignment is a pure property
+    * of the id — stable under reruns, re-partitioning, corpus growth, and
+    * engine changes — which is what makes held-out splits reproducible.
+    *
+    * Scale shape: a narrow per-row map, no shuffle, no state; the parquet
+    * scan prunes to the id column alone. */
+  def split(df: DataFrame, idCol: String,
+            fractions: Seq[(String, Double)] =
+              Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val bounds = splitBoundaries(fractions)
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    // last boundary is the exhaustive else-branch: everything below ffffffff+1
+    val assign = bounds.dropRight(1).foldRight(lit(bounds.last._1): Column) {
+      case ((name, hexBound), elseCol) => when(bucket < hexBound, lit(name)).otherwise(elseCol)
+    }
+    df.select(col(idCol), assign.as("part"))
   }
 }

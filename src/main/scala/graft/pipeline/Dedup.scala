@@ -533,4 +533,34 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-gram shingles with ANY benchmark
+    * document — the hygiene pass that keeps evaluation sets out of a
+    * training corpus. Output: (idCol, hits) per contaminated document,
+    * hits = how many of its distinct shingles occur anywhere in the
+    * benchmark. Drop flagged rows with a left_anti on the result to clean.
+    *
+    * Scale shape: a benchmark suite is tiny next to a 100 TB corpus, so
+    * the distinct benchmark shingle-hash set builds in one narrow
+    * aggregation and broadcasts into the corpus-side semi-join (Catalyst
+    * picks broadcast from stats while it fits; the corpus itself never
+    * shuffles before the per-document count). Shingles join as xxhash64
+    * keys — 8-byte shuffle rows, same collision bound as the near-dup
+    * verifies (~one in-doc collision per 10^15). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    shingleN: Int = 4, minOverlap: Long = 1L): DataFrame = {
+    val bsh = bench.select(explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(benchTextCol), shingleN))).as("__s"))
+      .distinct()
+    val csh = corpus.select(col(idCol), explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(textCol), shingleN))).as("__s"))
+    // shingles() emits distinct shingles per document, so count(*) after the
+    // semi-join IS |doc shingles ∩ benchmark shingles|
+    csh.join(bsh, Seq("__s"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minOverlap)
+  }
 }

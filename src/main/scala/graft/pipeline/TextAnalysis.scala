@@ -55,6 +55,27 @@ object TextAnalysis {
     * count as one token (a cheap proxy for subword tokenizer cost). */
   def reTokens(text: Column): Column = regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Duplicate-word fraction (1 − distinct/total over whitespace words) —
+    * the classic repetition quality signal: templated or looping text
+    * scores high, natural prose low. Rounded to 4 decimals like
+    * [[qualityScore]]. */
+  def dupWordFrac(text: Column): Column = {
+    val w = words(text)
+    round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
+  }
+
+  /** Duplicate word-bigram fraction — catches phrase-level repetition that
+    * the unigram signal misses (alternating boilerplate). Documents with
+    * fewer than two words have no bigrams and score 0. Distinct bigrams
+    * come from the native [[graft.functions.ShingleArray]] pass. */
+  def dupBigramFrac(text: Column): Column = {
+    val w = words(text)
+    val total = (size(w) - 1).cast("double")
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(graft.functions.VectorExprs.shingleArray(w, 2)).cast("double") / total, 4))
+  }
+
   /** Rolling-hash document fingerprint: fold word lengths through
     * h = (h*31 + len) mod 1e9+7, seeded with 7. Order-sensitive (catches
     * shuffled copies that a bag-of-words hash would miss). */

@@ -281,4 +281,53 @@ class PipelineSpec extends AnyFunSuite {
       "short 12345 stays, year 2024 stays",
       "plain text untouched"))
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "prefix words alpha beta gamma delta suffix"), // shares 4-grams
+      (1L, "alpha beta gamma unrelated delta epsilon x"), // no shared 4-gram window
+      (2L, "nothing in common at all here friend")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    // doc 0 shares windows "alpha beta gamma delta" only -> hits 1
+    assert(got == Map(0L -> 1L))
+    // raising minOverlap above the hit count clears the flag
+    assert(Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+      minOverlap = 2L).count() == 0)
+  }
+
+  test("split: deterministic, exhaustive, and proportional to the fractions") {
+    val ids = spark.range(20000).select($"id".as("doc_id"))
+    val a = Curation.split(ids, "doc_id").as[(Long, String)].collect().toMap
+    val b = Curation.split(ids.orderBy(rand(7)), "doc_id").as[(Long, String)].collect().toMap
+    assert(a == b) // pure function of the id, not of row order
+    val byPart = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byPart.keySet == Set("train", "val", "test"))
+    assert(math.abs(byPart("train") / 20000.0 - 0.9) < 0.01)
+    assert(math.abs(byPart("val") / 20000.0 - 0.05) < 0.005)
+    assert(math.abs(byPart("test") / 20000.0 - 0.05) < 0.005)
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
+  test("repetition fractions: hand-computed dup word and bigram rates") {
+    val rows = Seq(
+      (0L, "a b c d"),          // no repetition
+      (1L, "a a a a"),          // words 4->1 dup .75; bigrams 3 -> 1 distinct -> 2/3
+      (2L, "a b a b a"),        // words 5->2 dup .6; bigrams: "a b","b a" over 4 -> .5
+      (3L, "solo")              // single word: bigram rate defined as 0
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextAnalysis.dupWordFrac($"text").as("w"),
+        TextAnalysis.dupBigramFrac($"text").as("b"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == (0.0, 0.0))
+    assert(got(1L) == (0.75, 0.6667))
+    assert(got(2L) == (0.6, 0.5))
+    assert(got(3L) == (0.0, 0.0))
+  }
 }
