@@ -263,6 +263,9 @@ edges:
     "p26_repetition" -> ((s, d) => docs(s, d).select(col("doc_id"),
       TextAnalysis.dupWordFrac(col("text")).as("dup_word"),
       TextAnalysis.dupBigramFrac(col("text")).as("dup_bigram"))),
+    // deterministic per-source downsampling (data-mixing rebalance)
+    "p27_sample" -> ((s, d) => Curation.sampleByGroup(
+      docs(s, d).select(col("doc_id"), col("source")), "doc_id", "source", 20)),
   )
 
   /** Shared SQL fragments for the document-shingle oracles. */
@@ -523,6 +526,10 @@ edges:
       "corp AS (SELECT doc_id, unnest(s) AS cs FROM sh4 WHERE doc_id % 20 <> 0) " +
       "SELECT c.doc_id, count(*) AS hits FROM corp c JOIN bench b ON c.cs = b.bs GROUP BY c.doc_id"),
     "p25_split" -> splitSql,
+    "p27_sample" -> ("SELECT doc_id, source FROM (" +
+      "SELECT doc_id, source, row_number() OVER (" +
+      "PARTITION BY source ORDER BY substr(md5(cast(doc_id AS varchar)), 1, 8), doc_id) AS r " +
+      "FROM documents) WHERE r <= 20"),
     "p26_repetition" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, w, " +
       "list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM dw) " +

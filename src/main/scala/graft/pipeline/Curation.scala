@@ -61,4 +61,26 @@ object Curation {
     }
     df.select(col(idCol), assign.as("part"))
   }
+
+  /** Deterministic per-group downsampling — the source-rebalancing step of
+    * a data-mixing pipeline: keep at most `k` rows per group, chosen by
+    * md5(id) order so the sample is uniform-random in effect yet identical
+    * across reruns (ties broken by the id itself). Keeps every row of
+    * groups smaller than `k`.
+    *
+    * Scale shape: one shuffle on the group key, rank inside each
+    * partition. A group far larger than its siblings makes its partition
+    * the straggler; when k ≪ group size, pre-filter with a generous
+    * hash-prefix cutoff (e.g. `split`-style bucketing to ~4k candidates)
+    * before ranking so the skewed partition ranks a bounded candidate set
+    * instead of the whole group. */
+  def sampleByGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    val w = Window.partitionBy(col(groupCol)).orderBy(bucket, col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

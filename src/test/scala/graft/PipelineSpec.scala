@@ -314,6 +314,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleByGroup keeps at most k per group, deterministically") {
+    val rows = spark.range(1000).select($"id".as("doc_id"),
+      (pmod($"id", lit(4L))).cast("string").as("src"))
+    val a = Curation.sampleByGroup(rows, "doc_id", "src", 10)
+      .as[(Long, String)].collect().toSet
+    val b = Curation.sampleByGroup(rows.orderBy(rand(11)), "doc_id", "src", 10)
+      .as[(Long, String)].collect().toSet
+    assert(a == b && a.size == 40)
+    assert(a.groupBy(_._2).forall(_._2.size == 10))
+    // a group smaller than k survives whole
+    val small = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "src")
+    assert(Curation.sampleByGroup(small, "doc_id", "src", 10).count() == 3)
+  }
+
   test("repetition fractions: hand-computed dup word and bigram rates") {
     val rows = Seq(
       (0L, "a b c d"),          // no repetition
