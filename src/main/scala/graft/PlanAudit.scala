@@ -76,6 +76,20 @@ edges:
     graft.pipeline.TextAnalysis.chunk(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 32, 8)
       .explain("formatted")
+    // decontamination: the benchmark shingle set must arrive as a
+    // BroadcastHashJoin LeftSemi (the corpus side must NOT exchange before
+    // the join) and the final count must show a partial_count before its
+    // single hash exchange
+    println("==== decontaminate_broadcast_semi ====")
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    graft.pipeline.Dedup.decontaminate(
+      docsDf.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docsDf.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0), "text")
+      .explain("formatted")
+    // split assignment is a pure per-row map: no Exchange, ReadSchema
+    // pruned to the id column alone
+    println("==== split_shuffle_free ====")
+    graft.pipeline.Curation.split(docsDf, "doc_id").explain("formatted")
     spark.stop()
   }
 }

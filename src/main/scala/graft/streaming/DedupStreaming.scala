@@ -91,4 +91,35 @@ object DedupStreaming {
       .dropDuplicatesWithinWatermark(idCol, "__cid")
       .select(col(idCol), col("__cid").as("dup_of"), col("jaccard"))
   }
+
+  /** Distinct shingle-hash set of a benchmark suite — the static side of
+    * [[contaminatedStream]]. Benchmarks are tiny next to the stream's
+    * lifetime volume, so this builds in one narrow aggregation and is
+    * broadcast into every micro-batch's semi-join. Build once, persist. */
+  def benchmarkIndex(bench: DataFrame, textCol: String, shingleN: Int = 4): DataFrame =
+    bench.select(explode(graft.functions.VectorExprs.hashArray(
+        Dedup.shingles(col(textCol), shingleN))).as("__s"))
+      .distinct()
+
+  /** Streaming twin of [[graft.pipeline.Dedup.decontaminate]]: flag
+    * arriving documents sharing ANY word n-gram shingle with the static
+    * benchmark suite, as they arrive. Output: (idCol, tsCol) append rows,
+    * one per contaminated arrival within the watermark horizon.
+    *
+    * State shape: the shingle explode + stream-static semi-join keep NO
+    * stream state; the only state is the per-id dedup within the
+    * watermark (a doc matching several benchmark shingles emits once).
+    * Arrivals needing an overlap threshold > 1 belong in the batch op —
+    * counting per doc would force a stateful aggregation for a signal the
+    * nightly batch pass computes exactly. */
+  def contaminatedStream(stream: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, benchIndex: DataFrame,
+                         shingleN: Int = 4, horizon: String = "1 hour"): DataFrame =
+    stream.select(col(idCol), col(tsCol),
+        explode(graft.functions.VectorExprs.hashArray(
+          Dedup.shingles(col(textCol), shingleN))).as("__s"))
+      .join(benchIndex, Seq("__s"), "left_semi")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
 }

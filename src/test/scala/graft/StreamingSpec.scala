@@ -113,6 +113,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination flags arrivals overlapping the benchmark") {
+    import spark.implicits._
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val index = DedupStreaming.benchmarkIndex(bench, "text").persist()
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = DedupStreaming.contaminatedStream(
+        input.toDF(), "doc_id", "text", "ts", index)
+      .writeStream.format("memory").queryName("sdecon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(10, "prefix alpha beta gamma delta epsilon suffix", ts(1000)),
+        DedupStreaming.Doc(11, "alpha beta unrelated gamma delta epsilon no window", ts(1001)),
+        DedupStreaming.Doc(12, "nothing shared with the benchmark here at all", ts(1002)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id FROM sdecon_out").as[Long].collect().toSeq
+      assert(rows == Seq(10L)) // one row despite doc 10 sharing two 4-gram windows
+    } finally {
+      q.stop(); index.unpersist()
+    }
+  }
+
   test("streaming curation dedups, tags, and gates arrivals") {
     import spark.implicits._
     import graft.streaming.{CurationStreaming, DedupStreaming}
