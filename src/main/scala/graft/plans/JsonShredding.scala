@@ -261,5 +261,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_sorted_intersect expects 2 arguments, got ${args.length}")
         graft.functions.SortedIntersectCount(args.head, args(1))
       }))
+    // graft_hash_array(arr): xxhash64 of every string element in one pass
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash_array"),
+      new ExpressionInfo(classOf[graft.functions.HashArray].getName, "graft_hash_array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_hash_array expects 1 argument, got ${args.length}")
+        graft.functions.HashArray(args.head)
+      }))
+    // graft_shingles(tokens, n): distinct word n-grams of a token array;
+    // n must be an integer literal (it is part of the expression's shape)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.ShingleArray].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_shingles expects 2 arguments, got ${args.length}")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles width must be an integer literal, got $other")
+        }
+        graft.functions.ShingleArray(args.head, n)
+      }))
   }
 }

@@ -165,6 +165,18 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingles and graft_hash_array are callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_hash_array(graft_shingles(split('a b c d', ' '), 2)) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(r.length == 3) // "a b", "b c", "c d"
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(split('a b', ' '), 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("shingles: interpreted eval agrees with codegen result") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, StringType}
