@@ -266,6 +266,18 @@ edges:
     // deterministic per-source downsampling (data-mixing rebalance)
     "p27_sample" -> ((s, d) => Curation.sampleByGroup(
       docs(s, d).select(col("doc_id"), col("source")), "doc_id", "source", 20)),
+    // the full pre-training data path in one plan: curate the corpus,
+    // remove benchmark-contaminated docs, assign train/val/test
+    "p28_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      val bench = all.filter(col("doc_id") % 20 === 0)
+      val corpus = all.filter(col("doc_id") % 20 =!= 0)
+      val contaminated = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      Curation.curate(corpus, "doc_id", "text")
+        .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          Curation.splitAssign(col("doc_id")).as("part"))
+    }),
   )
 
   /** Shared SQL fragments for the document-shingle oracles. */
@@ -530,6 +542,7 @@ edges:
       "SELECT doc_id, source, row_number() OVER (" +
       "PARTITION BY source ORDER BY substr(md5(cast(doc_id AS varchar)), 1, 8), doc_id) AS r " +
       "FROM documents) WHERE r <= 20"),
+    "p28_pipeline" -> pipelineSql,
     "p26_repetition" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, w, " +
       "list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM dw) " +
@@ -541,10 +554,46 @@ edges:
   /** Train/val/test oracle generated from [[Curation.splitBoundaries]] —
     * the same hex cut points the Column implementation compares against. */
   private def splitSql: String = {
+    s"SELECT doc_id, $splitCaseSql AS part FROM documents"
+  }
+
+  /** The bare split CASE expression over `doc_id`, shared by the p25 and
+    * p28 oracles. */
+  private def splitCaseSql: String = {
     val bounds = Curation.splitBoundaries(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val cases = bounds.dropRight(1).map { case (name, hex) =>
       s"WHEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '$hex' THEN '$name'"
     }.mkString(" ")
-    s"SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS part FROM documents"
+    s"CASE $cases ELSE '${bounds.last._1}' END"
+  }
+
+  /** The composed pre-training pipeline oracle: curation (exact-dedup
+    * survivors + quality/token gates + language tag) over the non-benchmark
+    * corpus, minus 4-gram-contaminated docs, with the split assignment —
+    * each stage the same SQL as its standalone oracle (p19/p24/p25). */
+  private def pipelineSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w, text FROM documents WHERE doc_id % 20 <> 0),
+       |h AS (SELECT doc_id,
+       |  $langHits,
+       |  cast(len(w) AS double) AS n,
+       |  cast(len(list_filter(w, x -> list_contains($en, x))) AS double) AS s,
+       |  cast(len(string_split(text, ' ')) AS bigint) AS ws FROM t),
+       |k AS (SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id % 20 <> 0 GROUP BY lower(trim(text))),
+       |cur AS (SELECT * FROM (
+       |  SELECT h.doc_id, $langCase AS lang_pred,
+       |    round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS quality,
+       |    ws AS ws_tokens
+       |  FROM h JOIN k ON h.doc_id = k.doc_id)
+       |  WHERE quality >= 0.5 AND ws_tokens BETWEEN 5 AND 10000),
+       |dwall AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |sh4 AS (SELECT doc_id, CASE WHEN len(w) >= 4
+       |  THEN list_distinct(list_transform(generate_series(1, len(w)-3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+       |  ELSE [array_to_string(w, ' ')] END AS s FROM dwall),
+       |bench AS (SELECT DISTINCT unnest(s) AS bs FROM sh4 WHERE doc_id % 20 = 0),
+       |corp AS (SELECT doc_id, unnest(s) AS cs FROM sh4 WHERE doc_id % 20 <> 0),
+       |con AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.cs = b.bs)
+       |SELECT doc_id, lang_pred, quality, $splitCaseSql AS part FROM cur
+       |WHERE doc_id NOT IN (SELECT doc_id FROM con)""".stripMargin
   }
 }

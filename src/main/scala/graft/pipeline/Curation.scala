@@ -52,14 +52,20 @@ object Curation {
     * scan prunes to the id column alone. */
   def split(df: DataFrame, idCol: String,
             fractions: Seq[(String, Double)] =
-              Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+              Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame =
+    df.select(col(idCol), splitAssign(col(idCol), fractions).as("part"))
+
+  /** The split assignment as a bare Column, for composing into a wider
+    * projection without a join. */
+  def splitAssign(id: Column,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): Column = {
     val bounds = splitBoundaries(fractions)
-    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    val bucket = substring(md5(id.cast("string").cast("binary")), 1, 8)
     // last boundary is the exhaustive else-branch: everything below ffffffff+1
-    val assign = bounds.dropRight(1).foldRight(lit(bounds.last._1): Column) {
+    bounds.dropRight(1).foldRight(lit(bounds.last._1): Column) {
       case ((name, hexBound), elseCol) => when(bucket < hexBound, lit(name)).otherwise(elseCol)
     }
-    df.select(col(idCol), assign.as("part"))
   }
 
   /** Deterministic per-group downsampling — the source-rebalancing step of

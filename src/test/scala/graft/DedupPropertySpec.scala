@@ -86,6 +86,24 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate == brute-force shingle intersection on random corpora") {
+    for (seed <- Seq(11L, 29L)) {
+      val texts = sample(genDoc, 30, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (benchDocs, corpusDocs) = docs.partition(_._1 % 5 == 0)
+      val benchSh = benchDocs.flatMap(d => shingleSet(d._2, 4)).toSet
+      val want = corpusDocs
+        .map { case (id, t) => id -> shingleSet(t, 4).count(benchSh) }
+        .filter(_._2 >= 1).toMap
+      val got = graft.pipeline.Dedup.decontaminate(
+          corpusDocs.toDF("doc_id", "text"), "doc_id", "text",
+          benchDocs.toDF("doc_id", "text"), "text")
+        .as[(Long, Long)].collect().map(r => r._1 -> r._2.toInt).toMap
+      assert(got == want, s"seed $seed: extra=${(got.toSet -- want.toSet).take(5)} " +
+        s"missing=${(want.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("capped run restores common-shingle contributions exactly") {
     // two docs that share BOTH a corpus-common shingle and a rare one: the
     // rare shingle makes them a candidate, and the pair only clears the
