@@ -53,7 +53,7 @@ object DedupStreaming {
       // sorted+distinct so the per-candidate verify is a merge scan
       // (graft_sorted_intersect) — must match the stream side's encoding
       .select(col("__cid"),
-        sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__cshh"),
+        sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__cshh"),
         posexplode(bandKeys(col("__sig"), bands, rows)))
     signed.select(col("__cid"), col("__cshh"),
       col("pos").as("__band"), col("col").as("__bh"))
@@ -73,7 +73,7 @@ object DedupStreaming {
     val rows = numHashes / bands
     val sh = Dedup.shingles(col(textCol), shingleN)
     val withSig = stream
-      .withColumn("__shh", sort_array(array_distinct(transform(sh, s => xxhash64(s)))))
+      .withColumn("__shh", sort_array(array_distinct(graft.functions.VectorExprs.hashArray(sh))))
       .withColumn("__sig", Dedup.minhashSignature(sh, numHashes))
       .select(col(idCol), col(tsCol), col("__shh"),
         posexplode(bandKeys(col("__sig"), bands, rows)))
