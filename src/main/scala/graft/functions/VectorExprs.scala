@@ -290,6 +290,58 @@ object ShingleArray {
   }
 }
 
+/** Rolling length hash over a token array — the document fingerprint's
+  * fold h = (h·31 + numChars(token)) mod 1e9+7 seeded with 7, as one
+  * native loop. The `aggregate(transform(...))` HOF form it replaces runs
+  * two interpreted lambda dispatches per word. Order-sensitive by
+  * construction. Null array → null; a null element poisons the fold to
+  * null (parity with the HOF form, where `acc + null` is null) — split()
+  * never produces one. numChars matches the builtin `length()` on
+  * strings, so the DuckDB oracle's character-length fold is unchanged. */
+case class RollingLengthHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_len_hash expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    var h = 7L
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(i)) return null
+      h = (h * 31L + a.getUTF8String(i).numChars()) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long $h = 7L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $h = ($h * 31L + $a.getUTF8String($i).numChars()) % 1000000007L;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_rolling_len_hash"
+}
+
 /** Reconstruct a 64-bit SimHash fingerprint from 16 lane-packed majority
   * counters (4 × 16-bit lanes per long; pack j lane l = count of hash bit
   * l*16+j) and the token count: bit p of the result is set iff its counter
@@ -380,5 +432,12 @@ object VectorExprs {
   def shingleArray(tokens: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(ShingleArray(shims.expression(tokens), n))
+  }
+
+  /** `graft_rolling_len_hash(tokens)` as a Column — the fingerprint fold
+    * h = (h·31 + length) mod 1e9+7 over token lengths. */
+  def rollingLengthHash(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(RollingLengthHash(shims.expression(tokens)))
   }
 }

@@ -78,10 +78,11 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: fold word lengths through
     * h = (h*31 + len) mod 1e9+7, seeded with 7. Order-sensitive (catches
-    * shuffled copies that a bag-of-words hash would miss). */
+    * shuffled copies that a bag-of-words hash would miss). Native loop
+    * ([[graft.functions.RollingLengthHash]]) — the aggregate/transform
+    * HOF form ran two interpreted lambda dispatches per word. */
   def fingerprint(text: Column): Column =
-    aggregate(transform(words(text), w => length(w).cast("long")),
-      lit(7L), (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+    graft.functions.VectorExprs.rollingLengthHash(words(text))
 
   /** Split documents into overlapping token-window chunks — the standard
     * pre-embedding/pre-training segmentation. Chunk c covers whitespace

@@ -133,6 +133,25 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(0))
   }
 
+  test("rolling length hash matches the HOF fold; null element poisons to null") {
+    val arrs = spark.range(150).select(
+      transform(sequence(lit(0L), pmod(xxhash64(col("id")), lit(15L))),
+        i => concat(lit("w"), xxhash64(col("id") * 17 + i) % 1000)).as("a"))
+    val cmp = arrs.select(
+      graft.functions.VectorExprs.rollingLengthHash(col("a")).as("fast"),
+      aggregate(transform(col("a"), w => length(w).cast("long")),
+        lit(7L), (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("ref"))
+    assert(cmp.filter(not(col("fast") === col("ref"))).count() == 0)
+    val edge = Seq(
+      (Some(Seq(Some("ab"), None)), 1),
+      (None: Option[Seq[Option[String]]], 2),
+      (Some(Seq[Option[String]]()), 3)
+    ).toDF("a", "i")
+    val out = edge.orderBy("i")
+      .select(graft.functions.VectorExprs.rollingLengthHash(col("a"))).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && out(2).getLong(0) == 7L)
+  }
+
   test("hash array matches per-element xxhash64 builtin") {
     val arrs = spark.range(200).select(
       transform(sequence(lit(0L), pmod(xxhash64(col("id")), lit(12L))),
@@ -158,7 +177,8 @@ class VectorExprsSpec extends AnyFunSuite {
       graft.functions.HashArray(strArr),
       graft.functions.DotProduct(fltArr, fltArr),
       graft.functions.SortedIntersectCount(lngArr, lngArr),
-      graft.functions.PackedMajority(lngArr, Literal(5L)))
+      graft.functions.PackedMajority(lngArr, Literal(5L)),
+      graft.functions.RollingLengthHash(strArr))
     exprs.foreach { e =>
       GenerateUnsafeProjection.generate(Seq(e.asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Expression])) // throws on codegen failure
