@@ -266,6 +266,11 @@ edges:
     // deterministic per-source downsampling (data-mixing rebalance)
     "p27_sample" -> ((s, d) => Curation.sampleByGroup(
       docs(s, d).select(col("doc_id"), col("source")), "doc_id", "source", 20)),
+    // boilerplate report: 3-gram passages in >= 5 documents
+    "p29_boilerplate" -> ((s, d) => Dedup.commonShingles(docs(s, d), "doc_id", "text")),
+    // GPT-style packing map: concatenate per source in id order, cut
+    // every 2048 tokens; each doc gets its starting (sequence, offset)
+    "p30_pack" -> ((s, d) => Curation.pack(docs(s, d), "doc_id", "text", "source", 2048L)),
     // the full pre-training data path in one plan: curate the corpus,
     // remove benchmark-contaminated docs, assign train/val/test
     "p28_pipeline" -> ((s, d) => {
@@ -543,6 +548,17 @@ edges:
       "PARTITION BY source ORDER BY substr(md5(cast(doc_id AS varchar)), 1, 8), doc_id) AS r " +
       "FROM documents) WHERE r <= 20"),
     "p28_pipeline" -> pipelineSql,
+    "p29_boilerplate" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 " +
+      "THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) " +
+      "ELSE [array_to_string(w, ' ')] END AS s FROM dw), " +
+      "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh) " +
+      "SELECT shingle, count(*) AS n_docs FROM ex GROUP BY shingle HAVING count(*) >= 5"),
+    "p30_pack" -> ("WITH t AS (SELECT doc_id, source, " +
+      "cast(len(string_split(text, ' ')) AS bigint) AS tok FROM documents), " +
+      "c AS (SELECT doc_id, source, coalesce(sum(tok) OVER (" +
+      "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
+      "SELECT doc_id, source, cum // 2048 AS seq_idx, cum % 2048 AS seq_off FROM c"),
     "p26_repetition" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, w, " +
       "list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM dw) " +

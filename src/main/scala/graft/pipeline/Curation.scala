@@ -89,4 +89,30 @@ object Curation {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** GPT-style sequence packing map: documents are concatenated per group
+    * in id order and cut every `seqLen` tokens; each document is assigned
+    * the sequence index and offset where it STARTS (documents span cut
+    * points — the standard concatenate-then-chop pre-training layout, not
+    * first-fit bin packing). Output: (idCol, groupCol, seq_idx, seq_off).
+    *
+    * Scale shape: one shuffle on the group key and a running prefix sum
+    * inside each group — the same window the per-group sampler uses. The
+    * group is the packing unit (a shard/source), so no global total order
+    * is ever required. */
+  def pack(df: DataFrame, idCol: String, textCol: String, groupCol: String,
+           seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol),
+        TextAnalysis.wsTokens(col(textCol)).as("__t"))
+      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+      // `div`, not `/`: exact long division (a double round-trip loses
+      // exactness past 2^53 cumulative tokens per group)
+      .select(col(idCol), col(groupCol),
+        expr(s"__cum div ${seqLen}L").as("seq_idx"),
+        (col("__cum") % seqLen).as("seq_off"))
+  }
 }

@@ -563,4 +563,21 @@ object Dedup {
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minOverlap)
   }
+
+  /** Boilerplate detection: word n-gram passages appearing in at least
+    * `minDf` distinct documents, with their document frequency — the
+    * corpus-health report behind the n-gram index's df-cap (headers,
+    * license blocks, templated navigation all surface here). Output:
+    * (shingle, n_docs), the passage TEXT kept for inspectability.
+    *
+    * Scale shape: explode + one hash-shuffle keyed by the shingle string
+    * with map-side partial counts; the `>= minDf` filter cuts the result
+    * to the (tiny) over-represented tail. Shingles are distinct per
+    * document, so the count is a true document frequency. */
+  def commonShingles(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, minDf: Long = 5L): DataFrame =
+    df.select(explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
 }

@@ -328,6 +328,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(Curation.sampleByGroup(small, "doc_id", "src", 10).count() == 3)
   }
 
+  test("commonShingles reports passages at or above the df threshold") {
+    val rows = Seq(
+      (0L, "legal header text alpha"),
+      (1L, "legal header text beta"),
+      (2L, "legal header text gamma"),
+      (3L, "unique content only here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.commonShingles(rows, "doc_id", "text", shingleN = 3, minDf = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("legal header text" -> 3L))
+  }
+
+  test("pack assigns starting sequence and offset from the per-group prefix sum") {
+    // group g: docs of 3, 4, 2 tokens; seqLen 5 ->
+    //   doc 1 starts at cum 0 (seq 0 off 0), doc 2 at 3 (seq 0 off 3),
+    //   doc 3 at 7 (seq 1 off 2); group h restarts at zero
+    val rows = Seq(
+      (1L, "a b c", "g"), (2L, "d e f g", "g"), (3L, "h i", "g"),
+      (9L, "x y z", "h")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.pack(rows, "doc_id", "text", "source", 5L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got == Map(1L -> (0L, 0L), 2L -> (0L, 3L), 3L -> (1L, 2L), 9L -> (0L, 0L)))
+  }
+
   test("repetition fractions: hand-computed dup word and bigram rates") {
     val rows = Seq(
       (0L, "a b c d"),          // no repetition
