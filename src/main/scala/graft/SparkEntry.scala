@@ -268,6 +268,11 @@ edges:
       docs(s, d).select(col("doc_id"), col("source")), "doc_id", "source", 20)),
     // boilerplate report: 3-gram passages in >= 5 documents
     "p29_boilerplate" -> ((s, d) => Dedup.commonShingles(docs(s, d), "doc_id", "text")),
+    // incremental-ingest near-dup: odd doc_ids play the new crawl, even
+    // ids the existing corpus; pairs only form across the two
+    "p31_dedup_cross" -> ((s, d) => Dedup.nearDupCross(
+      docs(s, d).filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      docs(s, d).filter(col("doc_id") % 2 === 0), "doc_id", "text")),
     // GPT-style packing map: concatenate per source in id order, cut
     // every 2048 tokens; each doc gets its starting (sequence, offset)
     "p30_pack" -> ((s, d) => Curation.pack(docs(s, d), "doc_id", "text", "source", 2048L)),
@@ -297,6 +302,18 @@ edges:
 
   private val shingleCte =
     s"WITH $shingleCtes\nSELECT a_id, b_id FROM p WHERE j >= 0.5"
+
+  /** Cross-parity variant of the shingle pair CTE for the incremental
+    * near-dup oracle: pairs only between odd (new) and even (reference)
+    * doc ids, no a<b constraint (the id spaces are disjoint roles). */
+  private val shingleCtes2 =
+    """dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
+      |px AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""".stripMargin
 
   /** Connected components over the exact n-gram pairs via a recursive CTE:
     * min reachable id per node — the relational ground truth for the
@@ -554,6 +571,9 @@ edges:
       "ELSE [array_to_string(w, ' ')] END AS s FROM dw), " +
       "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh) " +
       "SELECT shingle, count(*) AS n_docs FROM ex GROUP BY shingle HAVING count(*) >= 5"),
+    "p31_dedup_cross" ->
+      s"""WITH $shingleCtes2
+         |SELECT a_id, b_id FROM px WHERE j >= 0.5""".stripMargin,
     "p30_pack" -> ("WITH t AS (SELECT doc_id, source, " +
       "cast(len(string_split(text, ' ')) AS bigint) AS tok FROM documents), " +
       "c AS (SELECT doc_id, source, coalesce(sum(tok) OVER (" +

@@ -80,6 +80,17 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
+  /** Banded LSH keys of minhash signatures: (outId, band index, band
+    * hash). Band hashes are a static array(...) of codegen'd expressions —
+    * a transform(sequence(...)) lambda runs interpreted per row (HOFs get
+    * no codegen, measured ~3 s/50k docs). */
+  private def bandedKeys(sigDf: DataFrame, idCol: String, sigCol: String,
+                         outId: String, bands: Int, rows: Int): DataFrame =
+    sigDf.select(col(idCol).as(outId),
+        posexplode(array((0 until bands).map(j =>
+          xxhash64(concat_ws(",", slice(col(sigCol), j * rows + 1, rows)))): _*)))
+      .select(col(outId), col("pos").as("__band"), col("col").as("__bh"))
+
   /** LSH candidate pairs (a < b) from banded minhash signatures: one
     * shuffle to bucket by (band index, band hash), pairs built only
     * within buckets — the scale-safe alternative to all-pairs.
@@ -92,14 +103,9 @@ object Dedup {
     * exist. */
   def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
                     bands: Int, rows: Int, maxBucket: Long = 100000L): DataFrame = {
-    // band hashes as a static array(...) of codegen'd expressions — a
-    // transform(sequence(...)) lambda runs interpreted per row (HOFs get
-    // no codegen, measured ~3 s/50k docs); materialized once and released
-    // after the (small) pair list is checkpointed
-    val banded = sigDf.select(col(idCol).as("__id"),
-        posexplode(array((0 until bands).map(j =>
-          xxhash64(concat_ws(",", slice(col(sigCol), j * rows + 1, rows)))): _*)))
-      .select(col("__id"), col("pos").as("__band"), col("col").as("__bh"))
+    // materialized once and released after the (small) pair list is
+    // checkpointed
+    val banded = bandedKeys(sigDf, idCol, sigCol, "__id", bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val big = banded.groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
@@ -562,6 +568,60 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minOverlap)
+  }
+
+  /** Cross-corpus near-dup pairs: (a_id from `newDf`, b_id from `ref`)
+    * with shingle-Jaccard >= threshold — the incremental-ingest shape:
+    * near-dup a new crawl against the existing training corpus without
+    * re-pairing the old corpus against itself. Same banded-minhash
+    * candidate generation and exact merge-scan verify as
+    * [[nearDupMinhash]], but candidates only form ACROSS the two sides
+    * (per bucket the join is |bucketA|×|bucketB|), and the
+    * degenerate-bucket guard drops a bucket when EITHER side exceeds
+    * `maxBucket`. At scale the reference side's band keys and hashed
+    * shingle sets are loop-invariant across ingest runs — they are plain
+    * DataFrames; write them out once and only the new side is signed per
+    * run. */
+  def nearDupCross(newDf: DataFrame, newId: String, newText: String,
+                   ref: DataFrame, refId: String, refText: String,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                   threshold: Double = 0.5, maxBucket: Long = 100000L): DataFrame = {
+    val rows = numHashes / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shA = newDf.select(col(newId).as("__id"), shingles(col(newText), shingleN).as("__sh")).persist(lvl)
+    val shB = ref.select(col(refId).as("__id"), shingles(col(refText), shingleN).as("__sh")).persist(lvl)
+    try {
+      val bA = bandedKeys(minhashSignatures(shA, "__id", "__sh", numHashes),
+        "__id", "__sig", "a_id", bands, rows).persist(lvl)
+      val bB = bandedKeys(minhashSignatures(shB, "__id", "__sh", numHashes),
+        "__id", "__sig", "b_id", bands, rows).persist(lvl)
+      try {
+        def overfull(b: DataFrame) =
+          b.groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > maxBucket).select("__band", "__bh")
+        val big = overfull(bA).union(overfull(bB)).distinct()
+        val bigRows = big.collect()
+        if (bigRows.nonEmpty)
+          org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+            s"nearDupCross: dropping ${bigRows.length} degenerate band buckets (> $maxBucket " +
+            "docs on one side) — exact-dedup each corpus first")
+        def kept(b: DataFrame) =
+          if (bigRows.isEmpty) b
+          else b.join(broadcast(big), Seq("__band", "__bh"), "left_anti")
+        val cand = kept(bA).join(kept(bB), Seq("__band", "__bh"))
+          .select("a_id", "b_id").distinct().localCheckpoint(true)
+        def hashed(sh: DataFrame, id: String, out: String) = sh.select(col("__id").as(id),
+          sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as(out))
+        cand.join(hashed(shA, "a_id", "__sha"), "a_id")
+          .join(hashed(shB, "b_id", "__shb"), "b_id")
+          .withColumn("__i", graft.functions.VectorExprs
+            .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
+          .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint(true)
+      } finally { bA.unpersist(false); bB.unpersist(false) }
+    } finally { shA.unpersist(false); shB.unpersist(false) }
   }
 
   /** Boilerplate detection: word n-gram passages appearing in at least

@@ -328,6 +328,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(Curation.sampleByGroup(small, "doc_id", "src", 10).count() == 3)
   }
 
+  test("cross-corpus near-dup pairs only across the two sides") {
+    // new = docs {0,1}, ref = docs {2,3,4}; truth at 0.5 on 3-grams:
+    // 0-2 and 0-4 identical (j=1), 1-2 and 1-4 differ last word (j=0.75);
+    // doc 3 matches nothing; the 0-1 within-new pair must NOT appear
+    val newSide = docs.filter($"doc_id" < 2)
+    val refSide = docs.filter($"doc_id" >= 2)
+    val got = Dedup.nearDupCross(newSide, "doc_id", "text", refSide, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (0L, 4L), (1L, 2L), (1L, 4L)))
+  }
+
   test("commonShingles reports passages at or above the df threshold") {
     val rows = Seq(
       (0L, "legal header text alpha"),
