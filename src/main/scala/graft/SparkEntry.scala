@@ -268,6 +268,10 @@ edges:
       docs(s, d).select(col("doc_id"), col("source")), "doc_id", "source", 20)),
     // boilerplate report: 3-gram passages in >= 5 documents
     "p29_boilerplate" -> ((s, d) => Dedup.commonShingles(docs(s, d), "doc_id", "text")),
+    // corpus rewrite: drop 8-token passages shared by 2+ docs, reassemble
+    "p32_passage_dedup" -> ((s, d) => Dedup.dedupPassages(docs(s, d), "doc_id", "text")),
+    // unigram-model quality score: mean corpus frequency of a doc's tokens
+    "p33_rarity" -> ((s, d) => TextAnalysis.corpusRarity(docs(s, d), "doc_id", "text")),
     // incremental-ingest near-dup: odd doc_ids play the new crawl, even
     // ids the existing corpus; pairs only form across the two
     "p31_dedup_cross" -> ((s, d) => Dedup.nearDupCross(
@@ -574,6 +578,19 @@ edges:
     "p31_dedup_cross" ->
       s"""WITH $shingleCtes2
          |SELECT a_id, b_id FROM px WHERE j >= 0.5""".stripMargin,
+    "p32_passage_dedup" -> ("WITH s AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS pos FROM s), " +
+      "pw AS (SELECT doc_id, (pos - 1) // 8 AS c, word, pos FROM w), " +
+      "pass AS (SELECT doc_id, c, string_agg(word, ' ' ORDER BY pos) AS p FROM pw GROUP BY doc_id, c), " +
+      "common AS (SELECT p FROM (SELECT p, count(DISTINCT doc_id) AS df FROM pass GROUP BY p) WHERE df > 1), " +
+      "kept AS (SELECT doc_id, c, p FROM pass WHERE p NOT IN (SELECT p FROM common)), " +
+      "built AS (SELECT doc_id, string_agg(p, ' ' ORDER BY c) AS text FROM kept GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(b.text, '') AS text FROM documents d LEFT JOIN built b USING (doc_id)"),
+    "p33_rarity" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents), " +
+      "vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS freq_sum, " +
+      "round(CAST(sum(c) AS BIGINT) * 1.0 / count(*), 4) AS mean_freq " +
+      "FROM tok JOIN vocab USING (t) GROUP BY doc_id"),
     "p30_pack" -> ("WITH t AS (SELECT doc_id, source, " +
       "cast(len(string_split(text, ' ')) AS bigint) AS tok FROM documents), " +
       "c AS (SELECT doc_id, source, coalesce(sum(tok) OVER (" +

@@ -640,4 +640,44 @@ object Dedup {
       .groupBy("shingle")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDf)
+
+  /** Passage-level exact dedup — the CCNet/RefinedWeb "repeated lines
+    * removal" recipe instantiated for unstructured text: split each
+    * document into contiguous k-token passages of the normalized text,
+    * drop every passage whose exact text occurs in more than `maxDf`
+    * DISTINCT documents, and reassemble the survivors in order. Documents
+    * reduced to nothing come back as empty strings — row count is
+    * preserved so a downstream length filter makes the drop decision.
+    * (p29/[[commonShingles]] only REPORTS boilerplate; this op rewrites
+    * the corpus. The reference has no corpus-rewrite op.)
+    *
+    * Scale shape: passage building is one `posexplode` per document — no
+    * shuffle; the document-frequency aggregate shuffles once on the
+    * passage text; the flagged set (df > maxDf) is small by construction,
+    * so removal is a BROADCAST anti-join; reassembly shuffles once on the
+    * doc id and the final id join reuses that partitioning. Two narrow
+    * shuffles + one broadcast, nothing quadratic. */
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, maxDf: Long = 1L): DataFrame = {
+    require(k >= 1, s"passage size must be >= 1, got $k")
+    val w = split(normalize(col(textCol)), " ")
+    val nP = greatest(lit(1), ceil(size(w).cast("double") / k).cast("int"))
+    val pass = df.select(col(idCol).as("__id"),
+        posexplode(transform(sequence(lit(0), nP - 1), c =>
+          concat_ws(" ", slice(w, c * k + 1, lit(k))))))
+      .select(col("__id"), col("pos").as("__c"), col("col").as("__p"))
+    val common = pass.groupBy("__p")
+      .agg(countDistinct("__id").as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__p")
+    // reassemble: passages are few per doc, so the interpreted transform
+    // lambda runs once per document, not once per corpus token
+    val rebuilt = pass.join(broadcast(common), Seq("__p"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("__c"), col("__p")))),
+        s => s.getField("__p")), " ").as("__text"))
+    df.select(col(idCol))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
 }

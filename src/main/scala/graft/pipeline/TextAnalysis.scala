@@ -131,4 +131,26 @@ object TextAnalysis {
     piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
       regexp_replace(c, lit(pat), lit(tag))
     }
+
+  /** Corpus-statistics document score: the mean corpus frequency of the
+    * document's tokens (CCNet's LM quality filter reduced to a unigram
+    * model). Low mean frequency marks documents built from rare tokens —
+    * OCR garbage, code, off-target languages. Kept integer-exact on
+    * purpose: long counts summed per document and divided ONCE at the
+    * end, so a SQL oracle reproduces it bit-for-bit (per-token float
+    * log-probs would accumulate in engine-dependent order).
+    *
+    * Scale shape: the vocabulary is a self-aggregate (one shuffle on the
+    * token), joined back to the exploded tokens on the same key. Hot
+    * zipfian tokens skew only the PROBE side — the build side holds one
+    * row per distinct token, so there is no row explosion; at extreme
+    * scale broadcast the vocabulary head and join only the tail. */
+  def corpusRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+    val vocab = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
+    tok.join(vocab, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__c").as("freq_sum"))
+      .withColumn("mean_freq", round(col("freq_sum") * lit(1.0) / col("n_tokens"), 4))
+  }
 }

@@ -381,4 +381,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == (0.6, 0.5))
     assert(got(3L) == (0.0, 0.0))
   }
+
+  test("dedupPassages removes shared passages, keeps order, preserves rows") {
+    // k=2 passages: doc 0 = ["a b","c d","e f"], doc 1 = ["a b","c d","x y"],
+    // doc 2 = ["a b","q r"], doc 3 = ["z w"]. With maxDf=1:
+    // "a b" (df 3) and "c d" (df 2) are boilerplate; survivors keep order.
+    val rows = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d x y"),
+      (2L, "a b q r"),
+      (3L, "z w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupPassages(rows, "doc_id", "text", k = 2, maxDf = 1L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "e f", 1L -> "x y", 2L -> "q r", 3L -> "z w"))
+    // a doc that is ALL boilerplate comes back empty, not dropped
+    val all = Seq((0L, "a b"), (1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got2 = Dedup.dedupPassages(all, "doc_id", "text", k = 2, maxDf = 1L)
+      .as[(Long, String)].collect().toMap
+    assert(got2 == Map(0L -> "", 1L -> "", 2L -> "c d"))
+  }
+
+  test("corpusRarity scores docs by mean corpus token frequency, integer-exact") {
+    // corpus counts: a=3, b=2, c=1, d=1 over docs
+    //   doc 0 "a b"   -> n=2 sum=5  mean 2.5
+    //   doc 1 "a b c" -> n=3 sum=6  mean 2.0
+    //   doc 2 "a d"   -> n=2 sum=4  mean 2.0
+    val rows = Seq((0L, "a b"), (1L, "a b c"), (2L, "a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusRarity(rows, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(0L -> (2L, 5L, 2.5), 1L -> (3L, 6L, 2.0), 2L -> (2L, 4L, 2.0)))
+  }
 }
