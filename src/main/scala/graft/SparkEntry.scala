@@ -272,6 +272,9 @@ edges:
     "p32_passage_dedup" -> ((s, d) => Dedup.dedupPassages(docs(s, d), "doc_id", "text")),
     // unigram-model quality score: mean corpus frequency of a doc's tokens
     "p33_rarity" -> ((s, d) => TextAnalysis.corpusRarity(docs(s, d), "doc_id", "text")),
+    // mixture upsampling: 2.5 epochs of src0, 0.4 of src1, drop src2,
+    // 1.25 of src3, everything else once
+    "p34_mix" -> ((s, d) => Curation.mix(docs(s, d), "doc_id", "source", mixWeights)),
     // incremental-ingest near-dup: odd doc_ids play the new crawl, even
     // ids the existing corpus; pairs only form across the two
     "p31_dedup_cross" -> ((s, d) => Dedup.nearDupCross(
@@ -586,6 +589,7 @@ edges:
       "kept AS (SELECT doc_id, c, p FROM pass WHERE p NOT IN (SELECT p FROM common)), " +
       "built AS (SELECT doc_id, string_agg(p, ' ' ORDER BY c) AS text FROM kept GROUP BY doc_id) " +
       "SELECT d.doc_id, coalesce(b.text, '') AS text FROM documents d LEFT JOIN built b USING (doc_id)"),
+    "p34_mix" -> mixSql,
     "p33_rarity" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents), " +
       "vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS freq_sum, " +
@@ -612,6 +616,24 @@ edges:
 
   /** The bare split CASE expression over `doc_id`, shared by the p25 and
     * p28 oracles. */
+  /** The p34 mixture recipe, shared by the Spark entry and its oracle. */
+  private val mixWeights: Map[String, Double] =
+    Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 1.25)
+
+  /** p34 oracle generated from the same weights and the same
+    * [[Curation.hexBound]] cut points the Column implementation uses. */
+  private def mixSql: String = {
+    val cases = mixWeights.toSeq.sortBy(_._1).map { case (g, w) =>
+      val base = math.floor(w).toInt
+      val frac = w - base
+      val extra = if (frac == 0.0) "0"
+        else s"CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 8) < '${Curation.hexBound(frac)}' THEN 1 ELSE 0 END"
+      s"WHEN '$g' THEN $base + $extra"
+    }.mkString(" ")
+    s"WITH n AS (SELECT doc_id, source, CASE source $cases ELSE 1 END AS nc FROM documents) " +
+      "SELECT doc_id, source, unnest(generate_series(0, nc - 1)) AS copy FROM n WHERE nc > 0"
+  }
+
   private def splitCaseSql: String = {
     val bounds = Curation.splitBoundaries(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val cases = bounds.dropRight(1).map { case (name, hex) =>

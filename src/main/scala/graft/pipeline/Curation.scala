@@ -38,9 +38,14 @@ object Curation {
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must be positive and sum to 1, got $fractions")
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
-    fractions.map(_._1).zip(cum.map(c =>
-      f"${math.min((c * 4294967296.0).toLong, 4294967295L)}%08x"))
+    fractions.map(_._1).zip(cum.map(hexBound))
   }
+
+  /** The md5-prefix cut point below which a fraction `f` of ids fall —
+    * the shared currency of [[splitAssign]], [[mix]], and their SQL
+    * oracles (generated from the same call, so they cannot drift). */
+  private[graft] def hexBound(f: Double): String =
+    f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
 
   /** Deterministic train/val/test assignment: bucket each document by the
     * first 8 hex digits of md5(id) and cut at the cumulative-fraction
@@ -88,6 +93,38 @@ object Curation {
     df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .drop("__rank")
+  }
+
+  /** Deterministic mixture upsampling — the "epochs per source" step of a
+    * data-mixing recipe: a source with weight w contributes ⌊w⌋ full
+    * copies of every document plus one extra copy of a deterministic
+    * frac(w) share of them, chosen by the same md5(id) bucketing
+    * [[splitAssign]] cuts on, so the extra-copy set is a stable property
+    * of the id. Sources absent from `weights` default to 1.0; weight 0
+    * drops the source. Output: one row per (id, group, copy) with
+    * copy = 0..n−1 — the repetition map a shuffled training shard is
+    * written from.
+    *
+    * Scale shape: the weight table goes into the plan as a literal CASE
+    * chain (no join — mixture recipes are dozens of sources, not
+    * millions), then one explode multiplies rows by ~w. A pure narrow
+    * map: no shuffle, scan prunes to (id, group). */
+  def mix(df: DataFrame, idCol: String, groupCol: String,
+          weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1000.0),
+      s"mixture weights must be in [0, 1000], got $weights")
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    val n = weights.toSeq.sortBy(_._1).foldLeft(lit(1): Column) { case (els, (g, w)) =>
+      val base = math.floor(w).toInt
+      val frac = w - base
+      val extra: Column = if (frac == 0.0) lit(0)
+        else when(bucket < lit(hexBound(frac)), lit(1)).otherwise(lit(0))
+      when(col(groupCol) === g, lit(base) + extra).otherwise(els)
+    }
+    df.select(col(idCol), col(groupCol), n.as("__n"))
+      .withColumn("copy", explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+        .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col(groupCol), col("copy").cast("long").as("copy"))
   }
 
   /** GPT-style sequence packing map: documents are concatenated per group

@@ -402,6 +402,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == Map(0L -> "", 1L -> "", 2L -> "c d"))
   }
 
+  test("mix replicates by weight with md5-deterministic extra copies") {
+    val rows = (0L until 40L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val weights = Map("s0" -> 2.5, "s1" -> 0.4, "s2" -> 0.0) // s3 defaults to 1.0
+    val got = Curation.mix(rows, "doc_id", "source", weights)
+      .as[(Long, String, Long)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // independent recomputation of the extra-copy rule: first 8 hex chars
+    // of md5(id) below the fraction's cut point
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    for (i <- 0L until 40L) {
+      val w = weights.getOrElse(s"s${i % 4}", 1.0)
+      val base = math.floor(w).toInt
+      val frac = w - base
+      val cut = f"${(frac * 4294967296.0).toLong}%08x"
+      val n = base + (if (frac > 0 && md5hex(i.toString) < cut) 1 else 0)
+      assert(byDoc.getOrElse(i, Seq.empty) == (0 until n).map(_.toLong),
+        s"doc $i weight $w expected $n copies")
+    }
+  }
+
   test("corpusRarity scores docs by mean corpus token frequency, integer-exact") {
     // corpus counts: a=3, b=2, c=1, d=1 over docs
     //   doc 0 "a b"   -> n=2 sum=5  mean 2.5
