@@ -90,6 +90,20 @@ edges:
     // pruned to the id column alone
     println("==== split_shuffle_free ====")
     graft.pipeline.Curation.split(docsDf, "doc_id").explain("formatted")
+    // passage dedup: the flagged passage set must arrive as a BROADCAST
+    // anti-join (never a shuffled join on the passage text), and nothing
+    // in the plan may be a cartesian product
+    println("==== passage_dedup_broadcast_anti ====")
+    graft.pipeline.Dedup.dedupPassages(docsDf, "doc_id", "text").explain("formatted")
+    // corpus rarity: vocabulary self-join on the token — partial
+    // aggregation before each exchange, no cartesian
+    println("==== rarity_vocab_join ====")
+    graft.pipeline.TextAnalysis.corpusRarity(docsDf, "doc_id", "text").explain("formatted")
+    // mixture upsampling: a literal CASE + explode — no Exchange at all,
+    // scan pruned to (doc_id, source)
+    println("==== mix_shuffle_free ====")
+    graft.pipeline.Curation.mix(docsDf, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.4)).explain("formatted")
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+/** Asserted physical-plan invariants for the pipeline operators whose
+  * 100-TB viability depends on plan shape, not just row correctness —
+  * `PlanAudit` prints these plans for eyeballing; this spec makes the
+  * load-bearing properties (broadcast vs shuffled joins, shuffle-free
+  * maps, no cartesian anywhere) fail the suite when they regress. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs: DataFrame = (0L until 60L)
+    .map(i => (i, (0 until 20).map(j => s"w${(i * 7 + j) % 40}").mkString(" "), s"src${i % 4}"))
+    .toDF("doc_id", "text", "source")
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("dedupPassages: flagged set arrives by broadcast anti-join, no cartesian") {
+    val p = plan(Dedup.dedupPassages(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"common-passage removal must be a broadcast anti-join:\n$p")
+  }
+
+  test("corpusRarity: vocabulary join is never a cartesian, aggregates are partial") {
+    val p = plan(TextAnalysis.corpusRarity(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"vocabulary count must map-side combine before its exchange:\n$p")
+  }
+
+  test("mix: pure narrow map — no Exchange in the plan at all") {
+    val p = plan(Curation.mix(docs, "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.4)))
+    assert(!p.contains("Exchange"), s"mixture upsampling must not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontaminate: benchmark shingles broadcast, corpus side does not shuffle") {
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val p = plan(Dedup.decontaminate(corpus, "doc_id", "text", bench, "text"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"decontamination must broadcast the benchmark shingle set:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("chunk: shuffle-free — one Generate, no Exchange") {
+    val p = plan(TextAnalysis.chunk(docs, "doc_id", "text", 8, 2))
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), s"chunking must stay embarrassingly parallel:\n$p")
+  }
+}
