@@ -657,14 +657,29 @@ object Dedup {
     * so removal is a BROADCAST anti-join; reassembly shuffles once on the
     * doc id and the final id join reuses that partitioning. Two narrow
     * shuffles + one broadcast, nothing quadratic. */
+  /** The contiguous k-token passages of the normalized text, in order —
+    * the decomposition [[dedupPassages]] and the streaming scrub share. */
+  private[graft] def passageArray(text: Column, k: Int): Column = {
+    require(k >= 1, s"passage size must be >= 1, got $k")
+    val w = split(normalize(text), " ")
+    val nP = greatest(lit(1), ceil(size(w).cast("double") / k).cast("int"))
+    transform(sequence(lit(0), nP - 1), c => concat_ws(" ", slice(w, c * k + 1, lit(k))))
+  }
+
+  /** The boilerplate set: passages occurring in more than `maxDf` distinct
+    * documents. One column (`__p`); the thing a streaming scrub indexes. */
+  def commonPassages(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, maxDf: Long = 1L): DataFrame =
+    df.select(col(idCol).as("__id"), explode(passageArray(col(textCol), k)).as("__p"))
+      .groupBy("__p")
+      .agg(countDistinct("__id").as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__p")
+
   def dedupPassages(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, maxDf: Long = 1L): DataFrame = {
-    require(k >= 1, s"passage size must be >= 1, got $k")
-    val w = split(normalize(col(textCol)), " ")
-    val nP = greatest(lit(1), ceil(size(w).cast("double") / k).cast("int"))
     val pass = df.select(col(idCol).as("__id"),
-        posexplode(transform(sequence(lit(0), nP - 1), c =>
-          concat_ws(" ", slice(w, c * k + 1, lit(k))))))
+        posexplode(passageArray(col(textCol), k)))
       .select(col("__id"), col("pos").as("__c"), col("col").as("__p"))
     val common = pass.groupBy("__p")
       .agg(countDistinct("__id").as("__df"))

@@ -122,4 +122,33 @@ object DedupStreaming {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol), col(tsCol))
+
+  /** Streaming twin of [[graft.pipeline.Dedup.dedupPassages]]: rewrite
+    * arriving documents with a KNOWN boilerplate set removed. The common
+    * passages (from [[graft.pipeline.Dedup.commonPassages]] over the
+    * at-rest corpus) are collected ONCE at stream construction and
+    * inlined as a literal lookup, so the running stream is a pure per-row
+    * map — no state, no shuffle, no per-batch join; every micro-batch
+    * rewrites its rows independently and the output is plain append.
+    *
+    * Right-sized for real boilerplate sets (10³–10⁴ passages — headers,
+    * licenses, navigation chrome). A flagged set too large to inline is
+    * the batch rewrite's job: a per-doc streaming REASSEMBLY after an
+    * exploded stream-static join would force a stateful aggregation, and
+    * recall on passages discovered after a document has passed is
+    * impossible in any streaming design — the nightly batch pass is the
+    * exact version. */
+  def scrubStream(stream: DataFrame, idCol: String, textCol: String,
+                  passageIndex: DataFrame, k: Int = 8): DataFrame = {
+    val common = passageIndex.collect().map(_.getString(0))
+    val pass = Dedup.passageArray(col(textCol), k)
+    val kept =
+      if (common.isEmpty) pass
+      else {
+        // literal map for O(small) membership inside codegen — no UDF
+        val lookup = map(common.flatMap(p => Seq(lit(p), lit(true))).toIndexedSeq: _*)
+        filter(pass, p => !map_contains_key(lookup, p))
+      }
+    stream.select(col(idCol), array_join(kept, " ").as(textCol))
+  }
 }

@@ -216,4 +216,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Seq((0L, "a b c d"), (1L, "d e ping <ID>"), (2L, "<ID> or <EMAIL>")))
     } finally q.stop()
   }
+
+  test("streaming passage scrub rewrites arrivals against the static boilerplate set") {
+    import spark.implicits._
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    // corpus where "a b" (df 3) and "c d" (df 2) are boilerplate at k=2
+    val corpus = Seq((0L, "a b c d e f"), (1L, "a b c d x y"), (2L, "a b q r"))
+      .toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.commonPassages(corpus, "doc_id", "text", k = 2, maxDf = 1L)
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = DedupStreaming.scrubStream(input.toDF(), "doc_id", "text", index, k = 2)
+      .writeStream.format("memory").queryName("sscrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(100, "a b fresh words", ts(1000)),   // leading boilerplate dropped
+        DedupStreaming.Doc(101, "c d", ts(1001)),               // all boilerplate -> empty
+        DedupStreaming.Doc(102, "nothing shared here", ts(1002)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM sscrub_out ORDER BY doc_id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows == Seq((100L, "fresh words"), (101L, ""), (102L, "nothing shared here")))
+    } finally q.stop()
+  }
+
+  test("mixture upsampling runs unchanged on a stream (pure narrow map)") {
+    import spark.implicits._
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupStreaming.Doc]
+    // weight 3.0 on every doc (no fractional part -> no md5 dependence)
+    val q = graft.pipeline.Curation.mix(
+        input.toDF().withColumn("source",
+          org.apache.spark.sql.functions.lit("s")), "doc_id", "source", Map("s" -> 3.0))
+      .writeStream.format("memory").queryName("smix_out")
+      .outputMode("append").start()
+    try {
+      input.addData(DedupStreaming.Doc(7, "whatever", ts(1000)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, copy FROM smix_out ORDER BY copy")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((7L, 0L), (7L, 1L), (7L, 2L)))
+    } finally q.stop()
+  }
 }
