@@ -275,6 +275,15 @@ edges:
     // mixture upsampling: 2.5 epochs of src0, 0.4 of src1, drop src2,
     // 1.25 of src3, everything else once
     "p34_mix" -> ((s, d) => Curation.mix(docs(s, d), "doc_id", "source", mixWeights)),
+    // every per-document signal in ONE scan — the single-pass profile a
+    // 100-TB curation job computes instead of five separate reads
+    "p35_profile" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+      TextAnalysis.dupWordFrac(col("text")).as("dup_word"),
+      TextAnalysis.dupBigramFrac(col("text")).as("dup_bigram"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))),
     // incremental-ingest near-dup: odd doc_ids play the new crawl, even
     // ids the existing corpus; pairs only form across the two
     "p31_dedup_cross" -> ((s, d) => Dedup.nearDupCross(
@@ -590,6 +599,7 @@ edges:
       "built AS (SELECT doc_id, string_agg(p, ' ' ORDER BY c) AS text FROM kept GROUP BY doc_id) " +
       "SELECT d.doc_id, coalesce(b.text, '') AS text FROM documents d LEFT JOIN built b USING (doc_id)"),
     "p34_mix" -> mixSql,
+    "p35_profile" -> profileSql,
     "p33_rarity" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents), " +
       "vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS freq_sum, " +
@@ -632,6 +642,30 @@ edges:
     }.mkString(" ")
     s"WITH n AS (SELECT doc_id, source, CASE source $cases ELSE 1 END AS nc FROM documents) " +
       "SELECT doc_id, source, unnest(generate_series(0, nc - 1)) AS copy FROM n WHERE nc > 0"
+  }
+
+  /** p35 oracle: the p07/p08/p09/p10/p26 signal SQL as one flat WITH —
+    * same generated stopword fragments, same expressions, joined into the
+    * single-scan profile row the Spark side projects. */
+  private def profileSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w, text FROM documents),
+       |h AS (SELECT doc_id, w,
+       |  $langHits,
+       |  cast(len(w) AS double) AS n,
+       |  cast(len(list_filter(w, x -> list_contains($en, x))) AS double) AS s,
+       |  cast(len(string_split(text, ' ')) AS bigint) AS ws,
+       |  list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg,
+       |  list_reduce(list_prepend(cast(7 AS bigint),
+       |    list_transform(w, x -> cast(length(x) AS bigint))), (a, b) -> (a * 31 + b) % 1000000007) AS fp
+       |FROM t)
+       |SELECT doc_id, $langCase AS lang_pred,
+       |  round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS quality,
+       |  ws AS ws_tokens,
+       |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word,
+       |  CASE WHEN len(w) - 1 <= 0 THEN 0.0 ELSE round(1.0 - len(bg) * 1.0 / (len(w) - 1), 4) END AS dup_bigram,
+       |  fp
+       |FROM h""".stripMargin
   }
 
   private def splitCaseSql: String = {
