@@ -128,4 +128,27 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(jaccard(s0, s1) >= 0.5 && rareOnlyJ < 0.5,
       s"fixture drifted: full=${jaccard(s0, s1)} rareOnly=$rareOnlyJ")
   }
+
+  test("dedupPassages == brute-force passage model on random corpora") {
+    // brute-force model: split normalized words into k-chunks, drop chunks
+    // whose text occurs in > maxDf distinct docs, rejoin survivors in order
+    def model(docs: Seq[(Long, String)], k: Int, maxDf: Int): Map[Long, String] = {
+      def passages(t: String): Seq[String] =
+        t.trim.toLowerCase.split(" ", -1).grouped(k).map(_.mkString(" ")).toSeq
+      val df = docs.flatMap { case (id, t) => passages(t).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.map { case (id, t) =>
+        id -> passages(t).filter(p => df(p) <= maxDf).mkString(" ")
+      }.toMap
+    }
+    for (seed <- Seq(11L, 77L, 443L)) {
+      val docs = sample(genDoc, 30, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      for ((k, maxDf) <- Seq((2, 1), (3, 2))) {
+        val got = graft.pipeline.Dedup
+          .dedupPassages(docs.toDF("doc_id", "text"), "doc_id", "text", k, maxDf.toLong)
+          .as[(Long, String)].collect().toMap
+        assert(got == model(docs, k, maxDf), s"seed=$seed k=$k maxDf=$maxDf")
+      }
+    }
+  }
 }
