@@ -275,6 +275,8 @@ edges:
     // mixture upsampling: 2.5 epochs of src0, 0.4 of src1, drop src2,
     // 1.25 of src3, everything else once
     "p34_mix" -> ((s, d) => Curation.mix(docs(s, d), "doc_id", "source", mixWeights)),
+    // sequential-earliest funnel: view -> click -> purchase per user
+    "p36_funnel" -> ((s, d) => Events.funnel(events(s, d), Seq("view", "click", "purchase"))),
     // every per-document signal in ONE scan — the single-pass profile a
     // 100-TB curation job computes instead of five separate reads
     "p35_profile" -> ((s, d) => docs(s, d).select(col("doc_id"),
@@ -600,6 +602,13 @@ edges:
       "SELECT d.doc_id, coalesce(b.text, '') AS text FROM documents d LEFT JOIN built b USING (doc_id)"),
     "p34_mix" -> mixSql,
     "p35_profile" -> profileSql,
+    "p36_funnel" -> ("WITH f1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+      "f2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f1 USING (user_id) " +
+      "WHERE e.event_type = 'click' AND e.ts > f1.t GROUP BY e.user_id), " +
+      "f3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f2 USING (user_id) " +
+      "WHERE e.event_type = 'purchase' AND e.ts > f2.t GROUP BY e.user_id), " +
+      "u AS (SELECT user_id FROM f1 UNION ALL SELECT user_id FROM f2 UNION ALL SELECT user_id FROM f3) " +
+      "SELECT user_id, count(*) AS stages_completed FROM u GROUP BY user_id"),
     "p33_rarity" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents), " +
       "vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS freq_sum, " +

@@ -47,4 +47,32 @@ object Events {
       .filter(col("rank") <= k)
       .select(col("user_id"), col("event_id"), col("rank"))
   }
+
+  /** Ordered funnel: how far each user progresses through `stages`, where
+    * stage i+1 counts only if it happens STRICTLY AFTER the user's
+    * earliest qualifying stage-i event (the standard sequential-earliest
+    * funnel semantics). Output: (user_id, stages_completed) for every
+    * user who completed at least stage 1.
+    *
+    * Scale shape: stage 1 is one filtered aggregate shuffling on user_id;
+    * every later stage joins the (shrinking) survivor frame back to the
+    * events filtered to that stage's type — all keyed on user_id, so the
+    * chain reuses one partitioning end-to-end and AQE coalesces the
+    * monotonically smaller exchanges. No window over the full event
+    * stream, no per-user array materialization. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("__t"))
+    val frames = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("__t").as("__pt")), "user_id")
+        .filter(col("ts") > col("__pt"))
+        .groupBy("user_id").agg(min("ts").as("__t"))
+    }
+    frames.map(_.select(col("user_id")))
+      .reduce(_ unionByName _)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("stages_completed"))
+  }
 }

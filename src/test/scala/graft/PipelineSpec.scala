@@ -172,6 +172,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(2L) == ((1L, 1L)))
   }
 
+  test("funnel: strictly-after sequential-earliest stage progression") {
+    // user 1: view@0 click@10 purchase@20 -> 3 stages
+    // user 2: click@0 view@10 click@5 -> view first at 10, no click AFTER it -> 1
+    // user 3: view@0 purchase@5 click@10 -> purchase precedes the click -> 2
+    // user 4: purchase@0 only -> never enters (no stage-1 row)
+    // user 5: view@0 click@0 (same ts, strict >) -> 1
+    def ev(id: Long, sec: Long, u: Long, t: String) = (id, sec * 1000000000L, u, t, 0.0, "{}")
+    val e = Seq(
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+      ev(4, 0, 2, "click"), ev(5, 10, 2, "view"), ev(6, 5, 2, "click"),
+      ev(7, 0, 3, "view"), ev(8, 5, 3, "purchase"), ev(9, 10, 3, "click"),
+      ev(10, 0, 4, "purchase"),
+      ev(11, 0, 5, "view"), ev(12, 0, 5, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
   test("clusters: chain, triangle, and separate components all collapse to min id") {
     // chain 1-2-3-4-5 exercises multi-round star convergence; {10,11,12}
     // is a triangle; {20,21} a lone pair
