@@ -277,6 +277,8 @@ edges:
     "p34_mix" -> ((s, d) => Curation.mix(docs(s, d), "doc_id", "source", mixWeights)),
     // sequential-earliest funnel: view -> click -> purchase per user
     "p36_funnel" -> ((s, d) => Events.funnel(events(s, d), Seq("view", "click", "purchase"))),
+    // daily-cohort retention matrix
+    "p37_retention" -> ((s, d) => Events.retention(events(s, d))),
     // every per-document signal in ONE scan — the single-pass profile a
     // 100-TB curation job computes instead of five separate reads
     "p35_profile" -> ((s, d) => docs(s, d).select(col("doc_id"),
@@ -609,6 +611,11 @@ edges:
       "WHERE e.event_type = 'purchase' AND e.ts > f2.t GROUP BY e.user_id), " +
       "u AS (SELECT user_id FROM f1 UNION ALL SELECT user_id FROM f2 UNION ALL SELECT user_id FROM f3) " +
       "SELECT user_id, count(*) AS stages_completed FROM u GROUP BY user_id"),
+    "p37_retention" -> ("WITH a AS (SELECT DISTINCT user_id, " +
+      "cast(floor(floor(epoch(ts)) / 86400) * 86400 AS bigint) AS b FROM events), " +
+      "f AS (SELECT user_id, min(b) AS c FROM a GROUP BY user_id) " +
+      "SELECT c AS cohort_start, (b - c) // 86400 AS periods_later, count(*) AS n_users " +
+      "FROM a JOIN f USING (user_id) GROUP BY c, (b - c) // 86400"),
     "p33_rarity" -> ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents), " +
       "vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS freq_sum, " +

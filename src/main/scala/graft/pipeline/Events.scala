@@ -48,6 +48,30 @@ object Events {
       .select(col("user_id"), col("event_id"), col("rank"))
   }
 
+  /** Cohort retention: bucket time into `bucketSec` periods, assign each
+    * user to the cohort of their FIRST active bucket, and count distinct
+    * users active again k periods later. Output: (cohort_start,
+    * periods_later, n_users) — the retention matrix, cohort 0-offset row
+    * included (its n_users is the cohort size).
+    *
+    * Scale shape: the (user, bucket) activity set is one distinct
+    * aggregate; the cohort assignment reuses the user_id partitioning;
+    * the final matrix aggregate is tiny (cohorts × offsets). The raw
+    * event stream is scanned exactly once. */
+  def retention(events: DataFrame, bucketSec: Long = 86400L): DataFrame = {
+    require(bucketSec > 0, s"need bucketSec > 0, got $bucketSec")
+    val es = epochSec(col("ts"))
+    val active = events.select(col("user_id"),
+        (es - pmod(es, lit(bucketSec))).as("__b"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min("__b").as("__c"))
+    active.join(cohort, "user_id")
+      .select(col("__c").as("cohort_start"),
+        ((col("__b") - col("__c")) / lit(bucketSec)).cast("long").as("periods_later"))
+      .groupBy("cohort_start", "periods_later")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered funnel: how far each user progresses through `stages`, where
     * stage i+1 counts only if it happens STRICTLY AFTER the user's
     * earliest qualifying stage-i event (the standard sequential-earliest

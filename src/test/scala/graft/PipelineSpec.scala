@@ -172,6 +172,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(2L) == ((1L, 1L)))
   }
 
+  test("retention: cohort by first active bucket, offsets count returning users") {
+    // bucket = 10s. user 1 active in buckets 0,10,30 (cohort 0 -> offsets 0,1,3)
+    // user 2 active in buckets 10,20 (cohort 10 -> offsets 0,1)
+    // user 3 active in bucket 10 twice -> single (10, 0) row
+    def ev(id: Long, sec: Long, u: Long) = (id, sec * 1000000000L, u, "view", 0.0, "{}")
+    val e = Seq(
+      ev(1, 0, 1), ev(2, 12, 1), ev(3, 35, 1),
+      ev(4, 11, 2), ev(5, 25, 2),
+      ev(6, 13, 3), ev(7, 17, 3)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.retention(e, bucketSec = 10L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (10L, 0L) -> 2L, (10L, 1L) -> 1L))
+  }
+
   test("funnel: strictly-after sequential-earliest stage progression") {
     // user 1: view@0 click@10 purchase@20 -> 3 stages
     // user 2: click@0 view@10 click@5 -> view first at 10, no click AFTER it -> 1
