@@ -168,6 +168,10 @@ edges:
     "q60_jump_forward" -> ((s, d) => runQ(s, d)(_.V().hasLabel("customer")
       .jump("skip", Some(P.lt("c_nationkey", 5)), emit = true)
       .has(P.eq_("c_mktsegment", "BUILDING")).mark("skip").count())),
+    // whole-graph analytics: orders-per-customer degree distribution,
+    // zero-degree customers included
+    "q61_degree_hist" -> ((s, d) => graft.model.GraphAlgos.degreeHistogram(
+      TpchGraph(s, d), "customer", "customer", "in")),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -508,6 +512,9 @@ edges:
       "UNION ALL SELECT '{\"n\":3}' FROM customer WHERE c_custkey = 1"),
     "q60_jump_forward" -> ("SELECT (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') + " +
       "(SELECT count(*) FROM customer WHERE c_nationkey < 5) AS count"),
+    "q61_degree_hist" -> ("WITH d AS (SELECT c.c_custkey, count(o.o_orderkey) AS deg " +
+      "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey) " +
+      "SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg"),
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     "p02_dedup_minhash" -> shingleCte,

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{GraphAlgos, GraphFrame}
+
+class GraphAlgosSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("degree histogram buckets per-vertex counts, zero-degree included") {
+    // a has 2 out "knows", b has 1, c has 0; d is a different label;
+    // the "likes" edge must not count
+    val v = Seq(
+      ("a", "person", "{}"), ("b", "person", "{}"), ("c", "person", "{}"),
+      ("d", "robot", "{}")
+    ).toDF("gid", "label", "data")
+    val e = Seq(
+      ("e1", "knows", "a", "b", "{}"), ("e2", "knows", "a", "c", "{}"),
+      ("e3", "knows", "b", "c", "{}"), ("e4", "likes", "c", "a", "{}"),
+      ("e5", "knows", "d", "a", "{}")
+    ).toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    val out = GraphAlgos.degreeHistogram(g, "person", "knows", "out")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+    // in-degree: a<-d(1), b<-a(1), c<-a,b(2)
+    val in = GraphAlgos.degreeHistogram(g, "person", "knows", "in")
+      .as[(Long, Long)].collect().toMap
+    assert(in == Map(1L -> 2L, 2L -> 1L))
+  }
+}
