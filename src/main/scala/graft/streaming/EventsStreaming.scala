@@ -25,6 +25,41 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  case class FunnelState(stage: Int, anchorMs: Long)
+  case class FunnelProgress(user_id: Long, stages_completed: Int)
+
+  /** Streaming funnel progression as keyed state: each user's furthest
+    * stage, advanced greedily as events arrive (stage i+1 only strictly
+    * after the event that won stage i — the same sequential-earliest rule
+    * as the batch [[graft.pipeline.Events.funnel]]). Emits the user's
+    * current progress on every micro-batch that touches them (Update
+    * output). State is two fields per user, bounded by the user
+    * population, not the stream.
+    *
+    * Exactness: identical to the batch op when each user's events arrive
+    * in event-time order (within a batch they are sorted). A LATE arrival
+    * for an earlier stage cannot resurrect opportunities that already
+    * streamed past, so cross-batch disorder can only under-count — the
+    * nightly batch funnel is the exact reconciliation, the same contract
+    * as the other streaming twins. */
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+                   stages: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+                (st.stage == 0 || e.ts.getTime > st.anchorMs))
+              st = FunnelState(st.stage + 1, e.ts.getTime)
+          }
+          state.update(st)
+          FunnelProgress(userId, st.stage)
+      }
+  }
+
   /** Gap sessionization as keyed state: a session closes when no event
     * arrives for `gapSec` (watermark-driven timeout) — the streaming
     * equivalent of the batch lag-window form. */

@@ -60,6 +60,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances keyed stage state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.funnelStream(spark, input.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks first (wrong stage -> 0)
+      input.addData(Event(1, ts(1000), 1, "view", 1.0), Event(2, ts(1000), 2, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 completes click+purchase (in-batch order by ts);
+      // user 2 views, but its earlier click is gone -> stays at stage 1
+      input.addData(
+        Event(3, ts(1010), 1, "click", 1.0), Event(4, ts(1020), 1, "purchase", 1.0),
+        Event(5, ts(1010), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, stages_completed FROM funnel_out")
+        .as[(Long, Int)].collect().toSeq
+      // update-mode memory sink accumulates one progress row per touched batch
+      val latest = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(latest == Map(1L -> 3, 2L -> 1))
+      assert(rows.contains((1L, 1)), "batch-1 progress must have been emitted")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup suppresses normalized repeats within the horizon") {
     import spark.implicits._
     import graft.streaming.DedupStreaming
