@@ -53,4 +53,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
     assert(!p.contains("Exchange"), s"chunking must stay embarrassingly parallel:\n$p")
   }
+
+  lazy val events: DataFrame = (0L until 200L)
+    .map(i => (i, i * 1000000000L, i % 20, Seq("view", "click", "purchase")(i.toInt % 3), 1.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("funnel: stage chain keyed on user_id throughout, no cartesian") {
+    val p = plan(Events.funnel(events, Seq("view", "click", "purchase")))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"stage joins must stay equi-joins:\n$p")
+  }
+
+  test("retention: one distinct pass then key-reusing aggregates, no cartesian") {
+    val p = plan(Events.retention(events))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"cohort aggregates must map-side combine:\n$p")
+  }
+
+  test("degree histogram: edge side pre-aggregates before the vertex join") {
+    val v = (0L until 50L).map(i => (s"v$i", "person", "{}")).toDF("gid", "label", "data")
+    val e = (0L until 150L).map(i => (s"e$i", "knows", s"v${i % 50}", s"v${(i + 1) % 50}", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val p = plan(graft.model.GraphAlgos.degreeHistogram(
+      graft.model.GraphFrame(v, e), "person", "knows"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"edge counting must partial-aggregate before its exchange:\n$p")
+  }
 }
