@@ -283,6 +283,15 @@ edges:
     "p36_funnel" -> ((s, d) => Events.funnel(events(s, d), Seq("view", "click", "purchase"))),
     // daily-cohort retention matrix
     "p37_retention" -> ((s, d) => Events.retention(events(s, d))),
+    // as-of join: each purchase enriched with the latest prior view
+    "p38_asof" -> ((s, d) => {
+      val e = events(s, d)
+      Events.asOf(
+        e.filter(col("event_type") === "purchase").withColumnRenamed("event_id", "purchase_id"),
+        e.filter(col("event_type") === "view"),
+        "user_id", "ts", "purchase_id", "event_id")
+        .withColumnRenamed("as_of_event_id", "as_of_view_id")
+    }),
     // every per-document signal in ONE scan — the single-pass profile a
     // 100-TB curation job computes instead of five separate reads
     "p35_profile" -> ((s, d) => docs(s, d).select(col("doc_id"),
@@ -618,6 +627,10 @@ edges:
       "WHERE e.event_type = 'purchase' AND e.ts > f2.t GROUP BY e.user_id), " +
       "u AS (SELECT user_id FROM f1 UNION ALL SELECT user_id FROM f2 UNION ALL SELECT user_id FROM f3) " +
       "SELECT user_id, count(*) AS stages_completed FROM u GROUP BY user_id"),
+    "p38_asof" -> ("WITH l AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "r AS (SELECT user_id, ts, max(event_id) AS view_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+      "SELECT l.purchase_id, l.user_id, r.view_id AS as_of_view_id " +
+      "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "p37_retention" -> ("WITH a AS (SELECT DISTINCT user_id, " +
       "cast(floor(floor(epoch(ts)) / 86400) * 86400 AS bigint) AS b FROM events), " +
       "f AS (SELECT user_id, min(b) AS c FROM a GROUP BY user_id) " +

@@ -48,6 +48,34 @@ object Events {
       .select(col("user_id"), col("event_id"), col("rank"))
   }
 
+  /** As-of join: attach to every left event the LATEST right event at or
+    * before its timestamp for the same key (the time-series enrichment
+    * join Spark has no native operator for). Rights sharing one (key, ts)
+    * are pre-collapsed to the max id so the match is deterministic.
+    * Output: (leftId, keyCol, as_of_<rightId>) — null when no right event
+    * precedes the left one.
+    *
+    * Scale shape: NOT a range join (whose candidate set is quadratic in
+    * events-per-key) — both sides union into one stream, ONE shuffle on
+    * the key, and a running `last(ignoreNulls)` over the per-key time
+    * order resolves every left row in a single sorted pass. Rights sort
+    * before lefts at equal timestamps, giving at-or-before semantics. */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           leftId: String, rightId: String): DataFrame = {
+    val r0 = right.groupBy(col(keyCol), col(tsCol)).agg(max(col(rightId)).as("__rid"))
+    val l = left.select(col(keyCol), col(tsCol), col(leftId).as("__lid"),
+      lit(null).cast("long").as("__rid"), lit(0).as("__side"))
+    val r = r0.select(col(keyCol), col(tsCol), lit(null).cast("long").as("__lid"),
+      col("__rid"), lit(1).as("__side"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__last", last(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__lid").as(leftId), col(keyCol), col("__last").as(s"as_of_$rightId"))
+  }
+
   /** Cohort retention: bucket time into `bucketSec` periods, assign each
     * user to the cohort of their FIRST active bucket, and count distinct
     * users active again k periods later. Output: (cohort_start,

@@ -172,6 +172,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(2L) == ((1L, 1L)))
   }
 
+  test("asOf: latest right at-or-before each left, per key, deterministic on ties") {
+    // user 1: views at 10, 20, 20 (ids 2, 3, 4 -> tie keeps max id 4);
+    // purchases at 5 (no prior -> null), 15 (view 2), 20 (at-or-before -> 4)
+    // user 2: view at 100 only reaches user 2's purchase, not user 1's
+    def ev(id: Long, sec: Long, u: Long, t: String) = (id, sec * 1000000000L, u, t, 0.0, "{}")
+    val e = Seq(
+      ev(2, 10, 1, "view"), ev(3, 20, 1, "view"), ev(4, 20, 1, "view"),
+      ev(10, 5, 1, "purchase"), ev(11, 15, 1, "purchase"), ev(12, 20, 1, "purchase"),
+      ev(20, 100, 2, "view"), ev(21, 150, 2, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.asOf(
+        e.filter($"event_type" === "purchase").withColumnRenamed("event_id", "purchase_id"),
+        e.filter($"event_type" === "view"),
+        "user_id", "ts", "purchase_id", "event_id")
+      .as[(Long, Long, Option[Long])].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(10L -> None, 11L -> Some(2L), 12L -> Some(4L), 21L -> Some(20L)))
+  }
+
   test("retention: cohort by first active bucket, offsets count returning users") {
     // bucket = 10s. user 1 active in buckets 0,10,30 (cohort 0 -> offsets 0,1,3)
     // user 2 active in buckets 10,20 (cohort 10 -> offsets 0,1)
