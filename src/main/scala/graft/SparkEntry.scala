@@ -283,6 +283,15 @@ edges:
     "p36_funnel" -> ((s, d) => Events.funnel(events(s, d), Seq("view", "click", "purchase"))),
     // daily-cohort retention matrix
     "p37_retention" -> ((s, d) => Events.retention(events(s, d))),
+    // range join: events falling inside each user's onboarding hour
+    "p39_range" -> ((s, d) => {
+      val e = events(s, d)
+      val iv = e.groupBy("user_id").agg(min(col("ts")).as("start"))
+        .select(col("user_id"), col("user_id").as("interval_id"), col("start"),
+          (col("start") + lit(3600L * 1000000000L)).as("end"))
+      Events.rangeJoin(e, "event_id", "ts", iv, "interval_id", "start", "end",
+        "user_id", 600L * 1000000000L)
+    }),
     // as-of join: each purchase enriched with the latest prior view
     "p38_asof" -> ((s, d) => {
       val e = events(s, d)
@@ -627,6 +636,9 @@ edges:
       "WHERE e.event_type = 'purchase' AND e.ts > f2.t GROUP BY e.user_id), " +
       "u AS (SELECT user_id FROM f1 UNION ALL SELECT user_id FROM f2 UNION ALL SELECT user_id FROM f3) " +
       "SELECT user_id, count(*) AS stages_completed FROM u GROUP BY user_id"),
+    "p39_range" -> ("WITH i AS (SELECT user_id, user_id AS interval_id, min(ts) AS s FROM events GROUP BY user_id) " +
+      "SELECT e.user_id, e.event_id, i.interval_id FROM events e JOIN i ON e.user_id = i.user_id " +
+      "WHERE e.ts >= i.s AND e.ts < i.s + INTERVAL 1 HOUR"),
     "p38_asof" -> ("WITH l AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
       "r AS (SELECT user_id, ts, max(event_id) AS view_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
       "SELECT l.purchase_id, l.user_id, r.view_id AS as_of_view_id " +

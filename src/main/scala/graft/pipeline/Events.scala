@@ -76,6 +76,34 @@ object Events {
       .select(col("__lid").as(leftId), col(keyCol), col("__last").as(s"as_of_$rightId"))
   }
 
+  /** Range (interval-containment) join: every point joined to the
+    * intervals of the same key containing it, half-open [start, end).
+    * Output: (keyCol, pointId, intervalId).
+    *
+    * Scale shape: NOT a naive inequality join (quadratic per key) — the
+    * time axis is cut into `bin`-sized buckets, each interval explodes to
+    * the bins it covers (≈ length/bin rows), points map to exactly one
+    * bin, and the join is a plain equi-join on (key, bin) with the exact
+    * containment test as a post-filter. All bucket arithmetic is exact
+    * long math (ts − pmod): at nanosecond scale a double division has
+    * already lost the low bits. Pick `bin` near the typical interval
+    * length — too small multiplies interval rows, too large packs
+    * unrelated points into each bucket. */
+  def rangeJoin(points: DataFrame, pointId: String, tsCol: String,
+                intervals: DataFrame, intervalId: String,
+                startCol: String, endCol: String,
+                keyCol: String, bin: Long): DataFrame = {
+    require(bin > 0, s"need bin > 0, got $bin")
+    def aligned(c: org.apache.spark.sql.Column) = c - pmod(c, lit(bin))
+    val iv = intervals.filter(col(endCol) >= col(startCol))
+      .select(col(keyCol), col(intervalId), col(startCol), col(endCol),
+        explode(sequence(aligned(col(startCol)), aligned(col(endCol)), lit(bin))).as("__bin"))
+    points.select(col(keyCol), col(pointId), col(tsCol), aligned(col(tsCol)).as("__bin"))
+      .join(iv, Seq(keyCol, "__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .select(col(keyCol), col(pointId), col(intervalId))
+  }
+
   /** Cohort retention: bucket time into `bucketSec` periods, assign each
     * user to the cohort of their FIRST active bucket, and count distinct
     * users active again k periods later. Output: (cohort_start,

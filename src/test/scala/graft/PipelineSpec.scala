@@ -190,6 +190,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(10L -> None, 11L -> Some(2L), 12L -> Some(4L), 21L -> Some(20L)))
   }
 
+  test("rangeJoin: half-open containment via bin buckets, boundary-exact") {
+    // interval A: user 1, [10, 30) — catches ts 10 (start inclusive) and 29,
+    // not 30 (end exclusive) or 5; interval B: user 2, [10, 30) must not
+    // catch user 1's points; bin=7 exercises intervals spanning bins
+    val pts = Seq((1L, 10L, 100L), (1L, 29L, 101L), (1L, 30L, 102L), (1L, 5L, 103L),
+      (2L, 15L, 200L)).toDF("user_id", "ts", "event_id")
+    val iv = Seq((1L, 900L, 10L, 30L), (2L, 901L, 10L, 30L))
+      .toDF("user_id", "interval_id", "start", "end")
+    val got = Events.rangeJoin(pts, "event_id", "ts", iv, "interval_id",
+        "start", "end", "user_id", bin = 7L)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toSet
+    assert(got == Set(100L -> 900L, 101L -> 900L, 200L -> 901L))
+  }
+
   test("retention: cohort by first active bucket, offsets count returning users") {
     // bucket = 10s. user 1 active in buckets 0,10,30 (cohort 0 -> offsets 0,1,3)
     // user 2 active in buckets 10,20 (cohort 10 -> offsets 0,1)
