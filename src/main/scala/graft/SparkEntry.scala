@@ -172,6 +172,19 @@ edges:
     // zero-degree customers included
     "q61_degree_hist" -> ((s, d) => graft.model.GraphAlgos.degreeHistogram(
       TpchGraph(s, d), "customer", "customer", "in")),
+    // pipeline -> graph round trip: the minhash near-dup pairs become a
+    // property graph and a GripQL traversal counts the near_dup edges
+    "q62_dedup_graph" -> ((s, d) => {
+      val pairs = Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")
+      val v = docs(s, d).select(concat(lit("d:"), col("doc_id")).as("gid"),
+        lit("document").as("label"), lit("{}").as("data"))
+      val e = pairs.select(
+        concat(lit("e:"), col("a_id"), lit(":"), col("b_id")).as("gid"),
+        lit("near_dup").as("label"),
+        concat(lit("d:"), col("a_id")).as("from"),
+        concat(lit("d:"), col("b_id")).as("to"), lit("{}").as("data"))
+      Traversal.run(s, graft.model.GraphFrame(v, e), Query().V().out("near_dup").count())
+    }),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -533,6 +546,7 @@ edges:
     "q61_degree_hist" -> ("WITH d AS (SELECT c.c_custkey, count(o.o_orderkey) AS deg " +
       "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey) " +
       "SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg"),
+    "q62_dedup_graph" -> s"WITH $shingleCtes\nSELECT count(*) AS count FROM p WHERE j >= 0.5",
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     "p02_dedup_minhash" -> shingleCte,
