@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("range join runs unchanged as a stream-static join (streaming points)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // timestamp cast to long = epoch seconds; intervals in the same unit
+    val intervals = Seq((1L, 900L, 10L, 30L))
+      .toDF("user_id", "interval_id", "start", "end")
+    val input = MemoryStream[Event]
+    val pts = input.toDS().toDF()
+      .select($"user_id", $"ts".cast("long").as("ts"), $"event_id")
+    val q = graft.pipeline.Events.rangeJoin(pts, "event_id", "ts",
+        intervals, "interval_id", "start", "end", "user_id", bin = 7L)
+      .writeStream.format("memory").queryName("srange_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(100, ts(15), 1, "view", 1.0),  // inside [10, 30)
+        Event(101, ts(35), 1, "view", 1.0),              // outside
+        Event(102, ts(15), 2, "view", 1.0))              // wrong user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, interval_id FROM srange_out")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((100L, 900L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup suppresses normalized repeats within the horizon") {
     import spark.implicits._
     import graft.streaming.DedupStreaming
