@@ -570,6 +570,61 @@ object Dedup {
       .filter(col("hits") >= minOverlap)
   }
 
+  /** A Bloom filter over the benchmark's shingle hashes: `words` is the
+    * packed bitmap, probes use Kirsch–Mitzenmacher double hashing over
+    * the two 32-bit halves of the shingle hash (masked so the probe
+    * arithmetic stays overflow-free under ANSI mode). */
+  case class BloomIndex(words: Array[Long], m: Long, k: Int)
+
+  /** Build the [[BloomIndex]] for [[decontaminateBloom]] — `bitsPerItem`
+    * trades space for false-positive rate (16 bits/item ≈ 5e-4 per
+    * probe set). Build once per benchmark suite, reuse across runs. */
+  def benchmarkBloom(bench: DataFrame, benchTextCol: String,
+                     shingleN: Int = 4, bitsPerItem: Int = 16): BloomIndex = {
+    require(bitsPerItem >= 2 && bitsPerItem <= 64, s"bitsPerItem in [2,64], got $bitsPerItem")
+    val hashes = bench.select(explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(benchTextCol), shingleN))).as("__h")).distinct()
+    val n = math.max(1L, hashes.count())
+    val m = math.min(1L << 30, math.max(64L, n * bitsPerItem))
+    val k = math.max(1, math.round(bitsPerItem * 0.693).toInt)
+    val h1 = col("__h").bitwiseAND(lit(0xffffffffL))
+    val h2 = shiftrightunsigned(col("__h"), 32).bitwiseOR(lit(1L))
+    val pos = hashes.select(explode(transform(sequence(lit(0), lit(k - 1)), i =>
+        pmod(h1 + i.cast("long") * h2, lit(m)))).as("__p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long]((m / 64 + 1).toInt)
+    pos.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+    BloomIndex(words, m, k)
+  }
+
+  /** Space-bounded decontamination — the scale path when the benchmark's
+    * exact distinct-shingle frame outgrows the broadcast budget of
+    * [[decontaminate]]'s semi-join: the shingle set compresses to a Bloom
+    * bitmap that rides into every task as one literal array, and
+    * membership is pure bit arithmetic inside codegen (no UDF, no join
+    * at all — the corpus scan never shuffles until the per-doc count).
+    * One-sided error: NO false negatives — every truly contaminated
+    * document is flagged; false positives inflate the flagged set by
+    * ~fpp per shingle, acceptable for a REMOVAL list, never a keep list.
+    * Output: (idCol, hits) like the exact op; hits may over-count by
+    * the same one-sided error. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         bloom: BloomIndex, shingleN: Int = 4,
+                         minOverlap: Long = 1L): DataFrame = {
+    val tests = (0 until bloom.k).map { i =>
+      val p = s"pmod(__h1 + $i * __h2, ${bloom.m}L)"
+      s"((shiftright(element_at(__bm, cast(($p div 64) as int) + 1), cast(pmod($p, 64) as int))) & 1) = 1"
+    }
+    corpus.select(col(idCol), explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(textCol), shingleN))).as("__h"))
+      .withColumn("__h1", col("__h").bitwiseAND(lit(0xffffffffL)))
+      .withColumn("__h2", shiftrightunsigned(col("__h"), 32).bitwiseOR(lit(1L)))
+      .withColumn("__bm", typedlit(bloom.words.toSeq))
+      .filter(expr(tests.mkString(" AND ")))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minOverlap)
+  }
+
   /** Cross-corpus near-dup pairs: (a_id from `newDf`, b_id from `ref`)
     * with shingle-Jaccard >= threshold — the incremental-ingest shape:
     * near-dup a new crawl against the existing training corpus without

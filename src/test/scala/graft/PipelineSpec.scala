@@ -470,6 +470,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == Map(0L -> "", 1L -> "", 2L -> "c d"))
   }
 
+  test("bloom decontamination: no false negatives vs the exact semi-join") {
+    val corpus = ((0 until 60).map(i =>
+      (i.toLong, s"alpha bravo w$i x${i % 7} y${i % 5} z${i % 3} tail end here"))).toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha bravo w3 x3 shared fragment"),
+      (901L, "y2 z1 tail end here closing")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.benchmarkBloom(bench, "text")
+    val got = Dedup.decontaminateBloom(corpus, "doc_id", "text", bloom)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    // one-sided error: every exact flag present, with at-least-equal hits
+    exact.foreach { case (id, hits) =>
+      assert(got.contains(id) && got(id) >= hits, s"doc $id lost by bloom: $got vs $exact")
+    }
+    // 16 bits/item on this tiny set: expect no false positives at all
+    assert(got.keySet == exact.keySet, s"unexpected FPs: ${got.keySet -- exact.keySet}")
+  }
+
   test("mix replicates by weight with md5-deterministic extra copies") {
     val rows = (0L until 40L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
     val weights = Map("s0" -> 2.5, "s1" -> 0.4, "s2" -> 0.0) // s3 defaults to 1.0

@@ -54,6 +54,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must stay embarrassingly parallel:\n$p")
   }
 
+  test("bloom decontamination: membership is join-free bit arithmetic") {
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val bloom = Dedup.benchmarkBloom(bench, "text")
+    val p = plan(Dedup.decontaminateBloom(docs, "doc_id", "text", bloom))
+    assert(!p.contains("Join"), s"bloom membership must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   lazy val events: DataFrame = (0L until 200L)
     .map(i => (i, i * 1000000000L, i % 20, Seq("view", "click", "purchase")(i.toInt % 3), 1.0))
     .toDF("event_id", "ts", "user_id", "event_type", "value")
