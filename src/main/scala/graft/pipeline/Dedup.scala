@@ -608,22 +608,30 @@ object Dedup {
     * ~fpp per shingle, acceptable for a REMOVAL list, never a keep list.
     * Output: (idCol, hits) like the exact op; hits may over-count by
     * the same one-sided error. */
-  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
-                         bloom: BloomIndex, shingleN: Int = 4,
-                         minOverlap: Long = 1L): DataFrame = {
+  /** The rows of `keep` whose document has at least one Bloom-positive
+    * shingle, one row per positive shingle — the join-free membership
+    * scan [[decontaminateBloom]] and the streaming twin share. */
+  private[graft] def bloomHits(df: DataFrame, keep: Seq[String], textCol: String,
+                               bloom: BloomIndex, shingleN: Int): DataFrame = {
     val tests = (0 until bloom.k).map { i =>
       val p = s"pmod(__h1 + $i * __h2, ${bloom.m}L)"
       s"((shiftright(element_at(__bm, cast(($p div 64) as int) + 1), cast(pmod($p, 64) as int))) & 1) = 1"
     }
-    corpus.select(col(idCol), explode(graft.functions.VectorExprs.hashArray(
-        shingles(col(textCol), shingleN))).as("__h"))
+    df.select(keep.map(col) :+ explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(textCol), shingleN))).as("__h"): _*)
       .withColumn("__h1", col("__h").bitwiseAND(lit(0xffffffffL)))
       .withColumn("__h2", shiftrightunsigned(col("__h"), 32).bitwiseOR(lit(1L)))
       .withColumn("__bm", typedlit(bloom.words.toSeq))
       .filter(expr(tests.mkString(" AND ")))
+      .select(keep.map(col): _*)
+  }
+
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         bloom: BloomIndex, shingleN: Int = 4,
+                         minOverlap: Long = 1L): DataFrame =
+    bloomHits(corpus, Seq(idCol), textCol, bloom, shingleN)
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minOverlap)
-  }
 
   /** Cross-corpus near-dup pairs: (a_id from `newDf`, b_id from `ref`)
     * with shingle-Jaccard >= threshold — the incremental-ingest shape:

@@ -123,6 +123,20 @@ object DedupStreaming {
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol), col(tsCol))
 
+  /** Bloom variant of [[contaminatedStream]] for benchmark suites whose
+    * exact shingle index outgrows the broadcast budget: membership is the
+    * same join-free bit arithmetic as
+    * [[graft.pipeline.Dedup.decontaminateBloom]], so each micro-batch is
+    * a pure scan — the only state is the per-id watermark dedup. Same
+    * one-sided error: no false negatives, ~fpp spurious flags. */
+  def contaminatedStreamBloom(stream: DataFrame, idCol: String, textCol: String,
+                              tsCol: String, bloom: Dedup.BloomIndex,
+                              shingleN: Int = 4, horizon: String = "1 hour"): DataFrame =
+    Dedup.bloomHits(stream, Seq(idCol, tsCol), textCol, bloom, shingleN)
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+
   /** Streaming twin of [[graft.pipeline.Dedup.dedupPassages]]: rewrite
     * arriving documents with a KNOWN boilerplate set removed. The common
     * passages (from [[graft.pipeline.Dedup.commonPassages]] over the

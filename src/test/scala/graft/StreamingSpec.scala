@@ -188,6 +188,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming bloom decontamination flags the same arrivals join-free") {
+    import spark.implicits._
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bloom = graft.pipeline.Dedup.benchmarkBloom(bench, "text")
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = DedupStreaming.contaminatedStreamBloom(
+        input.toDF(), "doc_id", "text", "ts", bloom)
+      .writeStream.format("memory").queryName("sbloom_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(10, "prefix alpha beta gamma delta epsilon suffix", ts(1000)),
+        DedupStreaming.Doc(12, "nothing shared with the benchmark here at all", ts(1002)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id FROM sbloom_out").as[Long].collect().toSeq
+      assert(rows == Seq(10L))
+    } finally q.stop()
+  }
+
   test("streaming curation dedups, tags, and gates arrivals") {
     import spark.implicits._
     import graft.streaming.{CurationStreaming, DedupStreaming}
