@@ -67,9 +67,17 @@ object Similarity {
     * centroids and scores only those buckets. The scale path when corpus
     * >> queries: the corpus shuffles once at build, probing is an equi-join
     * on the centroid id. */
-  def annIvf(corpus: DataFrame, idCol: String, vecCol: String,
-             queries: DataFrame, qidCol: String, qvecCol: String,
-             k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** A built IVF index: the bucket-assigned corpus and the (tiny)
+    * centroid table — both plain DataFrames, so the index persists as
+    * two parquet directories and a probe run never refits KMeans. */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Fit the coarse quantizer and assign every corpus vector to its cell
+    * — the expensive, corpus-sized half of IVF, done once per corpus
+    * version and reused across every probe batch ([[saveIvf]]/
+    * [[loadIvf]] round-trip it through parquet). */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
@@ -83,10 +91,26 @@ object Similarity {
       .setFeaturesCol("__feat").setPredictionCol("__bucket")
     val fitted = model.fit(c)
     val assigned = fitted.transform(c).select(col("neighbor_id"), col("__v"), col("__bucket"))
-    // nprobe nearest centroids per query (centroid table is tiny: broadcast)
     val centroids = fitted.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
-    val centDf = broadcast(corpus.sparkSession.createDataFrame(centroids.toSeq)
-      .toDF("__bucket", "__cent"))
+    IvfIndex(assigned,
+      corpus.sparkSession.createDataFrame(centroids.toSeq).toDF("__bucket", "__cent"))
+  }
+
+  def saveIvf(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/assigned"), spark.read.parquet(s"$dir/centroids"))
+
+  /** Probe a built index: nprobe nearest cells per query, exact cosine
+    * rerank inside them. The probe side is the only per-batch work. */
+  def probeIvf(index: IvfIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, nprobe: Int = 4): DataFrame = {
+    val assigned = index.assigned
+    // nprobe nearest centroids per query (centroid table is tiny: broadcast)
+    val centDf = broadcast(index.centroids)
     val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"))
     val probes = q.crossJoin(centDf)
       .withColumn("__dist", fsum(zip_with(col("__q"), col("__cent"), (a, b) => (a - b) * (a - b))))
@@ -104,6 +128,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** One-shot IVF ANN: build + probe in a single call (the per-query
+    * driver entry); long-lived systems call [[buildIvf]] once and
+    * [[probeIvf]] per batch instead. */
+  def annIvf(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    probeIvf(buildIvf(corpus, idCol, vecCol, nlist, seed),
+      queries, qidCol, qvecCol, k, nprobe)
 
   /** Embedding-cosine near-dup pairs: (a_id, b_id) with a < b and
     * cosine(va, vb) >= tau — the embedding-space sibling of the text

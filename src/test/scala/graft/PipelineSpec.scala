@@ -107,6 +107,14 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
     assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low")
+    // index persistence: a probe against the saved-and-reloaded index
+    // returns exactly the one-shot results, with no refit
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.saveIvf(Similarity.buildIvf(vecs, "vec_id", "embedding", nlist = 4), dir)
+    val probed = Similarity.probeIvf(Similarity.loadIvf(spark, dir),
+        q, "vec_id", "embedding", 5, nprobe = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == ivf, s"persisted probe drifted: ${probed.diff(ivf)} vs ${ivf.diff(probed)}")
   }
 
   test("text analysis: langid, quality, tokens, fingerprint are deterministic") {
