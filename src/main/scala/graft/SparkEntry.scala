@@ -38,6 +38,20 @@ object SparkEntry {
   private def runQ(s: SparkSession, dir: String)(build: Query => Query): DataFrame =
     Traversal.run(s, TpchGraph(s, dir), build(Query()))
 
+  /** The near-dup property graph q62/q63 share: documents as vertices,
+    * minhash near-dup pairs as directed near_dup edges (a_id < b_id). */
+  private def dedupGraph(s: SparkSession, d: String): graft.model.GraphFrame = {
+    val pairs = Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")
+    val v = docs(s, d).select(concat(lit("d:"), col("doc_id")).as("gid"),
+      lit("document").as("label"), lit("{}").as("data"))
+    val e = pairs.select(
+      concat(lit("e:"), col("a_id"), lit(":"), col("b_id")).as("gid"),
+      lit("near_dup").as("label"),
+      concat(lit("d:"), col("a_id")).as("from"),
+      concat(lit("d:"), col("b_id")).as("to"), lit("{}").as("data"))
+    graft.model.GraphFrame(v, e)
+  }
+
   /** A GRIPPER-mapped graph over the raw TESTDATA parquet: the nation and
     * region collections become vertices, the nation rows' own region key
     * becomes a field-to-id edge — the same mapping shape as the reference's
@@ -174,17 +188,12 @@ edges:
       TpchGraph(s, d), "customer", "customer", "in")),
     // pipeline -> graph round trip: the minhash near-dup pairs become a
     // property graph and a GripQL traversal counts the near_dup edges
-    "q62_dedup_graph" -> ((s, d) => {
-      val pairs = Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")
-      val v = docs(s, d).select(concat(lit("d:"), col("doc_id")).as("gid"),
-        lit("document").as("label"), lit("{}").as("data"))
-      val e = pairs.select(
-        concat(lit("e:"), col("a_id"), lit(":"), col("b_id")).as("gid"),
-        lit("near_dup").as("label"),
-        concat(lit("d:"), col("a_id")).as("from"),
-        concat(lit("d:"), col("b_id")).as("to"), lit("{}").as("data"))
-      Traversal.run(s, graft.model.GraphFrame(v, e), Query().V().out("near_dup").count())
-    }),
+    "q62_dedup_graph" -> ((s, d) =>
+      Traversal.run(s, dedupGraph(s, d), Query().V().out("near_dup").count())),
+    // connected components over the same near-dup graph, singleton
+    // documents included as their own components
+    "q63_components" -> ((s, d) =>
+      graft.model.GraphAlgos.connectedComponents(dedupGraph(s, d), "near_dup")),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -547,6 +556,20 @@ edges:
       "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey) " +
       "SELECT deg, count(*) AS n_vertices FROM d GROUP BY deg"),
     "q62_dedup_graph" -> s"WITH $shingleCtes\nSELECT count(*) AS count FROM p WHERE j >= 0.5",
+    // string-keyed component ids: min over 'd:'-prefixed gids on BOTH
+    // sides so the representative matches the engine's string min
+    "q63_components" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),
+         |nodes AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
+         |e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         |SELECT 'd:' || d.doc_id AS gid, coalesce(comp.c, 'd:' || d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp ON comp.id = 'd:' || d.doc_id""".stripMargin,
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     "p02_dedup_minhash" -> shingleCte,

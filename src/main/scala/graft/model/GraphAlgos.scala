@@ -20,6 +20,27 @@ object GraphAlgos {
     * the vertex join reuses the same gid key, and the final histogram
     * aggregate is tiny (distinct degree values). Label filters prune to
     * single branches of the label-partitioned union. */
+  /** Weakly connected components over one edge label: every vertex keyed
+    * by its component's MINIMUM gid (string order — the same min both
+    * the distributed star-contraction and any SQL ground truth compute);
+    * vertices touching no such edge are their own singleton components.
+    * Output: (gid, component).
+    *
+    * Scale shape: delegates to the alternating-star contraction of
+    * [[graft.pipeline.Dedup.clusters]] (log-rounds of bounded joins with
+    * checkpointed frontiers, with a driver-local union-find fast path
+    * below its threshold), then one left join to re-attach isolated
+    * vertices. */
+  def connectedComponents(g: GraphFrame, edgeLabel: String,
+                          maxIters: Int = 50): DataFrame = {
+    val pairs = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("__a"), col("to").as("__b"))
+    val assigned = graft.pipeline.Dedup.clusters(pairs, "__a", "__b", maxIters)
+    g.vertices.select(col("gid"))
+      .join(assigned, col("gid") === col("id"), "left")
+      .select(col("gid"), coalesce(col("cluster_id"), col("gid")).as("component"))
+  }
+
   def degreeHistogram(g: GraphFrame, vertexLabel: String, edgeLabel: String,
                       dir: String = "out"): DataFrame = {
     require(dir == "out" || dir == "in", s"dir must be 'out' or 'in', got $dir")

@@ -29,4 +29,23 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(in == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("connected components: string min representative, singletons included") {
+    // chain x10-x2-x9 must key on the STRING min "x10" (not numeric 2);
+    // y1-y2 a second component; z is isolated -> its own component;
+    // the "other" edge label must not connect w1-w2
+    val v = Seq("x10", "x2", "x9", "y1", "y2", "z", "w1", "w2")
+      .map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(
+      ("e1", "link", "x10", "x2", "{}"), ("e2", "link", "x2", "x9", "{}"),
+      ("e3", "link", "y1", "y2", "{}"),
+      ("e4", "other", "w1", "w2", "{}")
+    ).toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.connectedComponents(GraphFrame(v, e), "link")
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "x10" -> "x10", "x2" -> "x10", "x9" -> "x10",
+      "y1" -> "y1", "y2" -> "y1",
+      "z" -> "z", "w1" -> "w1", "w2" -> "w2"))
+  }
 }
