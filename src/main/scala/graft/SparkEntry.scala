@@ -194,6 +194,14 @@ edges:
     // documents included as their own components
     "q63_components" -> ((s, d) =>
       graft.model.GraphAlgos.connectedComponents(dedupGraph(s, d), "near_dup")),
+    // BFS hop distances from the (string-)min near-dup endpoint; 4 hops
+    // covers these near-clique components, and each extra recursion
+    // round makes the DuckDB oracle re-derive its quadratic pair CTE
+    "q64_bfs" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val seeds = g.edges.filter(col("label") === "near_dup").agg(min(col("from")).as("gid"))
+      graft.model.GraphAlgos.bfs(g, "near_dup", seeds, maxHops = 4)
+    }),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -570,6 +578,18 @@ edges:
          |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
          |SELECT 'd:' || d.doc_id AS gid, coalesce(comp.c, 'd:' || d.doc_id) AS component
          |FROM documents d LEFT JOIN comp ON comp.id = 'd:' || d.doc_id""".stripMargin,
+    // recursive BFS with UNION (row dedup) so walks in dense components
+    // stay bounded by nodes x hops, not path counts
+    "q64_bfs" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),
+         |e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+         |src AS (SELECT min(a) AS s FROM pr),
+         |walk(id, d) AS (
+         |  SELECT s, 0 FROM src
+         |  UNION
+         |  SELECT e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < 4)
+         |SELECT id AS gid, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     "p02_dedup_minhash" -> shingleCte,

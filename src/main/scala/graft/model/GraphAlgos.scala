@@ -41,6 +41,41 @@ object GraphAlgos {
       .select(col("gid"), coalesce(col("cluster_id"), col("gid")).as("component"))
   }
 
+  /** Multi-source BFS: hop distance from the seed set to every vertex
+    * reachable over `edgeLabel` within `maxHops` (unreached vertices are
+    * absent, seeds are distance 0). Output: (gid, dist).
+    *
+    * Scale shape: classic frontier expansion — each round joins only the
+    * CURRENT frontier (not the visited set) against the edge list, anti-
+    * joins out already-visited vertices, and checkpoints the frontier so
+    * the plan never re-derives prior rounds (same hygiene as the
+    * traversal jump loop). Rounds are bounded by `maxHops`; per-round
+    * cost is |frontier| × avg-degree, the best any distributed BFS
+    * does. */
+  def bfs(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+          maxHops: Int = 10, undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).localCheckpoint(true)
+    var dist = seeds.select(col(seeds.columns.head).as("gid"), lit(0).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = dist
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("gid") === e("u"))
+        .select(col("v").as("gid")).distinct()
+        .join(dist.select("gid"), Seq("gid"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    dist.withColumn("dist", col("dist").cast("long"))
+  }
+
   def degreeHistogram(g: GraphFrame, vertexLabel: String, edgeLabel: String,
                       dir: String = "out"): DataFrame = {
     require(dir == "out" || dir == "in", s"dir must be 'out' or 'in', got $dir")

@@ -30,6 +30,23 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(in == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("bfs: hop distances, undirected expansion, maxHops cutoff") {
+    // chain a-b-c-d plus branch b-e; f unreachable; edges stored one way
+    val v = Seq("a", "b", "c", "d", "e", "f").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "c", "b", "{}"),
+      ("e3", "link", "c", "d", "{}"), ("e4", "link", "b", "e", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    val seeds = Seq("a").toDF("gid")
+    val got = GraphAlgos.bfs(g, "link", seeds)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "e" -> 2L, "d" -> 3L))
+    // cutoff: with maxHops = 1 only the first ring appears
+    val cut = GraphAlgos.bfs(g, "link", seeds, maxHops = 1)
+      .as[(String, Long)].collect().toMap
+    assert(cut == Map("a" -> 0L, "b" -> 1L))
+  }
+
   test("connected components: string min representative, singletons included") {
     // chain x10-x2-x9 must key on the STRING min "x10" (not numeric 2);
     // y1-y2 a second component; z is isolated -> its own component;
