@@ -71,7 +71,12 @@ object Bench {
     for (d <- warmDir; (name, fn) <- selected) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       System.err.println(s"[bench] warm  $name")
-      try { fn(spark, d).count() } catch { case _: Throwable => }
+      try { fn(spark, d).count() } catch {
+        case scala.util.control.NonFatal(e) =>
+          // visible, not fatal: a query broken at sf0.001 would otherwise be
+          // silently skipped here and then pay compile/JIT inside its timed run
+          System.err.println(s"[bench] WARM FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       for ((id, rdd) <- spark.sparkContext.getPersistentRDDs if !before.contains(id))
         rdd.unpersist(false)
     }
@@ -84,7 +89,11 @@ object Bench {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] done  $name $dt%.2f s")
       for ((id, rdd) <- spark.sparkContext.getPersistentRDDs if !before.contains(id))

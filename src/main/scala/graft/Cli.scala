@@ -45,9 +45,19 @@ object Cli {
   /** Test seam: set BEFORE the first command runs to point the store at a
     * scratch directory (the env var can't be mutated in-JVM). */
   private[graft] var homeOverride: Option[String] = None
-  private lazy val home: String =
+  // re-resolved per access (not lazy) so an override set between commands —
+  // or by a test suite after another suite already ran a command — takes
+  // effect instead of silently pointing at the first-resolved store
+  private def home: String =
     homeOverride.getOrElse(sys.env.getOrElse("GRAFT_HOME", "graft-graphs"))
-  private lazy val catalog = new Catalog(spark, home)
+  private var catalogCache: Option[(String, Catalog)] = None
+  private def catalog: Catalog = synchronized {
+    val h = home
+    catalogCache match {
+      case Some((ch, c)) if ch == h => c
+      case _ => val c = new Catalog(spark, h); catalogCache = Some((h, c)); c
+    }
+  }
   private def jobsDir(g: String) = s"$home/$g/.jobs"
 
   private def opt(args: Seq[String], name: String): Option[String] = {

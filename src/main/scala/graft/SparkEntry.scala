@@ -38,9 +38,21 @@ object SparkEntry {
   private def runQ(s: SparkSession, dir: String)(build: Query => Query): DataFrame =
     Traversal.run(s, TpchGraph(s, dir), build(Query()))
 
-  /** The near-dup property graph q62/q63 share: documents as vertices,
-    * minhash near-dup pairs as directed near_dup edges (a_id < b_id). */
+  /** The near-dup property graph q62/q63/q64 share: documents as vertices,
+    * minhash near-dup pairs as directed near_dup edges (a_id < b_id).
+    * Memoized per (session, dir) like [[graft.model.TpchGraph]], with the
+    * edge side localCheckpoint'ed: the MinHash banded join is the expensive
+    * part and is identical across the three graph queries, so it is
+    * materialized exactly once per session+dataset instead of three times. */
+  private val dedupGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.model.GraphFrame]()
+
   private def dedupGraph(s: SparkSession, d: String): graft.model.GraphFrame = {
+    dedupGraphMemo.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    dedupGraphMemo.computeIfAbsent((s, d), { case (sess, dir) => buildDedupGraph(sess, dir) })
+  }
+
+  private def buildDedupGraph(s: SparkSession, d: String): graft.model.GraphFrame = {
     val pairs = Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")
     val v = docs(s, d).select(concat(lit("d:"), col("doc_id")).as("gid"),
       lit("document").as("label"), lit("{}").as("data"))
@@ -49,7 +61,7 @@ object SparkEntry {
       lit("near_dup").as("label"),
       concat(lit("d:"), col("a_id")).as("from"),
       concat(lit("d:"), col("b_id")).as("to"), lit("{}").as("data"))
-    graft.model.GraphFrame(v, e)
+    graft.model.GraphFrame(v, e.localCheckpoint())
   }
 
   /** A GRIPPER-mapped graph over the raw TESTDATA parquet: the nation and
@@ -714,7 +726,7 @@ edges:
       "cast(len(string_split(text, ' ')) AS bigint) AS tok FROM documents), " +
       "c AS (SELECT doc_id, source, coalesce(sum(tok) OVER (" +
       "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) " +
-      "SELECT doc_id, source, cum // 2048 AS seq_idx, cum % 2048 AS seq_off FROM c"),
+      "SELECT doc_id, source, CAST(cum // 2048 AS BIGINT) AS seq_idx, CAST(cum % 2048 AS BIGINT) AS seq_off FROM c"),
     "p26_repetition" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, w, " +
       "list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bg FROM dw) " +

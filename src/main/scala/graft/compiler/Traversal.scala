@@ -149,30 +149,16 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
   private def varUpsert(vars: Column, key: String, value: Column): Column =
     map_concat(map_filter(vars, (k, _) => k =!= lit(key)), map(lit(key), value))
 
-  /** skip(n): drop n rows WITHOUT a global single-partition offset (which
-    * is a straggler at scale). Results are unordered — the reference drops
-    * whichever travelers arrive first (engine/core/processors.go:664-685) —
-    * so dropping from the first partitions is equivalent: one parallel
-    * counting pass over the same RDD (identical partition structure), then
-    * a parallel per-partition drop. */
-  private def dropRows(df: DataFrame, n: Long): DataFrame = {
-    if (n <= 0) return df
-    // Two passes over the same RDD lineage: a sizing pass, then a
-    // per-partition drop. Correct because the engine's plans are
-    // deterministic (parquet scans + hash shuffles) so both passes see
-    // identical partition SIZES; deliberately no caching — persisting
-    // either the source or an eager result would leak a full copy of the
-    // stream into session storage for a rarely-used operator.
-    val rdd = df.rdd
-    val sizes = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().toMap
-    var remaining = n
-    val drops = (0 until rdd.getNumPartitions).map { i =>
-      val take = math.min(remaining, sizes.getOrElse(i, 0L)); remaining -= take; i -> take
-    }.toMap
-    val dropped = rdd.mapPartitionsWithIndex((i, it) => it.drop(drops(i).toInt))
-    spark.createDataFrame(dropped, df.schema)
-  }
+  /** skip(n): GripQL results are unordered — the reference drops whichever
+    * travelers arrive first (engine/core/processors.go:664-685) — so ANY
+    * n rows may be dropped. Spark's native `Dataset.offset` (3.4+) keeps
+    * the whole stream in one declarative plan (single scan, codegen intact)
+    * instead of the previous two-pass RDD count-then-drop, which scanned
+    * the lineage twice and broke whole-stage codegen at the `df.rdd`
+    * boundary. The physical offset runs where the limit would — skip is a
+    * paging operator, so n is small by construction. */
+  private def dropRows(df: DataFrame, n: Long): DataFrame =
+    if (n <= 0) df else df.offset(math.min(n, Int.MaxValue.toLong).toInt)
 
   private def pathVertexEntry(gid: Column): Column =
     struct(gid.as("vertex"), lit(null).cast(StringType).as("edge"))

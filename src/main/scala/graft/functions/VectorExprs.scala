@@ -398,12 +398,79 @@ case class PackedMajority(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "graft_packed_majority"
 }
 
+/** Bloom-filter membership probe of a 64-bit shingle hash against a packed
+  * bitmap — Kirsch–Mitzenmacher double hashing: probe i tests bit
+  * (h1 + i·h2) mod m with h1 = low 32 bits, h2 = high 32 bits | 1 (the
+  * 32-bit split keeps h1 + i·h2 far below Long overflow for any k ≤ 64,
+  * so the arithmetic is ANSI-safe).
+  *
+  * Why an expression: the bitmap rides to executors inside the
+  * stage-broadcast task binary as a codegen reference object — NOT as a
+  * up-to-16M-element `typedlit` Literal that every optimizer pass
+  * re-traverses and every plan string renders — and the k probes compile
+  * to one tight loop instead of k chained SQL bit tests. */
+case class BloomContains(child: Expression, words: Array[Long], m: Long, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects bigint, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < k) {
+      val p = (h1 + i * h2) % m
+      if (((words((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, h => {
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val hit = ctx.freshName("hit")
+      s"""
+         |long $h1 = $h & 0xffffffffL;
+         |long $h2 = ($h >>> 32) | 1L;
+         |boolean $hit = true;
+         |for (int $i = 0; $i < $k; $i++) {
+         |  long $p = ($h1 + $i * $h2) % ${m}L;
+         |  if ((($w[(int)($p / 64)] >>> (int)($p % 64)) & 1L) == 0L) { $hit = false; break; }
+         |}
+         |${ev.value} = $hit;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bloom_contains"
+}
+
 object VectorExprs {
   /** `graft_dot(a, b)` as a Column — the fast path for every dot/cosine
     * in [[graft.pipeline.Similarity]]. */
   def dotProduct(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.shims
     shims.column(DotProduct(shims.expression(a), shims.expression(b)))
+  }
+
+  /** `graft_bloom_contains(h)` as a Column — k-probe Bloom membership of a
+    * 64-bit hash, the join-free decontamination filter. */
+  def bloomContains(h: Column, words: Array[Long], m: Long, k: Int): Column = {
+    import org.apache.spark.sql.graft.shims
+    shims.column(BloomContains(shims.expression(h), words, m, k))
   }
 
   /** `graft_sorted_intersect(a, b)` as a Column — the per-pair hot path of

@@ -55,6 +55,9 @@ object GraphAlgos {
   def bfs(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
           maxHops: Int = 10, undirected: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    require(seeds.columns.length == 1,
+      s"seeds must be a single gid column, got (${seeds.columns.mkString(", ")}) — " +
+        "select the gid column explicitly before calling bfs")
     val base = g.edges.filter(col("label") === edgeLabel)
       .select(col("from").as("u"), col("to").as("v"))
     val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))

@@ -578,7 +578,12 @@ object Dedup {
 
   /** Build the [[BloomIndex]] for [[decontaminateBloom]] — `bitsPerItem`
     * trades space for false-positive rate (16 bits/item ≈ 5e-4 per
-    * probe set). Build once per benchmark suite, reuse across runs. */
+    * probe set). Build once per benchmark suite, reuse across runs.
+    *
+    * The bitmap assembles EXECUTOR-side: probe positions fold into packed
+    * 64-bit words through a map-side-combined `bit_or` aggregation, so the
+    * driver collects at most m/64 longs — the bitmap itself (≤128 MiB at
+    * the 2^30-bit cap, typically KBs) — never the k×n raw positions. */
   def benchmarkBloom(bench: DataFrame, benchTextCol: String,
                      shingleN: Int = 4, bitsPerItem: Int = 16): BloomIndex = {
     require(bitsPerItem >= 2 && bitsPerItem <= 64, s"bitsPerItem in [2,64], got $bitsPerItem")
@@ -589,20 +594,27 @@ object Dedup {
     val k = math.max(1, math.round(bitsPerItem * 0.693).toInt)
     val h1 = col("__h").bitwiseAND(lit(0xffffffffL))
     val h2 = shiftrightunsigned(col("__h"), 32).bitwiseOR(lit(1L))
-    val pos = hashes.select(explode(transform(sequence(lit(0), lit(k - 1)), i =>
+    // bit_or is idempotent, so no per-position distinct is needed — the
+    // word-level aggregation dedups repeated positions for free.
+    val wordRows = hashes.select(explode(transform(sequence(lit(0), lit(k - 1)), i =>
         pmod(h1 + i.cast("long") * h2, lit(m)))).as("__p"))
-      .distinct().collect().map(_.getLong(0))
+      .select(expr("cast(__p div 64 as int)").as("__w"),
+        expr("shiftleft(1L, cast(__p % 64 as int))").as("__b"))
+      .groupBy("__w").agg(expr("bit_or(__b)").as("__word"))
+      .collect()
     val words = new Array[Long]((m / 64 + 1).toInt)
-    pos.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     BloomIndex(words, m, k)
   }
 
   /** Space-bounded decontamination — the scale path when the benchmark's
     * exact distinct-shingle frame outgrows the broadcast budget of
     * [[decontaminate]]'s semi-join: the shingle set compresses to a Bloom
-    * bitmap that rides into every task as one literal array, and
-    * membership is pure bit arithmetic inside codegen (no UDF, no join
-    * at all — the corpus scan never shuffles until the per-doc count).
+    * bitmap that ships to executors as a codegen reference object inside
+    * the stage-broadcast task binary ([[graft.functions.BloomContains]] —
+    * not a plan literal the optimizer re-traverses), and membership is
+    * pure bit arithmetic inside codegen (no UDF, no join at all — the
+    * corpus scan never shuffles until the per-doc count).
     * One-sided error: NO false negatives — every truly contaminated
     * document is flagged; false positives inflate the flagged set by
     * ~fpp per shingle, acceptable for a REMOVAL list, never a keep list.
@@ -612,19 +624,12 @@ object Dedup {
     * shingle, one row per positive shingle — the join-free membership
     * scan [[decontaminateBloom]] and the streaming twin share. */
   private[graft] def bloomHits(df: DataFrame, keep: Seq[String], textCol: String,
-                               bloom: BloomIndex, shingleN: Int): DataFrame = {
-    val tests = (0 until bloom.k).map { i =>
-      val p = s"pmod(__h1 + $i * __h2, ${bloom.m}L)"
-      s"((shiftright(element_at(__bm, cast(($p div 64) as int) + 1), cast(pmod($p, 64) as int))) & 1) = 1"
-    }
+                               bloom: BloomIndex, shingleN: Int): DataFrame =
     df.select(keep.map(col) :+ explode(graft.functions.VectorExprs.hashArray(
         shingles(col(textCol), shingleN))).as("__h"): _*)
-      .withColumn("__h1", col("__h").bitwiseAND(lit(0xffffffffL)))
-      .withColumn("__h2", shiftrightunsigned(col("__h"), 32).bitwiseOR(lit(1L)))
-      .withColumn("__bm", typedlit(bloom.words.toSeq))
-      .filter(expr(tests.mkString(" AND ")))
+      .filter(graft.functions.VectorExprs.bloomContains(
+        col("__h"), bloom.words, bloom.m, bloom.k))
       .select(keep.map(col): _*)
-  }
 
   def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
                          bloom: BloomIndex, shingleN: Int = 4,

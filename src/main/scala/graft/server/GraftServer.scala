@@ -431,9 +431,17 @@ object GraftServer {
         decoded.split(":", 2) match {
           case Array(u, p) =>
             val supplied = sha(p)
-            if (credDigests.exists { case (cu, cd) =>
-              cu == u && java.security.MessageDigest.isEqual(cd, supplied) }) Some(u)
-            else None
+            val uDigest = sha(u)
+            // fold over ALL credentials accumulating the match bit — no
+            // early exit on the username, so response timing is independent
+            // of whether the username exists (username compared by digest
+            // so its check is length-independent too)
+            val matched = credDigests.foldLeft(false) { case (acc, (cu, cd)) =>
+              val userOk = java.security.MessageDigest.isEqual(sha(cu), uDigest)
+              val passOk = java.security.MessageDigest.isEqual(cd, supplied)
+              acc | (userOk & passOk)
+            }
+            if (matched) Some(u) else None
           case _ => None
         }
       }

@@ -20,6 +20,7 @@ class CliSpec extends AnyFunSuite {
   test("create/load/info/query/schema/job/dump/drop command flow") {
     spark // init session
     Cli.homeOverride = Some(java.nio.file.Files.createTempDirectory("graft-cli").toString)
+    try {
     val res = getClass.getResource("/swapi/swapi.vertices").getPath
     val dir = new java.io.File(res).getParent
 
@@ -53,5 +54,6 @@ class CliSpec extends AnyFunSuite {
 
     assert(run("drop", "sw").contains("dropped sw"))
     assert(!run("list").linesIterator.toSeq.contains("sw"))
+    } finally Cli.homeOverride = None // don't leak the scratch store to later suites
   }
 }

@@ -29,6 +29,17 @@ class ConformanceExtraSpec extends AnyFunSuite {
     assert(rows.forall { case (k, v) => allowed.contains(k) && v == 1.0 })
   }
 
+  test("skip compiles to a native offset — one declarative plan, no RDD boundary") {
+    val total = Traversal.run(spark, swapi, Q.V()).count()
+    val skipped = Traversal.run(spark, swapi, Q.V().skip(3))
+    val p = skipped.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD") && !p.contains("SerializeFromObject"),
+      s"skip must stay in one declarative plan (the old RDD count-then-drop scanned twice):\n$p")
+    assert(skipped.count() == total - 3)
+    // range = offset + limit folded into the same plan
+    assert(Traversal.run(spark, swapi, Q.V().range(2, 7)).count() == 5)
+  }
+
   test("nested struct properties round-trip (ot_struct)") {
     val mg = MutableGraph.empty(spark)
     mg.addVertex("vertex1", "person", """{"field1":{"test":1,"value":false}}""")

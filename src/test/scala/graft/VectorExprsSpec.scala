@@ -178,7 +178,9 @@ class VectorExprsSpec extends AnyFunSuite {
       graft.functions.DotProduct(fltArr, fltArr),
       graft.functions.SortedIntersectCount(lngArr, lngArr),
       graft.functions.PackedMajority(lngArr, Literal(5L)),
-      graft.functions.RollingLengthHash(strArr))
+      graft.functions.RollingLengthHash(strArr),
+      graft.functions.BloomContains(BoundReference(3, LongType, nullable = true),
+        Array(0x5L, 0x1L), 128L, 3))
     exprs.foreach { e =>
       GenerateUnsafeProjection.generate(Seq(e.asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Expression])) // throws on codegen failure
@@ -195,6 +197,30 @@ class VectorExprsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.toLowerCase.contains("foldable"))
+  }
+
+  test("bloom contains: one-sided error — inserted hashes always probe true") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // build a tiny bitmap by hand with the same double-hash schedule
+    val m = 256L; val k = 5
+    val words = new Array[Long]((m / 64 + 1).toInt)
+    val inserted = Seq(0L, -1L, 42L, Long.MinValue, 0xdeadbeefL, 7L << 40)
+    inserted.foreach { h =>
+      val h1 = h & 0xffffffffL; val h2 = (h >>> 32) | 1L
+      (0 until k).foreach { i =>
+        val p = (h1 + i * h2) % m
+        words((p / 64).toInt) |= 1L << (p % 64).toInt
+      }
+    }
+    inserted.foreach { h =>
+      assert(graft.functions.BloomContains(Literal(h), words, m, k)
+        .eval(null) == true, s"false negative for $h")
+    }
+    // absent hashes: mostly false at this load factor (not guaranteed per
+    // hash — assert at least one rejects so the probe isn't vacuously true)
+    val absent = (100L until 140L).map(h =>
+      graft.functions.BloomContains(Literal(h), words, m, k).eval(null) == false)
+    assert(absent.count(identity) > 0)
   }
 
   test("shingles: interpreted eval agrees with codegen result") {
