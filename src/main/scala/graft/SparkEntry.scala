@@ -214,6 +214,16 @@ edges:
       val seeds = g.edges.filter(col("label") === "near_dup").agg(min(col("from")).as("gid"))
       graft.model.GraphAlgos.bfs(g, "near_dup", seeds, maxHops = 4)
     }),
+    // PageRank on the GRIPPER nation->region graph (nations rank their
+    // region; regions are dangling). 3 iterations pinned so the DuckDB
+    // oracle can unroll them as plain CTEs — no recursive aggregates.
+    "q65_pagerank" -> ((s, d) =>
+      graft.model.GraphAlgos.pageRank(gripperGraph(s, d), "region", iters = 3)
+        .select(col("gid"), round(col("rank"), 4).as("pr"))),
+    // synchronous label propagation on the same graph, 2 rounds unrolled
+    // in the oracle; ties break to the string-min community on both sides
+    "q66_labelprop" -> ((s, d) =>
+      graft.model.GraphAlgos.labelPropagation(gripperGraph(s, d), "region", maxIters = 2)),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -602,6 +612,41 @@ edges:
          |  UNION
          |  SELECT e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < 4)
          |SELECT id AS gid, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
+    // 3 unrolled power-iteration rounds over the 30-vertex gripper graph;
+    // double-typed constants so the float arithmetic matches Spark's
+    // IEEE doubles bit-for-bit before the final round(4)
+    "q65_pagerank" ->
+      s"""WITH verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
+         |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
+         |edges AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
+         |outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY u),
+         |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |pr0 AS (SELECT gid, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS r FROM verts),
+         |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr0 WHERE gid NOT IN (SELECT u FROM outdeg)),
+         |c0 AS (SELECT e.v AS gid, sum(p.r / o.od) AS c FROM edges e JOIN pr0 p ON p.gid = e.u JOIN outdeg o ON o.u = e.u GROUP BY e.v),
+         |pr1 AS (SELECT v.gid, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d0) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c0 c ON v.gid = c.gid),
+         |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr1 WHERE gid NOT IN (SELECT u FROM outdeg)),
+         |c1 AS (SELECT e.v AS gid, sum(p.r / o.od) AS c FROM edges e JOIN pr1 p ON p.gid = e.u JOIN outdeg o ON o.u = e.u GROUP BY e.v),
+         |pr2 AS (SELECT v.gid, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d1) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c1 c ON v.gid = c.gid),
+         |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr2 WHERE gid NOT IN (SELECT u FROM outdeg)),
+         |c2 AS (SELECT e.v AS gid, sum(p.r / o.od) AS c FROM edges e JOIN pr2 p ON p.gid = e.u JOIN outdeg o ON o.u = e.u GROUP BY e.v),
+         |pr3 AS (SELECT v.gid, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d2) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c2 c ON v.gid = c.gid)
+         |SELECT gid, round(r, 4) AS pr FROM pr3""".stripMargin,
+    // 2 unrolled synchronous LPA rounds; argmax by (count desc, community
+    // asc) via row_number matches the engine's min(struct(-cnt, community))
+    "q66_labelprop" ->
+      s"""WITH verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
+         |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
+         |e0 AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
+         |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT gid, gid AS community FROM verts),
+         |n1 AS (SELECT e.v AS gid, l.community, count(*) AS cnt FROM edges e JOIN l0 l ON l.gid = e.u GROUP BY e.v, l.community),
+         |b1 AS (SELECT gid, community FROM (SELECT gid, community, row_number() OVER (PARTITION BY gid ORDER BY cnt DESC, community ASC) AS rn FROM n1) WHERE rn = 1),
+         |l1 AS (SELECT l.gid, coalesce(b.community, l.community) AS community FROM l0 l LEFT JOIN b1 b ON l.gid = b.gid),
+         |n2 AS (SELECT e.v AS gid, l.community, count(*) AS cnt FROM edges e JOIN l1 l ON l.gid = e.u GROUP BY e.v, l.community),
+         |b2 AS (SELECT gid, community FROM (SELECT gid, community, row_number() OVER (PARTITION BY gid ORDER BY cnt DESC, community ASC) AS rn FROM n2) WHERE rn = 1),
+         |l2 AS (SELECT l.gid, coalesce(b.community, l.community) AS community FROM l1 l LEFT JOIN b2 b ON l.gid = b.gid)
+         |SELECT gid, community FROM l2""".stripMargin,
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     "p02_dedup_minhash" -> shingleCte,

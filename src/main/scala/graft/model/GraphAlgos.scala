@@ -79,6 +79,90 @@ object GraphAlgos {
     dist.withColumn("dist", col("dist").cast("long"))
   }
 
+  /** PageRank over one edge label with damping `d`: fixed `iters` rounds of
+    * power iteration from the uniform start, dangling mass (vertices with
+    * no out-edges) redistributed uniformly each round — the standard
+    * r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N). Parallel
+    * edges count as extra weight (matching a multigraph's random surfer).
+    * Output: (gid, rank), Σ rank = 1.
+    *
+    * Scale shape: the edge list is repartitioned by source ONCE and
+    * checkpointed, so each round only the (narrow) rank frame shuffles to
+    * meet it; per-round contributions pre-aggregate map-side before the
+    * destination shuffle; each round's ranks are checkpointed so the plan
+    * never re-derives prior rounds (same frontier hygiene as [[bfs]]).
+    * The dangling mass is one scalar aggregate per round — driver-held by
+    * design, like the loop-control counts in the traversal jump loop. */
+  def pageRank(g: GraphFrame, edgeLabel: String, iters: Int = 20,
+               damping: Double = 0.85, undirected: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val verts = g.vertices.select(col("gid")).distinct().localCheckpoint(true)
+    val n = verts.count().toDouble
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).repartition(col("u")).localCheckpoint(true)
+    val outdeg = e.groupBy(col("u").as("gid"))
+      .agg(count(lit(1)).cast("double").as("__outdeg")).localCheckpoint(true)
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.join(outdeg, Seq("gid"), "left")
+      val dangling = withDeg.filter(col("__outdeg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val contribs = withDeg.filter(col("__outdeg").isNotNull)
+        .join(e, col("gid") === col("u"))
+        .select(col("v"), (col("rank") / col("__outdeg")).as("__c"))
+        .groupBy(col("v").as("gid")).agg(sum("__c").as("__c"))
+      ranks = verts.join(contribs, Seq("gid"), "left")
+        .select(col("gid"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Synchronous label propagation (community detection) over one edge
+    * label: every vertex starts as its own community, then for `maxIters`
+    * rounds adopts the most frequent community among its neighbors, ties
+    * broken toward the MINIMUM community id (string order) so the result
+    * is deterministic. Vertices with no neighbors keep their community.
+    * Output: (gid, community).
+    *
+    * Synchronous LPA can oscillate on bipartite structures — `maxIters`
+    * bounds the rounds rather than waiting for a fixed point, which is
+    * the standard remedy. Scale shape mirrors [[pageRank]]: edge list
+    * repartitioned by source once and checkpointed; the per-round
+    * (vertex, community) count pre-aggregates before the destination
+    * shuffle; argmax resolves inside the same aggregation via a
+    * min(struct(-count, community)) — no window, no second shuffle. */
+  def labelPropagation(g: GraphFrame, edgeLabel: String, maxIters: Int = 10,
+                       undirected: Boolean = true): DataFrame = {
+    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
+    val verts = g.vertices.select(col("gid")).distinct()
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).repartition(col("u")).localCheckpoint(true)
+    var labels = verts.withColumn("community", col("gid")).localCheckpoint(true)
+    var i = 0
+    while (i < maxIters) {
+      val best = labels.join(e, labels("gid") === e("u"))
+        .groupBy(col("v"), col("community")).agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("v").as("gid"))
+        .agg(min(struct((-col("__cnt")).as("nc"), col("community").as("c"))).as("__b"))
+        .select(col("gid"), col("__b.c").as("__new"))
+      labels = labels.join(best, Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("__new"), col("community")).as("community"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
   def degreeHistogram(g: GraphFrame, vertexLabel: String, edgeLabel: String,
                       dir: String = "out"): DataFrame = {
     require(dir == "out" || dir == "in", s"dir must be 'out' or 'in', got $dir")

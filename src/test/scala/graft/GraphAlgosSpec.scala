@@ -65,4 +65,57 @@ class GraphAlgosSpec extends AnyFunSuite {
       "y1" -> "y1", "y2" -> "y1",
       "z" -> "z", "w1" -> "w1", "w2" -> "w2"))
   }
+
+  /** Driver-local power iteration with the same dangling handling — the
+    * oracle for the distributed pageRank at identical iteration counts. */
+  private def refPageRank(vertices: Seq[String], edges: Seq[(String, String)],
+                          iters: Int, d: Double): Map[String, Double] = {
+    val n = vertices.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = vertices.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = vertices.filterNot(out.contains).map(r).sum
+      val contrib = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+      for ((u, v) <- edges) contrib(v) += r(u) / out(u)
+      r = vertices.map(v => v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches driver-local power iteration, dangling mass included") {
+    val vs = Seq("a", "b", "c", "d")
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
+    val v = vs.map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = es.zipWithIndex.map { case ((f, t), i) => (s"e$i", "link", f, t, "{}") }
+      .toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.pageRank(GraphFrame(v, e), "link", iters = 10)
+      .as[(String, Double)].collect().toMap
+    val exp = refPageRank(vs, es, 10, 0.85)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (g, r) => assert(math.abs(r - exp(g)) < 1e-9, s"$g: $r vs ${exp(g)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"ranks must sum to 1: ${got.values.sum}")
+  }
+
+  test("pageRank: a directed cycle is the exact uniform fixed point") {
+    val v = Seq("a", "b", "c").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "link", "c", "a", "{}")).toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.pageRank(GraphFrame(v, e), "link", iters = 5)
+      .as[(String, Double)].collect().toMap
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12, got.toString))
+  }
+
+  test("label propagation: triangle converges, min-id tie break, isolated keeps own") {
+    // triangle a-b-c (hand-traced: r1 a->b,b->a,c->a; r2 all tie-break to a;
+    // r3 stable all "a"), bridgeless pair d-e (synchronous oscillation —
+    // after the EVEN 4th round back to d->"d", e->"e"), isolated z
+    val v = Seq("a", "b", "c", "d", "e", "z").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val ed = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "link", "c", "a", "{}"), ("e4", "link", "d", "e", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.labelPropagation(GraphFrame(v, ed), "link", maxIters = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "e", "z" -> "z"), got.toString)
+  }
 }
