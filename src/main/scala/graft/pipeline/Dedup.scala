@@ -647,23 +647,90 @@ object Dedup {
     * (per bucket the join is |bucketA|×|bucketB|), and the
     * degenerate-bucket guard drops a bucket when EITHER side exceeds
     * `maxBucket`. At scale the reference side's band keys and hashed
-    * shingle sets are loop-invariant across ingest runs — they are plain
-    * DataFrames; write them out once and only the new side is signed per
-    * run. */
+    * shingle sets are loop-invariant across ingest runs —
+    * [[buildMinhashIndex]]/[[saveMinhashIndex]]/[[loadMinhashIndex]]
+    * persist exactly those two tables, and [[probeMinhashIndex]] (which
+    * this one-shot form delegates to) signs only the new side per run. */
   def nearDupCross(newDf: DataFrame, newId: String, newText: String,
                    ref: DataFrame, refId: String, refText: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 32,
                    threshold: Double = 0.5, maxBucket: Long = 100000L): DataFrame = {
-    val rows = numHashes / bands
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shA = newDf.select(col(newId).as("__id"), shingles(col(newText), shingleN).as("__sh")).persist(lvl)
     val shB = ref.select(col(refId).as("__id"), shingles(col(refText), shingleN).as("__sh")).persist(lvl)
     try {
-      val bA = bandedKeys(minhashSignatures(shA, "__id", "__sh", numHashes),
-        "__id", "__sig", "a_id", bands, rows).persist(lvl)
-      val bB = bandedKeys(minhashSignatures(shB, "__id", "__sh", numHashes),
-        "__id", "__sig", "b_id", bands, rows).persist(lvl)
+      val idx = indexFromShingles(shB, shingleN, numHashes, bands, threshold)
+      idx.banded.persist(lvl); idx.shingleHashes.persist(lvl)
+      try probeMinhashIndex(idx, newDf, newId, newText, maxBucket)
+      finally { idx.banded.unpersist(false); idx.shingleHashes.unpersist(false) }
+    } finally shB.unpersist(false)
+  }
+
+  /** A reusable MinHash band index over a reference corpus — the
+    * loop-invariant half of [[nearDupCross]] for incremental ingest:
+    * `banded` is the (b_id, band, band-hash) LSH key table, `shingleHashes`
+    * the sorted distinct shingle-hash sets the exact Jaccard verify scans,
+    * and the scalars the build parameters a probe must reuse (probing with
+    * different shingle/band parameters would be comparing different
+    * signatures). Build or [[loadMinhashIndex]] once per reference corpus;
+    * [[probeMinhashIndex]] signs only the new side per run. */
+  case class MinhashIndex(banded: DataFrame, shingleHashes: DataFrame,
+                          shingleN: Int, numHashes: Int, bands: Int, threshold: Double)
+
+  def buildMinhashIndex(ref: DataFrame, refId: String, refText: String,
+                        shingleN: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                        threshold: Double = 0.5): MinhashIndex =
+    indexFromShingles(
+      ref.select(col(refId).as("__id"), shingles(col(refText), shingleN).as("__sh")),
+      shingleN, numHashes, bands, threshold)
+
+  private def indexFromShingles(sh: DataFrame, shingleN: Int, numHashes: Int,
+                                bands: Int, threshold: Double): MinhashIndex = {
+    val banded = bandedKeys(minhashSignatures(sh, "__id", "__sh", numHashes),
+      "__id", "__sig", "b_id", bands, numHashes / bands)
+    val hashed = sh.select(col("__id").as("b_id"),
+      sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__shb"))
+    MinhashIndex(banded, hashed, shingleN, numHashes, bands, threshold)
+  }
+
+  /** Persist the index as three parquet tables (band keys, shingle-hash
+    * sets, one-row params) — the mirror of
+    * [[graft.pipeline.Similarity.saveIvf]]: sign the reference corpus
+    * once, probe every later crawl against the files. */
+  def saveMinhashIndex(index: MinhashIndex, dir: String): Unit = {
+    index.banded.write.mode("overwrite").parquet(s"$dir/banded")
+    index.shingleHashes.write.mode("overwrite").parquet(s"$dir/shingles")
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    Seq((index.shingleN, index.numHashes, index.bands, index.threshold))
+      .toDF("shingleN", "numHashes", "bands", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    MinhashIndex(
+      spark.read.parquet(s"$dir/banded"), spark.read.parquet(s"$dir/shingles"),
+      p.getAs[Int]("shingleN"), p.getAs[Int]("numHashes"),
+      p.getAs[Int]("bands"), p.getAs[Double]("threshold"))
+  }
+
+  /** Near-dup pairs (a_id from `newDf`, b_id from the index's corpus)
+    * against a prebuilt [[MinhashIndex]] — candidates form only ACROSS
+    * the two sides inside shared band buckets, with the same
+    * degenerate-bucket drop+log guard as [[nearDupMinhash]] (applied per
+    * side), then the exact merge-scan Jaccard verify at the index's
+    * threshold. */
+  def probeMinhashIndex(index: MinhashIndex, newDf: DataFrame,
+                        newId: String, newText: String,
+                        maxBucket: Long = 100000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shA = newDf.select(col(newId).as("__id"),
+      shingles(col(newText), index.shingleN).as("__sh")).persist(lvl)
+    try {
+      val bA = bandedKeys(minhashSignatures(shA, "__id", "__sh", index.numHashes),
+        "__id", "__sig", "a_id", index.bands, index.numHashes / index.bands).persist(lvl)
       try {
+        val bB = index.banded
         def overfull(b: DataFrame) =
           b.groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
             .filter(col("__n") > maxBucket).select("__band", "__bh")
@@ -671,25 +738,25 @@ object Dedup {
         val bigRows = big.collect()
         if (bigRows.nonEmpty)
           org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-            s"nearDupCross: dropping ${bigRows.length} degenerate band buckets (> $maxBucket " +
+            s"probeMinhashIndex: dropping ${bigRows.length} degenerate band buckets (> $maxBucket " +
             "docs on one side) — exact-dedup each corpus first")
         def kept(b: DataFrame) =
           if (bigRows.isEmpty) b
           else b.join(broadcast(big), Seq("__band", "__bh"), "left_anti")
         val cand = kept(bA).join(kept(bB), Seq("__band", "__bh"))
           .select("a_id", "b_id").distinct().localCheckpoint(true)
-        def hashed(sh: DataFrame, id: String, out: String) = sh.select(col("__id").as(id),
-          sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as(out))
-        cand.join(hashed(shA, "a_id", "__sha"), "a_id")
-          .join(hashed(shB, "b_id", "__shb"), "b_id")
+        val hashedA = shA.select(col("__id").as("a_id"),
+          sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__sha"))
+        cand.join(hashedA, "a_id")
+          .join(index.shingleHashes, "b_id")
           .withColumn("__i", graft.functions.VectorExprs
             .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
           .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
-          .filter(col("jaccard") >= threshold)
+          .filter(col("jaccard") >= index.threshold)
           .select(col("a_id"), col("b_id"))
           .localCheckpoint(true)
-      } finally { bA.unpersist(false); bB.unpersist(false) }
-    } finally { shA.unpersist(false); shB.unpersist(false) }
+      } finally bA.unpersist(false)
+    } finally shA.unpersist(false)
   }
 
   /** Boilerplate detection: word n-gram passages appearing in at least

@@ -413,6 +413,15 @@ class PipelineSpec extends AnyFunSuite {
     val got = Dedup.nearDupCross(newSide, "doc_id", "text", refSide, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 2L), (0L, 4L), (1L, 2L), (1L, 4L)))
+
+    // persisted band index: save -> load -> probe equals the one-shot path
+    // (same signatures, same buckets, same verify threshold)
+    val dir = java.nio.file.Files.createTempDirectory("mh-index").toString
+    Dedup.saveMinhashIndex(Dedup.buildMinhashIndex(refSide, "doc_id", "text"), dir)
+    val probed = Dedup.probeMinhashIndex(Dedup.loadMinhashIndex(spark, dir),
+        newSide, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(probed == got, s"persisted probe drifted: ${probed.diff(got)} vs ${got.diff(probed)}")
   }
 
   test("commonShingles reports passages at or above the df threshold") {
