@@ -46,7 +46,7 @@ object Bench {
             graft.pipeline.Dedup.shingles(col("text"), 3), s => xxhash64(s)))).as("sh"),
           schema_of_variant(try_variant_get(try_parse_json(col("data")), "$.ws", "variant")).as("t"),
           get_json_object(col("data"), "$.id").as("g"),
-          graft.functions.GJson.json_array_elems(col("data"), lit("ws")).as("el"),
+          graft.functions.GJson.json_array_elems(col("data"), "ws").as("el"),
           graft.functions.VectorExprs.dotProduct(col("v"), col("v")).as("d"))
         .select(graft.functions.VectorExprs.sortedIntersectCount(col("sh"), col("sh")),
           col("t"), col("g"), col("el"), col("d"))

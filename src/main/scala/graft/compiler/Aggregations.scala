@@ -64,7 +64,7 @@ object Aggregations {
         Seq(p(i, "keys") -> json_object_keys(FieldRef.resolve(field)))
       case (Agg.TypeAgg(_, field), i) =>
         val (ns, parts) = FieldRef.parse(field)
-        Seq(p(i, "t") -> GJson.json_type(FieldRef.elem(ns).getField("data"), lit(parts.mkString("."))))
+        Seq(p(i, "t") -> GJson.json_type(FieldRef.elem(ns).getField("data"), parts.mkString(".")))
       case (Agg.CountAgg(_), _) => Nil
     }
     val narrow = df0.select(inputs.flatten.map { case (n, c) => c.as(n) }: _*)

@@ -373,7 +373,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
       val (uns, parts) = FieldRef.parse(field)
       require(uns.isEmpty, s"unwind() does not support mark-namespaced path $field")
       val fieldPath = parts.mkString(".")
-      val elems = GJson.json_array_elems(col("cur.data"), lit(fieldPath))
+      val elems = GJson.json_array_elems(col("cur.data"), fieldPath)
       // explode_outer: empty/missing array → one traveler with field = null
       // (reference: engine/core/processors.go:464-503)
       val exploded = df.withColumn("__uw", explode_outer(elems))
@@ -674,7 +674,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
           // parse) and the container-skip test is its first character,
           // replacing two variant parses per exploded row
           val (_, parts) = FieldRef.parse(field)
-          val elems = GJson.json_array_elems(col("cur.data"), lit(parts.mkString(".")))
+          val elems = GJson.json_array_elems(col("cur.data"), parts.mkString("."))
           val exploded = df.withColumn("__uw", explode_outer(elems))
           val pre = Aggregations.Pre(
             scalar = get_json_object(concat(lit("["), col("__uw"), lit("]")), "$[0]"),

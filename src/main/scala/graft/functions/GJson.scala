@@ -135,16 +135,60 @@ object GJson extends Serializable {
   }
 
   // ---- Column wrappers ----
+  // Document REBUILDS (set/select/merge) stay on Jackson: they must
+  // preserve the original field layout of untouched keys, which the
+  // variant binary form (sorted field dictionary) cannot round-trip.
+  // Pure EXTRACTION with a path known at plan time compiles to native
+  // variant expressions instead — parse_json/variant_get/schema_of_variant
+  // are codegen'd Catalyst expressions, so unwind and the type aggregation
+  // stay inside whole-stage codegen with no per-row Jackson parse.
   private val setFieldUdf = udf(setField _)
   private val arrayElemsUdf = udf(arrayElems _)
   private val selectFieldsUdf = udf(selectFields _)
   private val typeNameUdf = udf(typeName _)
   private val mergeVarsUdf = udf(mergeVars _)
 
+  import org.apache.spark.sql.functions.{lit, when, transform, to_json,
+    try_parse_json, try_variant_get, schema_of_variant}
+
+  private def vPath(path: String): String =
+    if (path.isEmpty) "$" else "$." + path
+
   def json_set(data: Column, path: Column, valueJson: Column): Column = setFieldUdf(data, path, valueJson)
-  def json_array_elems(data: Column, path: Column): Column = arrayElemsUdf(data, path)
+
+  /** Elements of an array field as JSON text, natively: missing field,
+    * non-array value, or unparseable document all yield NULL — the same
+    * contract as [[arrayElems]] (pinned by GJsonParitySpec). */
+  def json_array_elems(data: Column, path: String): Column =
+    transform(
+      try_variant_get(try_parse_json(data), vPath(path), "array<variant>"),
+      e => to_json(e))
+
+  /** Dynamic-path variant for callers whose path is a per-row value
+    * (schema sampling) — variant_get demands a constant path, so this
+    * stays on the Jackson UDF. */
+  def json_array_elems_dyn(data: Column, path: Column): Column = arrayElemsUdf(data, path)
+
   def json_select(data: Column, includes: Column, excludes: Column): Column = selectFieldsUdf(data, includes, excludes)
-  def json_type(data: Column, path: Column): Column = typeNameUdf(data, path)
+
+  /** Runtime FieldType of a field, natively (reference:
+    * gripql/gripql.proto:282-289): variant schema string folded onto the
+    * reference's five-value enum. JSON null ("VOID"), absent field (NULL
+    * schema) and malformed documents are all UNKNOWN like [[typeName]]. */
+  def json_type(data: Column, path: String): Column = {
+    val sch = schema_of_variant(
+      try_variant_get(try_parse_json(data), vPath(path), "variant"))
+    when(sch.isNull, "UNKNOWN")
+      .when(sch === "STRING", "STRING")
+      .when(sch === "BOOLEAN", "BOOL")
+      .when(sch.isin("BIGINT", "DOUBLE", "FLOAT") || sch.startsWith("DECIMAL"), "NUMERIC")
+      .when(sch.startsWith("OBJECT"), "MAP")
+      .when(sch.startsWith("ARRAY"), "ARRAY")
+      .otherwise(lit("UNKNOWN"))
+  }
+
+  def json_type_dyn(data: Column, path: Column): Column = typeNameUdf(data, path)
+
   def json_merge_vars(data: Column, vars: Column, ns: Column): Column =
     mergeVarsUdf(data, org.apache.spark.sql.functions.transform_values(vars,
       (_, v) => v.getField("json")), ns)

@@ -26,7 +26,7 @@ object SchemaSampler {
     val exploded = df.select(groupCols.map(col) :+
       explode_outer(json_object_keys(col("data"))).as("key") :+ col("data"): _*)
     val keyTypes = exploded
-      .withColumn("type", when(col("key").isNotNull, GJson.json_type(col("data"), col("key"))))
+      .withColumn("type", when(col("key").isNotNull, GJson.json_type_dyn(col("data"), col("key"))))
       .groupBy(groupCols.head, groupCols.tail :+ "key": _*)
       .agg(last("type").as("type"))
     keyTypes.groupBy(groupCols.head, groupCols.tail: _*)
