@@ -70,6 +70,8 @@ object Cli {
     while (it.hasNext) println(it.next())
   }
 
+  private def printLines(it: Iterator[String]): Unit = it.foreach(println)
+
   def main(args: Array[String]): Unit = args.toList match {
     case "create" :: g :: Nil =>
       catalog.createGraph(g, graft.model.MutableGraph.empty(spark).graph)
@@ -104,7 +106,9 @@ object Cli {
       if (!rest.contains("--vertices")) printNdjson(gf.edges)
 
     case "query" :: g :: q :: Nil =>
-      printNdjson(Traversal.run(spark, catalog.graph(g), Parser.parse(q)))
+      val pq = Parser.parse(q)
+      printLines(graft.server.Wire.lines(
+        Traversal.run(spark, catalog.graph(g), pq), pq.stmts.lastOption))
 
     case "schema" :: g :: rest =>
       val n = opt(rest, "--sample-n").map(_.toInt).getOrElse(50)
@@ -133,9 +137,12 @@ object Cli {
     case "job" :: "list" :: g :: Nil =>
       Jobs.listJobs(jobsDir(g)).foreach(println)
     case "job" :: "view" :: g :: id :: Nil =>
-      printNdjson(Jobs.view(spark, catalog.graph(g), jobsDir(g), id))
+      printLines(graft.server.Wire.lines(
+        Jobs.view(spark, catalog.graph(g), jobsDir(g), id), None))
     case "job" :: "resume" :: g :: id :: ext :: Nil =>
-      printNdjson(Jobs.resume(spark, catalog.graph(g), jobsDir(g), id, Parser.parseExtension(ext)))
+      val pext = Parser.parseExtension(ext)
+      printLines(graft.server.Wire.lines(
+        Jobs.resume(spark, catalog.graph(g), jobsDir(g), id, pext), pext.stmts.lastOption))
     case "job" :: "drop" :: g :: id :: Nil =>
       if (Jobs.deleteJob(jobsDir(g), id)) println(s"dropped $id") else usage()
 

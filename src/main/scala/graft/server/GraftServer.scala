@@ -19,26 +19,38 @@ import scala.jdk.CollectionConverters._
   * dependencies — and streams query results as JSON-lines through
   * `toLocalIterator`, so a large result never materializes on the server.
   *
-  * Routes (all bodies JSON):
+  * Routes (all bodies JSON; traversal streams emit the reference
+  * QueryResult wire format — see [[Wire]] — so shipped gripql clients
+  * parse them unchanged):
   *   GET    /v1/graph                         → {"graphs":[...]}
+  *   POST   /v1/graph                         → BulkAdd: ND-JSON lines
+  *                                              {"graph",("vertex"|"edge")}
+  *                                              ⇒ {insertCount, errorCount}
   *   POST   /v1/graph/{g}                     → create graph
   *   DELETE /v1/graph/{g}                     → drop graph
   *   POST   /v1/graph/{g}/query               → {"query":"V().count()"}
   *                                              or protojson {"query":[...]}
-  *                                              ⇒ ND-JSON result rows
+  *                                              ⇒ ND-JSON QueryResult lines
   *   POST   /v1/graph/{g}/graphql             → {"query":"{ Label { f ... } }"}
   *   POST   /v1/graph/{g}/cypher              → {"query":"MATCH (a:L)-[:T]->(b) RETURN a"}
-  *                                              ⇒ ND-JSON nested objects
+  *                                              ⇒ ND-JSON QueryResult lines
   *   POST   /v1/graph/{g}/vertex              → {"gid","label","data"?}
   *   POST   /v1/graph/{g}/edge                → {"from","to","label","gid"?,"data"?}
   *   GET    /v1/graph/{g}/vertex/{gid}        → the element, 404 if absent
   *   GET    /v1/graph/{g}/edge/{gid}          → the element, 404 if absent
+  *   DELETE /v1/graph/{g}/vertex/{gid}        → delete, 404 if absent
+  *   DELETE /v1/graph/{g}/edge/{gid}          → delete, 404 if absent
   *   POST   /v1/graph/{g}/mapping             → {"mapping": <GRIPPER config>,
   *                                               "sources": {name: dir}}
   *                                              opens g as the mapped view
   *   GET    /v1/graph/{g}/mapping             → the stored mapping text
-  *   GET    /v1/graph/{g}/label               → {vertex_labels, edge_labels}
-  *   GET    /v1/graph/{g}/schema              → sampled schema graph, ND-JSON
+  *   GET    /v1/graph/{g}/label               → {vertexLabels, edgeLabels}
+  *   GET    /v1/graph/{g}/schema              → posted schema if any, else
+  *                                              sampled; one Graph object
+  *   POST   /v1/graph/{g}/schema              → store schema (AddSchema)
+  *   GET    /v1/graph/{g}/schema-sample       → always-sampled Graph object
+  *   POST   /v1/graph/{g}/index/{label}       → {"field"} advisory AddIndex
+  *   GET    /v1/graph/{g}/index               → {"indices":[{graph,label,field}]}
   *   POST   /v1/graph/{g}/job                 → {"query": ...} async spool,
   *                                              returns {"id": jobId}
   *   GET    /v1/graph/{g}/job                 → {"jobs":[{id,state}...]}
@@ -53,6 +65,12 @@ class GraftServer(spark: SparkSession, port: Int,
   private val mapper = new ObjectMapper()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
   private val mappings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // posted schemas (AddSchema) and advisory indices (AddIndex) — the
+  // reference persists both in its KV store (schema/schema.go,
+  // kvindex/index.go); the HTTP facade keeps them per-server like graphs
+  private val postedSchemas = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indices =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[(String, String)]]()
   // (graph, jobId) → (state, error); spools live under jobsRoot/<graph>
   private val jobStates =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
@@ -161,7 +179,53 @@ class GraftServer(spark: SparkSession, port: Int,
 
       case ("DELETE", g :: Nil) =>
         if (graphs.remove(g) == null) err(ex, 404, s"no graph '$g'")
-        else { mappings.remove(g); send(ex, 200, "{}") }
+        else {
+          mappings.remove(g); postedSchemas.remove(g); indices.remove(g)
+          send(ex, 200, "{}")
+        }
+
+      // BulkAdd (reference: gripql/gripql.proto:455 BulkAdd streaming RPC;
+      // python client graph.py:246-285 posts ND-JSON GraphElement lines to
+      // /v1/graph): each line {"graph": g, "vertex": {...}} or
+      // {"graph": g, "edge": {...}}; response BulkEditResult counts.
+      case ("POST", Nil) =>
+        val user = auth.flatMap(_.validate(
+          Option(ex.getRequestHeaders.getFirst("Authorization"))))
+        var inserted = 0L
+        var errors = 0L
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(ex.getRequestBody, UTF_8))
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.trim.nonEmpty) {
+            try {
+              val b = mapper.readTree(line)
+              val g = Option(b.get("graph")).map(_.asText())
+                .getOrElse(throw new IllegalArgumentException("missing 'graph'"))
+              // per-line write enforcement: the upfront check has no graph
+              if (auth.isDefined &&
+                  !user.exists(u => auth.get.enforce(u, g, "write")))
+                throw new IllegalArgumentException(s"permission denied on '$g'")
+              val mg = Option(graphs.get(g))
+                .getOrElse(throw new IllegalArgumentException(s"no graph '$g'"))
+              (Option(b.get("vertex")), Option(b.get("edge"))) match {
+                case (Some(v), _) =>
+                  val (gid, label) = (textOf(v, "gid"), textOf(v, "label"))
+                  if (gid == null || label == null)
+                    throw new IllegalArgumentException("vertex needs gid and label")
+                  mg.addVertex(gid, label, dataOf(v)); inserted += 1
+                case (_, Some(e)) =>
+                  val (from, to, label) = (textOf(e, "from"), textOf(e, "to"), textOf(e, "label"))
+                  if (from == null || to == null || label == null)
+                    throw new IllegalArgumentException("edge needs from, to, label")
+                  mg.addEdge(from, to, label, dataOf(e), textOf(e, "gid")); inserted += 1
+                case _ => throw new IllegalArgumentException("line has neither vertex nor edge")
+              }
+            } catch { case scala.util.control.NonFatal(_) => errors += 1 }
+          }
+          line = reader.readLine()
+        }
+        send(ex, 200, s"""{"insertCount":$inserted,"errorCount":$errors}""")
 
       // GRIPPER mapping surface (reference: gripql/gripql.proto:496
       // AddMapping, :345 GetMapping; instantiation = what the reference
@@ -194,11 +258,13 @@ class GraftServer(spark: SparkSession, port: Int,
             mapper.createObjectNode().put("graph", g).put("mapping", text).toString)
         }
 
-      // ListLabels (reference: gripql/gripql.proto ListLabels RPC)
+      // ListLabels (reference: gripql/gripql.proto ListLabels RPC) —
+      // protojson camelCase field names, what the python client indexes
+      // (conformance/tests/ot_labels.py: resp["vertexLabels"])
       case ("GET", g :: "label" :: Nil) => withGraph(ex, g) { mg =>
         val node = mapper.createObjectNode()
-        val vArr = node.putArray("vertex_labels")
-        val eArr = node.putArray("edge_labels")
+        val vArr = node.putArray("vertexLabels")
+        val eArr = node.putArray("edgeLabels")
         mg.graph.vertices.select("label").distinct().collect()
           .map(_.getString(0)).sorted.foreach(vArr.add)
         mg.graph.edges.select("label").distinct().collect()
@@ -206,14 +272,54 @@ class GraftServer(spark: SparkSession, port: Int,
         send(ex, 200, node.toString)
       }
 
-      // SampleSchema (reference: gripql/gripql.proto SampleSchema /
-      // GetSchema): the sampled schema-as-graph, vertices then edges,
-      // streamed as ND-JSON elements like the query routes
+      // GetSchema / AddSchema / SampleSchema (reference:
+      // gripql/gripql.proto GetSchema :337, AddSchema :489, SampleSchema
+      // :345; python client graph.py:24-58): one Graph-message JSON object
+      // {"graph", "vertices", "edges"} — a posted schema wins over
+      // sampling, exactly like the reference's stored schema
       case ("GET", g :: "schema" :: Nil) => withGraph(ex, g) { mg =>
-        val sg = graft.model.SchemaSampler.sampleSchema(spark, mg.graph)
-        streamNdjson(ex,
-          sg.vertices.toJSON.toLocalIterator().asScala ++
-            sg.edges.toJSON.toLocalIterator().asScala)
+        postedSchemas.get(g) match {
+          case null => send(ex, 200, schemaJson(g,
+            graft.model.SchemaSampler.sampleSchema(spark, mg.graph)))
+          case posted => send(ex, 200, posted)
+        }
+      }
+
+      case ("POST", g :: "schema" :: Nil) => withGraph(ex, g) { _ =>
+        val body = mapper.readTree(ex.getRequestBody)
+        if (body == null || !body.isObject) err(ex, 400, "schema body must be a JSON object")
+        else {
+          val o = body.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.put("graph", g)
+          postedSchemas.put(g, mapper.writeValueAsString(o))
+          send(ex, 200, "{}")
+        }
+      }
+
+      case ("GET", g :: "schema-sample" :: Nil) => withGraph(ex, g) { mg =>
+        send(ex, 200, schemaJson(g,
+          graft.model.SchemaSampler.sampleSchema(spark, mg.graph)))
+      }
+
+      // AddIndex / ListIndices (reference: gripql/gripql.proto:477-487;
+      // python client graph.py:133-150). Advisory, like model/Catalog —
+      // Parquet+Catalyst serve point lookups without a secondary index.
+      case ("POST", g :: "index" :: label :: Nil) => withGraph(ex, g) { _ =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val field = Option(body).flatMap(b => Option(b.get("field"))).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException("missing 'field'"))
+        indices.computeIfAbsent(g, _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+          .add(label -> field)
+        send(ex, 200, "{}")
+      }
+
+      case ("GET", g :: "index" :: Nil) => withGraph(ex, g) { _ =>
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("indices")
+        Option(indices.get(g)).foreach(_.asScala.toSeq.sorted.foreach { case (l, f) =>
+          arr.addObject().put("graph", g).put("label", l).put("field", f)
+        })
+        send(ex, 200, node.toString)
       }
 
       // Job service (reference: gripql/gripql.proto:377-423 Submit /
@@ -285,8 +391,7 @@ class GraftServer(spark: SparkSession, port: Int,
 
       case ("GET", g :: "job" :: id :: "view" :: Nil) => withGraph(ex, g) { mg =>
         requireComplete(g, id)
-        streamNdjson(ex, Jobs.view(spark, mg.graph, jobsDir(g), id)
-          .toJSON.toLocalIterator().asScala)
+        streamNdjson(ex, Wire.lines(Jobs.view(spark, mg.graph, jobsDir(g), id), None))
       }
 
       case ("POST", g :: "job" :: id :: "resume" :: Nil) => withGraph(ex, g) { mg =>
@@ -296,8 +401,8 @@ class GraftServer(spark: SparkSession, port: Int,
           .getOrElse(throw new IllegalArgumentException("missing 'query'"))
         val ext = if (qNode.isTextual) Parser.parseExtension(qNode.asText())
                   else Json.parseQuery(qNode.toString)
-        streamNdjson(ex, Jobs.resume(spark, mg.graph, jobsDir(g), id, ext)
-          .toJSON.toLocalIterator().asScala)
+        streamNdjson(ex, Wire.lines(Jobs.resume(spark, mg.graph, jobsDir(g), id, ext),
+          ext.stmts.lastOption))
       }
 
       case ("POST", g :: "query" :: Nil) => withGraph(ex, g) { mg =>
@@ -308,8 +413,9 @@ class GraftServer(spark: SparkSession, port: Int,
           else if (qNode.isTextual) Parser.parse(qNode.asText())
           else Json.parseQuery(qNode.toString) // protojson statement array
         val result = Traversal.run(spark, mg.graph, query)
-        // ND-JSON streaming: one row per line, bounded server memory
-        streamNdjson(ex, result.toJSON.toLocalIterator().asScala)
+        // ND-JSON streaming in the reference QueryResult wire format: one
+        // protojson line per row, bounded server memory (see Wire)
+        streamNdjson(ex, Wire.lines(result, query.stmts.lastOption))
       }
 
       // read-only openCypher MATCH subset (the reference's POC endpoint
@@ -320,8 +426,9 @@ class GraftServer(spark: SparkSession, port: Int,
         val qNode = body.get("query")
         if (qNode == null || !qNode.isTextual) err(ex, 400, "missing 'query' text")
         else {
-          val result = Traversal.run(spark, mg.graph, graft.cypher.Cypher.parse(qNode.asText()))
-          streamNdjson(ex, result.toJSON.toLocalIterator().asScala)
+          val cq = graft.cypher.Cypher.parse(qNode.asText())
+          val result = Traversal.run(spark, mg.graph, cq)
+          streamNdjson(ex, Wire.lines(result, cq.stmts.lastOption))
         }
       }
 
@@ -369,6 +476,18 @@ class GraftServer(spark: SparkSession, port: Int,
         }
       }
 
+      // DeleteVertex / DeleteEdge (reference: gripql/gripql.proto:461-469;
+      // python client graph.py:67-77,108-118)
+      case ("DELETE", g :: "vertex" :: gid :: Nil) => withGraph(ex, g) { mg =>
+        if (mg.getVertex(gid).isEmpty) err(ex, 404, s"no vertex '$gid'")
+        else { mg.deleteVertex(gid); send(ex, 200, "{}") }
+      }
+
+      case ("DELETE", g :: "edge" :: gid :: Nil) => withGraph(ex, g) { mg =>
+        if (mg.getEdge(gid).isEmpty) err(ex, 404, s"no edge '$gid'")
+        else { mg.deleteEdge(gid); send(ex, 200, "{}") }
+      }
+
       case _ => err(ex, 404, s"no route $method /v1/graph/${parts.mkString("/")}")
     }
   } catch {
@@ -398,6 +517,19 @@ class GraftServer(spark: SparkSession, port: Int,
     val node = mapper.createObjectNode().put("gid", gid).put("label", label)
     if (from != null) node.put("from", from).put("to", to)
     node.set("data", if (data == null || data.isEmpty) mapper.createObjectNode() else mapper.readTree(data))
+    node.toString
+  }
+
+  /** One Graph-message JSON object for a (small) schema graph — the
+    * GetSchema / SampleSchema response shape the python client json()s. */
+  private def schemaJson(g: String, sg: GraphFrame): String = {
+    val node = mapper.createObjectNode().put("graph", g)
+    val vArr = node.putArray("vertices")
+    sg.vertices.collect().foreach(r =>
+      vArr.add(mapper.readTree(elementJson(r.getString(0), r.getString(1), r.getString(2), null, null))))
+    val eArr = node.putArray("edges")
+    sg.edges.collect().foreach(r =>
+      eArr.add(mapper.readTree(elementJson(r.getString(0), r.getString(1), r.getString(4), r.getString(2), r.getString(3)))))
     node.toString
   }
 }

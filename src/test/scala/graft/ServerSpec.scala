@@ -75,9 +75,9 @@ class ServerSpec extends AnyFunSuite {
       val cy = req(c, p, "POST", "/v1/graph/test/cypher",
         """{"query": "MATCH (a:Person)-[:knows]->(b) WHERE a.age > 21 RETURN b.name AS friend"}""")
       assert(cy.statusCode() == 200)
-      // render rows stream as JSON text in the render column (the same
-      // contract as the /query route)
-      assert(cy.body().trim == "{\"render\":\"{\\\"friend\\\":\\\"vadas\\\"}\"}")
+      // render rows stream as QueryResult protojson: the rendered value is
+      // an embedded JSON object, not quoted text (gripql.proto:214)
+      assert(cy.body().trim == """{"render":{"friend":"vadas"}}""")
 
       // labels and sampled schema (ListLabels / SampleSchema shapes)
       val lbl = req(c, p, "GET", "/v1/graph/test/label")
@@ -92,6 +92,85 @@ class ServerSpec extends AnyFunSuite {
 
       assert(req(c, p, "DELETE", "/v1/graph/test").statusCode() == 200)
       assert(req(c, p, "GET", "/v1/graph/test/vertex/v1").statusCode() == 404)
+    }
+  }
+
+  test("QueryResult wire format matches what gripql clients unwrap") {
+    // the shapes the python client's __stream switches on
+    // (gripql/python/gripql/query.py:390-420)
+    withServer { (c, p) =>
+      req(c, p, "POST", "/v1/graph/wf")
+      req(c, p, "POST", "/v1/graph/wf/vertex",
+        """{"gid":"v1","label":"Person","data":{"name":"marko","age":29}}""")
+      req(c, p, "POST", "/v1/graph/wf/vertex",
+        """{"gid":"v2","label":"Person","data":{"name":"vadas","age":27}}""")
+      req(c, p, "POST", "/v1/graph/wf/edge",
+        """{"gid":"e1","from":"v1","to":"v2","label":"knows","data":{"weight":0.5}}""")
+
+      def q(body: String) =
+        req(c, p, "POST", "/v1/graph/wf/query", body).body().trim.linesIterator.toSeq
+
+      // vertex lines: data embedded as an OBJECT
+      val vs = q("""{"query":"V('v1')"}""")
+      assert(vs == Seq("""{"vertex":{"gid":"v1","label":"Person","data":{"name":"marko","age":29}}}"""))
+      // edge lines keep from/to
+      val es = q("""{"query":"V('v1').outE('knows')"}""")
+      assert(es.head.startsWith("""{"edge":{"gid":"e1","label":"knows","from":"v1","to":"v2""""))
+      // count / render(raw value) / path / selections / aggregations
+      assert(q("""{"query":"V().count()"}""") == Seq("""{"count":2}"""))
+      val sel = q("""{"query":"V('v1').as('a').out('knows').as('b').select('a','b')"}""").head
+      assert(sel.startsWith("""{"selections":{"selections":{"a":{"vertex":{"gid":"v1""""))
+      assert(sel.contains(""""b":{"vertex":{"gid":"v2""""))
+      val path = q("""{"query":"V('v1').out('knows').path()"}""").head
+      assert(path == """{"path":[{"vertex":"v1"},{"vertex":"v2"}]}""")
+      val aggs = q("""{"query":"V().aggregate(term('ages','age'))"}""")
+      assert(aggs.forall(_.startsWith("""{"aggregations":{"name":"ages","key":""")))
+      // numeric term keys stay numbers on the wire (protobuf Value key)
+      assert(aggs.exists(_.contains(""""key":29,"value":1""")))
+    }
+  }
+
+  test("client surface routes: schema post/get/sample, index, deletes, bulk") {
+    withServer { (c, p) =>
+      req(c, p, "POST", "/v1/graph/cs")
+      // bulk add in the python BulkAdd wire shape (graph.py:246-285)
+      val bulk = req(c, p, "POST", "/v1/graph",
+        Seq(
+          """{"graph":"cs","vertex":{"gid":"v1","label":"A","data":{"x":1}}}""",
+          """{"graph":"cs","vertex":{"gid":"v2","label":"B"}}""",
+          """{"graph":"cs","edge":{"from":"v1","to":"v2","label":"ab"}}""",
+          """{"graph":"nope","vertex":{"gid":"v3","label":"A"}}""",
+          """{"graph":"cs","vertex":{"label":"missing-gid"}}"""
+        ).mkString("\n"))
+      assert(bulk.statusCode() == 200)
+      assert(bulk.body() == """{"insertCount":3,"errorCount":2}""")
+      assert(req(c, p, "POST", "/v1/graph/cs/query", """{"query":"V().count()"}""")
+        .body().trim == """{"count":2}""")
+
+      // sampled schema: one Graph-message object
+      val sample = req(c, p, "GET", "/v1/graph/cs/schema-sample")
+      assert(sample.statusCode() == 200 && sample.body().startsWith("""{"graph":"cs","vertices":["""))
+      // posted schema wins over sampling on GET /schema
+      assert(req(c, p, "POST", "/v1/graph/cs/schema",
+        """{"vertices":[{"gid":"A","label":"A","data":{"x":"NUMERIC"}}],"edges":[]}""").statusCode() == 200)
+      val got = req(c, p, "GET", "/v1/graph/cs/schema")
+      assert(got.body().contains(""""graph":"cs"""") && got.body().contains(""""x":"NUMERIC""""))
+
+      // advisory index bookkeeping
+      assert(req(c, p, "POST", "/v1/graph/cs/index/A", """{"field":"x"}""").statusCode() == 200)
+      val idx = req(c, p, "GET", "/v1/graph/cs/index")
+      assert(idx.body() == """{"indices":[{"graph":"cs","label":"A","field":"x"}]}""")
+
+      // element deletes
+      assert(req(c, p, "DELETE", "/v1/graph/cs/edge/nope").statusCode() == 404)
+      val eid = req(c, p, "POST", "/v1/graph/cs/query", """{"query":"E()"}""")
+        .body().trim
+      // pull the edge gid out of the wire line
+      val gid = eid.split("\"gid\":\"")(1).split("\"")(0)
+      assert(req(c, p, "DELETE", s"/v1/graph/cs/edge/$gid").statusCode() == 200)
+      assert(req(c, p, "DELETE", "/v1/graph/cs/vertex/v2").statusCode() == 200)
+      assert(req(c, p, "POST", "/v1/graph/cs/query", """{"query":"V().count()"}""")
+        .body().trim == """{"count":1}""")
     }
   }
 
