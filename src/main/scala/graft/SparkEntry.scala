@@ -16,8 +16,22 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+  /** The events table with `ts` normalized to nanosecond-epoch Long, the
+    * form all Events arithmetic uses. Source parquet has shipped as both
+    * TIMESTAMP(NANOS) (read as Long under nanosAsLong) and TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ) — accept either. The NTZ branch converts via
+    * timestampdiff from the NTZ epoch literal: pure wall-clock arithmetic,
+    * no session-timezone dependence (matching DuckDB's epoch() on naive
+    * timestamps). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _: org.apache.spark.sql.types.TimestampNTZType => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
 
   /** ANN probe query set: the first 10 corpus vectors, re-identified as
     * vec_id+1_000_000 and nudged by deterministic hash-noise (±1% per

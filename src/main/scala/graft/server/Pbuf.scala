@@ -40,9 +40,17 @@ object Pbuf {
   final case class TMap(value: PType) extends PType
 
   final case class FieldDef(num: Int, name: String, tpe: PType, repeated: Boolean = false)
-  final case class MsgDef(name: String, fields: FieldDef*) {
+  /** `oneof` names the message's oneof group members (gripql messages have
+    * at most one group): proto3 wire semantics are last-member-wins, so
+    * decode drops earlier siblings when a later member appears. Attach a
+    * group with a second application: `MsgDef("M", f1, f2)(Set("f1","f2"))`. */
+  final class MsgDef(val name: String, val fields: Seq[FieldDef], val oneof: Set[String]) {
     val byNum: Map[Int, FieldDef] = fields.map(f => f.num -> f).toMap
     val byName: Map[String, FieldDef] = fields.map(f => f.name -> f).toMap
+    def apply(oneofNames: Set[String]): MsgDef = new MsgDef(name, fields, oneofNames)
+  }
+  object MsgDef {
+    def apply(name: String, fields: FieldDef*): MsgDef = new MsgDef(name, fields, Set.empty)
   }
 
   type Registry = Map[String, MsgDef]
@@ -50,11 +58,16 @@ object Pbuf {
 
   // ---- wire primitives ----------------------------------------------------
 
+  /** Every read is bounds-checked against `end` (not the backing array), so
+    * a truncated nested field raises instead of silently reading sibling
+    * bytes from the parent buffer, and crafted lengths can't move `pos`
+    * backwards — decode of untrusted client bytes always terminates. */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
+        require(pos < end, "varint overruns buffer")
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
@@ -63,20 +76,27 @@ object Pbuf {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed64(): Long = {
+      require(pos + 8 <= end, "fixed64 overruns buffer")
       var v = 0L
       var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def fixed32(): Int = {
+      require(pos + 4 <= end, "fixed32 overruns buffer")
       var v = 0
       var i = 0
       while (i < 4) { v |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
       pos += 4; v
     }
+    private def delimLen(): Int = {
+      val raw = varint()
+      require(raw >= 0 && raw <= (end - pos).toLong,
+        "length-delimited field overruns buffer")
+      raw.toInt
+    }
     def slice(): Reader = {
-      val len = varint().toInt
-      require(len >= 0 && pos + len <= end, "length-delimited field overruns buffer")
+      val len = delimLen()
       val r = new Reader(buf, pos, pos + len); pos += len; r
     }
     def utf8(): String = {
@@ -85,9 +105,9 @@ object Pbuf {
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => require(pos + 8 <= end, "skip overruns buffer"); pos += 8
+      case 2 => pos += delimLen()
+      case 5 => require(pos + 4 <= end, "skip overruns buffer"); pos += 4
       case wt => throw new IllegalArgumentException(s"unsupported wire type $wt")
     }
   }
@@ -155,7 +175,13 @@ object Pbuf {
               case _ => val m = nf.objectNode(); o.set[ObjectNode](f.name, m); m
             }
             mapNode.set[ObjectNode](k, v)
-          } else o.set[ObjectNode](f.name, decodeField(reg, f.tpe, wt, r))
+          } else {
+            // oneof: last member seen on the wire wins (proto3) — drop any
+            // previously-decoded sibling so the JSON stays a one-key oneof
+            if (m.oneof.contains(f.name))
+              m.oneof.foreach(sib => if (sib != f.name) o.remove(sib))
+            o.set[ObjectNode](f.name, decodeField(reg, f.tpe, wt, r))
+          }
       }
     }
     o
@@ -166,7 +192,12 @@ object Pbuf {
     case TBool => nf.booleanNode(r.varint() != 0)
     case TDouble => numNode(java.lang.Double.longBitsToDouble(r.fixed64()))
     case TInt => nf.numberNode(r.varint())
-    case TUInt => nf.numberNode(r.varint())
+    case TUInt =>
+      // uint32/uint64 share TUInt; a value with bit 63 set is a uint64 past
+      // Long.MaxValue — protojson represents 64-bit ints as strings, so emit
+      // the unsigned decimal string rather than a negative number
+      val v = r.varint()
+      if (v >= 0) nf.numberNode(v) else nf.textNode(java.lang.Long.toUnsignedString(v))
     case TEnum(names) =>
       val i = r.varint().toInt
       if (i >= 0 && i < names.length) nf.textNode(names(i)) else nf.numberNode(i)
@@ -271,7 +302,7 @@ object Pbuf {
         case TInt | TUInt =>
           w.tag(f.num, 2)
           val inner = new Writer
-          v.elements().asScala.foreach(e => inner.varint(e.asLong()))
+          v.elements().asScala.foreach(e => inner.varint(longOf(e)))
           w.bytes(inner.out.toByteArray)
         case t => v.elements().asScala.foreach(e => encodeSingle(reg, f.num, t, e, w))
       }
@@ -292,8 +323,8 @@ object Pbuf {
     case TString => w.tag(num, 2); w.str(v.asText())
     case TBool => w.tag(num, 0); w.varint(if (v.asBoolean()) 1 else 0)
     case TDouble => w.tag(num, 1); w.fixed64(java.lang.Double.doubleToLongBits(v.asDouble()))
-    case TInt => w.tag(num, 0); w.varint(v.asLong())
-    case TUInt => w.tag(num, 0); w.varint(v.asLong())
+    case TInt => w.tag(num, 0); w.varint(longOf(v))
+    case TUInt => w.tag(num, 0); w.varint(longOf(v))
     case TEnum(names) =>
       val i = if (v.isTextual) names.indexOf(v.asText()) else v.asInt()
       require(i >= 0, s"unknown enum value ${v.asText()} (expected one of ${names.mkString(",")})")
@@ -316,6 +347,15 @@ object Pbuf {
       w.tag(num, 2); w.bytes(inner.out.toByteArray)
     case TMap(_) => throw new IllegalArgumentException("map encoded at field level")
   }
+
+  /** Integral JSON value as a Long; accepts the unsigned-decimal-string
+    * form protojson uses for 64-bit integers (round-trips uint64 > 2^63). */
+  private def longOf(v: JsonNode): Long =
+    if (v.isTextual) {
+      val s = v.asText()
+      try java.lang.Long.parseLong(s)
+      catch { case _: NumberFormatException => java.lang.Long.parseUnsignedLong(s) }
+    } else v.asLong()
 
   private def encodeValue(v: JsonNode, w: Writer): Unit =
     if (v == null || v.isNull) { w.tag(1, 0); w.varint(0) }
