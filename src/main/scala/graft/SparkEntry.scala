@@ -6,6 +6,7 @@ import graft.gripql.{Query, P, GValue, Agg}
 import graft.compiler.Traversal
 import graft.model.{Gripper, TpchGraph}
 import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Events, Curation}
+import scala.jdk.CollectionConverters._
 
 /** Driver contract — one oracle-checked entry per operator (SURVEY.md §2)
   * plus the LLM-data-pipeline operators, all runnable on the TESTDATA
@@ -61,6 +62,14 @@ object SparkEntry {
   private val dedupGraphMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.model.GraphFrame]()
 
+  /** RDD ids backing cross-query memoized state (the dedup graph's
+    * checkpointed edge frame): a localCheckpoint's blocks are its ONLY
+    * copy — lineage is truncated — so a bench/server sweep that
+    * unpersists them would leave later memo hits unable to recompute.
+    * Harnesses releasing per-query storage must skip these ids. */
+  private val sharedRddIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  def sharedPersistentRddIds: Set[Int] = sharedRddIds.asScala.toSet
+
   private def dedupGraph(s: SparkSession, d: String): graft.model.GraphFrame = {
     dedupGraphMemo.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
     dedupGraphMemo.computeIfAbsent((s, d), { case (sess, dir) => buildDedupGraph(sess, dir) })
@@ -75,7 +84,10 @@ object SparkEntry {
       lit("near_dup").as("label"),
       concat(lit("d:"), col("a_id")).as("from"),
       concat(lit("d:"), col("b_id")).as("to"), lit("{}").as("data"))
-    graft.model.GraphFrame(v, e.localCheckpoint())
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val ce = e.localCheckpoint() // eager: blocks + persistent-RDD entry exist on return
+    (s.sparkContext.getPersistentRDDs.keySet -- before).foreach(sharedRddIds.add)
+    graft.model.GraphFrame(v, ce)
   }
 
   /** A GRIPPER-mapped graph over the raw TESTDATA parquet: the nation and

@@ -54,10 +54,11 @@ object GJson extends Serializable {
   }
 
   /** Elements of an array field, each as JSON text; null when the field is
-    * missing or not an array (unwind's null-emit case). */
+    * missing, not an array (unwind's null-emit case), or the document is
+    * not parseable JSON (matching the variant plan's try_parse_json). */
   def arrayElems(data: String, path: String): Array[String] = {
     if (data == null) return null
-    var node = parse(data)
+    var node = try parse(data) catch { case _: Exception => return null }
     for (p <- path.split('.')) {
       if (node == null || !node.isObject) return null
       node = node.get(p)
@@ -138,10 +139,10 @@ object GJson extends Serializable {
   // Document REBUILDS (set/select/merge) stay on Jackson: they must
   // preserve the original field layout of untouched keys, which the
   // variant binary form (sorted field dictionary) cannot round-trip.
-  // Pure EXTRACTION with a path known at plan time compiles to native
-  // variant expressions instead — parse_json/variant_get/schema_of_variant
-  // are codegen'd Catalyst expressions, so unwind and the type aggregation
-  // stay inside whole-stage codegen with no per-row Jackson parse.
+  // TYPE inspection with a path known at plan time compiles to native
+  // variant expressions (schema_of_variant is codegen'd, no per-row
+  // Jackson parse). Array-element EXTRACTION measured faster on the
+  // Jackson UDF — see json_array_elems below for the numbers.
   private val setFieldUdf = udf(setField _)
   private val arrayElemsUdf = udf(arrayElems _)
   private val selectFieldsUdf = udf(selectFields _)
@@ -156,13 +157,18 @@ object GJson extends Serializable {
 
   def json_set(data: Column, path: Column, valueJson: Column): Column = setFieldUdf(data, path, valueJson)
 
-  /** Elements of an array field as JSON text, natively: missing field,
-    * non-array value, or unparseable document all yield NULL — the same
-    * contract as [[arrayElems]] (pinned by GJsonParitySpec). */
+  /** Elements of an array field as JSON text: missing field, non-array
+    * value, or unparseable document all yield NULL. Deliberately the
+    * Jackson UDF, not the native variant plan
+    * (`transform(try_variant_get(parse_json(..)), to_json)`): both were
+    * benchmarked at sf0.1 and the variant form measured ~1.5× SLOWER
+    * (q36 0.65 s vs 0.39 s, q49 2.66 s vs 1.91 s, same box) — the
+    * per-element `to_json(variant)` re-serialization costs more than one
+    * Jackson parse+slice per row, and codegen doesn't recover it.
+    * GJsonParitySpec keeps the two forms' semantics pinned equal so the
+    * plan can flip back if variant serialization improves. */
   def json_array_elems(data: Column, path: String): Column =
-    transform(
-      try_variant_get(try_parse_json(data), vPath(path), "array<variant>"),
-      e => to_json(e))
+    arrayElemsUdf(data, lit(path))
 
   /** Dynamic-path variant for callers whose path is a per-row value
     * (schema sampling) — variant_get demands a constant path, so this

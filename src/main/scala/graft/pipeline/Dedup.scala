@@ -658,9 +658,9 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shB = ref.select(col(refId).as("__id"), shingles(col(refText), shingleN).as("__sh")).persist(lvl)
     try {
-      val idx = indexFromShingles(shB, shingleN, numHashes, bands, threshold)
+      val idx = indexFromShingles(shB, shingleN, numHashes, bands, threshold, maxBucket)
       idx.banded.persist(lvl); idx.shingleHashes.persist(lvl)
-      try probeMinhashIndex(idx, newDf, newId, newText, maxBucket)
+      try probeMinhashIndex(idx, newDf, newId, newText)
       finally { idx.banded.unpersist(false); idx.shingleHashes.unpersist(false) }
     } finally shB.unpersist(false)
   }
@@ -673,23 +673,30 @@ object Dedup {
     * different shingle/band parameters would be comparing different
     * signatures). Build or [[loadMinhashIndex]] once per reference corpus;
     * [[probeMinhashIndex]] signs only the new side per run. */
-  case class MinhashIndex(banded: DataFrame, shingleHashes: DataFrame,
-                          shingleN: Int, numHashes: Int, bands: Int, threshold: Double)
+  /** `bigBuckets` is the index side's precomputed degenerate-bucket list
+    * (band buckets holding more than `maxBucket` reference docs): that
+    * histogram is loop-invariant for a persisted index, so computing it at
+    * build time saves one full groupBy over `banded` on EVERY probe. */
+  case class MinhashIndex(banded: DataFrame, shingleHashes: DataFrame, bigBuckets: DataFrame,
+                          shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+                          maxBucket: Long)
 
   def buildMinhashIndex(ref: DataFrame, refId: String, refText: String,
                         shingleN: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                        threshold: Double = 0.5): MinhashIndex =
+                        threshold: Double = 0.5, maxBucket: Long = 100000L): MinhashIndex =
     indexFromShingles(
       ref.select(col(refId).as("__id"), shingles(col(refText), shingleN).as("__sh")),
-      shingleN, numHashes, bands, threshold)
+      shingleN, numHashes, bands, threshold, maxBucket)
 
   private def indexFromShingles(sh: DataFrame, shingleN: Int, numHashes: Int,
-                                bands: Int, threshold: Double): MinhashIndex = {
+                                bands: Int, threshold: Double, maxBucket: Long): MinhashIndex = {
     val banded = bandedKeys(minhashSignatures(sh, "__id", "__sh", numHashes),
       "__id", "__sig", "b_id", bands, numHashes / bands)
     val hashed = sh.select(col("__id").as("b_id"),
       sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__shb"))
-    MinhashIndex(banded, hashed, shingleN, numHashes, bands, threshold)
+    val big = banded.groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("__band", "__bh")
+    MinhashIndex(banded, hashed, big, shingleN, numHashes, bands, threshold, maxBucket)
   }
 
   /** Persist the index as three parquet tables (band keys, shingle-hash
@@ -699,10 +706,11 @@ object Dedup {
   def saveMinhashIndex(index: MinhashIndex, dir: String): Unit = {
     index.banded.write.mode("overwrite").parquet(s"$dir/banded")
     index.shingleHashes.write.mode("overwrite").parquet(s"$dir/shingles")
+    index.bigBuckets.write.mode("overwrite").parquet(s"$dir/bigbuckets")
     val spark = index.banded.sparkSession
     import spark.implicits._
-    Seq((index.shingleN, index.numHashes, index.bands, index.threshold))
-      .toDF("shingleN", "numHashes", "bands", "threshold")
+    Seq((index.shingleN, index.numHashes, index.bands, index.threshold, index.maxBucket))
+      .toDF("shingleN", "numHashes", "bands", "threshold", "maxBucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -710,8 +718,9 @@ object Dedup {
     val p = spark.read.parquet(s"$dir/params").collect().head
     MinhashIndex(
       spark.read.parquet(s"$dir/banded"), spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/bigbuckets"),
       p.getAs[Int]("shingleN"), p.getAs[Int]("numHashes"),
-      p.getAs[Int]("bands"), p.getAs[Double]("threshold"))
+      p.getAs[Int]("bands"), p.getAs[Double]("threshold"), p.getAs[Long]("maxBucket"))
   }
 
   /** Near-dup pairs (a_id from `newDf`, b_id from the index's corpus)
@@ -721,8 +730,8 @@ object Dedup {
     * side), then the exact merge-scan Jaccard verify at the index's
     * threshold. */
   def probeMinhashIndex(index: MinhashIndex, newDf: DataFrame,
-                        newId: String, newText: String,
-                        maxBucket: Long = 100000L): DataFrame = {
+                        newId: String, newText: String): DataFrame = {
+    val maxBucket = index.maxBucket
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shA = newDf.select(col(newId).as("__id"),
       shingles(col(newText), index.shingleN).as("__sh")).persist(lvl)
@@ -730,11 +739,13 @@ object Dedup {
       val bA = bandedKeys(minhashSignatures(shA, "__id", "__sh", index.numHashes),
         "__id", "__sig", "a_id", index.bands, index.numHashes / index.bands).persist(lvl)
       try {
-        val bB = index.banded
+        // the index side's degenerate buckets were precomputed at build
+        // time (loop-invariant for a persisted index) — only the probe
+        // side's histogram is computed per run
         def overfull(b: DataFrame) =
           b.groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
             .filter(col("__n") > maxBucket).select("__band", "__bh")
-        val big = overfull(bA).union(overfull(bB)).distinct()
+        val big = overfull(bA).union(index.bigBuckets).distinct()
         val bigRows = big.collect()
         if (bigRows.nonEmpty)
           org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
@@ -743,7 +754,7 @@ object Dedup {
         def kept(b: DataFrame) =
           if (bigRows.isEmpty) b
           else b.join(broadcast(big), Seq("__band", "__bh"), "left_anti")
-        val cand = kept(bA).join(kept(bB), Seq("__band", "__bh"))
+        val cand = kept(bA).join(kept(index.banded), Seq("__band", "__bh"))
           .select("a_id", "b_id").distinct().localCheckpoint(true)
         val hashedA = shA.select(col("__id").as("a_id"),
           sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__sha"))

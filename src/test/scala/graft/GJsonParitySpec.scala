@@ -32,11 +32,22 @@ class GJsonParitySpec extends AnyFunSuite {
     docs.toDF("data")
   }
 
-  test("json_array_elems: native variant plan == Jackson on every document") {
+  /** The native variant form of array-element extraction — measured
+    * slower than the shipped Jackson UDF (see GJson.json_array_elems),
+    * kept HERE so the two forms' semantics stay pinned equal and the
+    * production plan can flip back if variant serialization improves. */
+  private def variantArrayElems(data: org.apache.spark.sql.Column, path: String) =
+    org.apache.spark.sql.functions.transform(
+      org.apache.spark.sql.functions.try_variant_get(
+        org.apache.spark.sql.functions.try_parse_json(data),
+        if (path.isEmpty) "$" else "$." + path, "array<variant>"),
+      e => org.apache.spark.sql.functions.to_json(e))
+
+  test("json_array_elems (Jackson) == native variant plan on every document") {
     for (path <- Seq("a", "b.c", "missing.deep")) {
       val rows = df.select(
-        GJson.json_array_elems(col("data"), path).as("native"),
-        GJson.json_array_elems_dyn(col("data"), lit(path)).as("jackson")).collect()
+        variantArrayElems(col("data"), path).as("native"),
+        GJson.json_array_elems(col("data"), path).as("jackson")).collect()
       for ((r, d) <- rows.zip(docs)) {
         val n = Option(r.getSeq[String](0)).map(_.toList)
         val j = Option(r.getSeq[String](1)).map(_.toList)
@@ -70,7 +81,7 @@ class GJsonParitySpec extends AnyFunSuite {
     assert(r.getString(1) == "MAP") // root document
   }
 
-  test("malformed documents degrade gracefully natively (Jackson threw)") {
+  test("malformed documents degrade gracefully (NULL / UNKNOWN, no throw)") {
     import spark.implicits._
     val t = Seq("not json at all", "{broken", "[1,").toDF("data")
     val rows = t.select(
@@ -82,9 +93,9 @@ class GJsonParitySpec extends AnyFunSuite {
     }
   }
 
-  test("the extraction path is UDF-free (stays inside codegen)") {
-    val plan = df.select(GJson.json_array_elems(col("data"), "a"),
-      GJson.json_type(col("data"), "a")).queryExecution.executedPlan.toString
+  test("the type-inspection path is UDF-free (stays inside codegen)") {
+    val plan = df.select(GJson.json_type(col("data"), "a"))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), plan)
   }
 }

@@ -418,10 +418,20 @@ class PipelineSpec extends AnyFunSuite {
     // (same signatures, same buckets, same verify threshold)
     val dir = java.nio.file.Files.createTempDirectory("mh-index").toString
     Dedup.saveMinhashIndex(Dedup.buildMinhashIndex(refSide, "doc_id", "text"), dir)
-    val probed = Dedup.probeMinhashIndex(Dedup.loadMinhashIndex(spark, dir),
-        newSide, "doc_id", "text")
+    val loaded = Dedup.loadMinhashIndex(spark, dir)
+    val probed = Dedup.probeMinhashIndex(loaded, newSide, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
     assert(probed == got, s"persisted probe drifted: ${probed.diff(got)} vs ${got.diff(probed)}")
+    // the index side's degenerate-bucket list persists with the index, so
+    // a probe never re-aggregates the reference band table: bigbuckets is
+    // one of the saved tables and round-trips with the build parameters
+    assert(new java.io.File(s"$dir/bigbuckets").exists())
+    assert(loaded.maxBucket == 100000L)
+    assert(loaded.bigBuckets.columns.toSeq == Seq("__band", "__bh"))
+    // a tiny maxBucket forces every shared bucket onto the list and the
+    // probe to drop all candidates — proving the stored list is live
+    val strict = Dedup.buildMinhashIndex(refSide, "doc_id", "text", maxBucket = 0L)
+    assert(Dedup.probeMinhashIndex(strict, newSide, "doc_id", "text").count() == 0L)
   }
 
   test("commonShingles reports passages at or above the df threshold") {
