@@ -93,6 +93,12 @@ class GraftServer(spark: SparkSession, port: Int,
   def addGraph(name: String, g: GraphFrame): Unit =
     graphs.put(name, MutableGraph(spark, g))
 
+  /** The live graph registry — hand this to a [[GrpcServer]] so both
+    * transports serve the same graphs (the reference's server exposes one
+    * GraphDB through gRPC and its REST gateway alike, server/server.go). */
+  private[server] def graphRegistry:
+      java.util.concurrent.ConcurrentHashMap[String, MutableGraph] = graphs
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/v1/graph", (ex: HttpExchange) => handle(ex))
   server.setExecutor(null) // serial — mutations per graph need no extra locking
@@ -595,6 +601,9 @@ object GraftServer {
       case ("GET", _) => "read"
       case _ => "write"
     }
+  /** Serves REST on `port` and gRPC on `port`+1 over the SAME graph
+    * registry — the reference's dual-transport shape (server/server.go
+    * runs the gRPC service and its REST gateway on sibling ports). */
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(8201)
     val spark = SparkSession.builder().master("local[*]")
@@ -605,7 +614,9 @@ object GraftServer {
     val srv = new GraftServer(spark, port)
     args.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
     srv.start()
-    println(s"graft server listening on :$port")
+    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry)
+    grpc.start()
+    println(s"graft server listening on :$port (REST), :${port + 1} (gRPC)")
     Thread.currentThread().join()
   }
 }

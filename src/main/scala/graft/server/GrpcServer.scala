@@ -49,6 +49,19 @@ class GrpcServer(spark: SparkSession, port: Int,
 
   private val mapper = new ObjectMapper()
   private val reg = GripqlProto.registry
+  // job spools + advisory indices + per-graph edit timestamps are
+  // transport-local (the reference keeps them in its KV store; the REST
+  // facade keeps them per-server the same way — GraftServer.scala)
+  private val jobStates =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+  private val jobsRoot =
+    java.nio.file.Files.createTempDirectory("graft-grpc-jobs").toString
+  private def jobsDir(g: String) = s"$jobsRoot/$g"
+  private val indices =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[(String, String)]]()
+  private val timestamps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def touch(g: String): Unit =
+    timestamps.put(g, System.currentTimeMillis().toString)
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(2)
   // Spark jobs must not run on the netty event loop: dispatch pool
@@ -184,6 +197,26 @@ class GrpcServer(spark: SparkSession, port: Int,
     case g => g
   }
 
+  private def jobState(g: String, id: String): Option[(String, String)] =
+    Option(jobStates.get(g -> id)).orElse(
+      if (graft.model.Jobs.listJobs(jobsDir(g)).contains(id)) Some("COMPLETE" -> null)
+      else None)
+
+  private def requireComplete(g: String, id: String): Unit = jobState(g, id) match {
+    case None => throw GrpcError(5, s"no job '$id'")
+    case Some(("COMPLETE", _)) => ()
+    case Some((st, e)) => throw GrpcError(9,
+      s"job '$id' is $st${if (e != null) s": $e" else ""}")
+  }
+
+  /** JobStatus message body (gripql.proto:239-246 — no error-text field;
+    * an ERROR state's message travels in grpc-status instead). */
+  private def jobStatusNode(g: String, id: String): ObjectNode = jobState(g, id) match {
+    case None => throw GrpcError(5, s"no job '$id'")
+    case Some((st, _)) =>
+      mapper.createObjectNode().put("id", id).put("graph", g).put("state", st)
+  }
+
   private def one(msgs: Vector[Array[Byte]], msgName: String): ObjectNode = {
     if (msgs.size != 1) throw GrpcError(3, s"expected one $msgName message, got ${msgs.size}")
     Pbuf.decode(reg, msgName, msgs.head)
@@ -277,17 +310,131 @@ class GrpcServer(spark: SparkSession, port: Int,
           eArr.add(edgeNode(r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
         Iterator.single(Pbuf.encode(reg, "Graph", o))
 
+      case "/gripql.Query/GetTimestamp" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        mg(name) // 5 when absent
+        val o = mapper.createObjectNode()
+          .put("timestamp", timestamps.getOrDefault(name, "0"))
+        Iterator.single(Pbuf.encode(reg, "Timestamp", o))
+
+      case "/gripql.Query/ListIndices" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        mg(name)
+        Option(indices.get(name)).map(_.asScala.toSeq.sorted).getOrElse(Nil)
+          .iterator.map { case (label, field) =>
+            Pbuf.encode(reg, "IndexID", mapper.createObjectNode()
+              .put("graph", name).put("label", label).put("field", field))
+          }
+
+      case "/gripql.Edit/AddIndex" =>
+        val m = one(msgs, "IndexID")
+        val name = text(m, "graph")
+        mg(name)
+        val (label, field) = (text(m, "label"), text(m, "field"))
+        if (label == null || field == null) throw GrpcError(3, "index needs label and field")
+        indices.computeIfAbsent(name,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet()).add(label -> field)
+        Iterator.single(editResult(s"$label.$field"))
+
+      case "/gripql.Edit/DeleteIndex" =>
+        val m = one(msgs, "IndexID")
+        val name = text(m, "graph")
+        mg(name)
+        val removed = Option(indices.get(name))
+          .exists(_.remove(text(m, "label") -> text(m, "field")))
+        if (!removed) throw GrpcError(5, "no such index")
+        Iterator.single(editResult(s"${text(m, "label")}.${text(m, "field")}"))
+
+      // ---- job service (reference: gripql.proto:377-423; the spool
+      // lifecycle mirrors the REST facade's routes in GraftServer) ----
+
+      case "/gripql.Query/Submit" =>
+        val q = one(msgs, "GraphQuery")
+        val name = Option(text(q, "graph")).getOrElse(throw GrpcError(3, "missing graph"))
+        val g = mg(name)
+        val qArr = Option(q.get("query")).filter(_.isArray)
+          .getOrElse(throw GrpcError(3, "missing query statements"))
+        val query = Json.parseQuery(qArr.toString)
+        val jobId = "job-" + java.util.UUID.randomUUID().toString.take(12)
+        jobStates.put(name -> jobId, "RUNNING" -> null)
+        val graph = g.graph
+        new Thread(() => {
+          try {
+            graft.model.Jobs.submitAs(spark, graph, query, jobsDir(name), jobId)
+            jobStates.put(name -> jobId, "COMPLETE" -> null)
+          } catch {
+            case e: Throwable =>
+              jobStates.put(name -> jobId, "ERROR" -> String.valueOf(e.getMessage))
+          }
+        }, s"graft-grpc-job-$jobId").start()
+        Iterator.single(Pbuf.encode(reg, "QueryJob",
+          mapper.createObjectNode().put("id", jobId).put("graph", name)))
+
+      case "/gripql.Query/ListJobs" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        mg(name)
+        val known = jobStates.asScala.collect { case ((`name`, id), _) => id }.toSet
+        val all = known ++ graft.model.Jobs.listJobs(jobsDir(name))
+        all.toSeq.sorted.iterator.map(id => Pbuf.encode(reg, "QueryJob",
+          mapper.createObjectNode().put("id", id).put("graph", name)))
+
+      case "/gripql.Query/GetJob" =>
+        val m = one(msgs, "QueryJob")
+        val (name, id) = (text(m, "graph"), text(m, "id"))
+        mg(name)
+        Iterator.single(Pbuf.encode(reg, "JobStatus", jobStatusNode(name, id)))
+
+      case "/gripql.Query/DeleteJob" =>
+        val m = one(msgs, "QueryJob")
+        val (name, id) = (text(m, "graph"), text(m, "id"))
+        mg(name)
+        jobState(name, id) match {
+          case Some(("RUNNING", _)) =>
+            throw GrpcError(9, s"job '$id' is running; retry after it completes")
+          case st =>
+            val hadSpool = graft.model.Jobs.deleteJob(jobsDir(name), id)
+            if (!hadSpool && st.isEmpty) throw GrpcError(5, s"no job '$id'")
+            jobStates.remove(name -> id)
+            Iterator.single(Pbuf.encode(reg, "JobStatus", mapper.createObjectNode()
+              .put("id", id).put("graph", name).put("state", "DELETED")))
+        }
+
+      case "/gripql.Query/ViewJob" =>
+        val m = one(msgs, "QueryJob")
+        val (name, id) = (text(m, "graph"), text(m, "id"))
+        val g = mg(name)
+        requireComplete(name, id)
+        Wire.lines(graft.model.Jobs.view(spark, g.graph, jobsDir(name), id), None)
+          .map(line => Pbuf.encode(reg, "QueryResult", mapper.readTree(line)))
+
+      case "/gripql.Query/ResumeJob" =>
+        val m = one(msgs, "ExtendQuery")
+        val (name, id) = (text(m, "graph"), text(m, "src_id"))
+        val g = mg(name)
+        requireComplete(name, id)
+        val qArr = Option(m.get("query")).filter(_.isArray)
+          .getOrElse(throw GrpcError(3, "missing query statements"))
+        val ext = Json.parseQuery(qArr.toString)
+        Wire.lines(graft.model.Jobs.resume(spark, g.graph, jobsDir(name), id, ext),
+            ext.stmts.lastOption)
+          .map(line => Pbuf.encode(reg, "QueryResult", mapper.readTree(line)))
+
       case "/gripql.Edit/AddGraph" =>
         val m = one(msgs, "GraphID")
         val name = Option(text(m, "graph")).getOrElse(throw GrpcError(3, "missing graph"))
         if (graphs.putIfAbsent(name, MutableGraph.empty(spark)) != null)
           throw GrpcError(3, s"graph '$name' exists")
+        touch(name)
         Iterator.single(editResult(name))
 
       case "/gripql.Edit/DeleteGraph" =>
         val m = one(msgs, "GraphID")
         val name = text(m, "graph")
         if (graphs.remove(name) == null) throw GrpcError(5, s"no graph '$name'")
+        indices.remove(name); timestamps.remove(name)
         Iterator.single(editResult(name))
 
       case "/gripql.Edit/AddVertex" =>
@@ -297,6 +444,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         val (gid, label) = (text(v, "gid"), text(v, "label"))
         if (gid == null || label == null) throw GrpcError(3, "vertex needs gid and label")
         g.addVertex(gid, label, dataText(v))
+        touch(text(m, "graph"))
         Iterator.single(editResult(gid))
 
       case "/gripql.Edit/AddEdge" =>
@@ -307,6 +455,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         if (from == null || to == null || label == null)
           throw GrpcError(3, "edge needs from, to, label")
         g.addEdge(from, to, label, dataText(e), text(e, "gid"))
+        touch(text(m, "graph"))
         Iterator.single(editResult(text(e, "gid")))
 
       case "/gripql.Edit/DeleteVertex" =>
@@ -315,6 +464,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         val id = text(m, "id")
         if (g.getVertex(id).isEmpty) throw GrpcError(5, s"no vertex '$id'")
         g.deleteVertex(id)
+        touch(text(m, "graph"))
         Iterator.single(editResult(id))
 
       case "/gripql.Edit/DeleteEdge" =>
@@ -323,6 +473,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         val id = text(m, "id")
         if (g.getEdge(id).isEmpty) throw GrpcError(5, s"no edge '$id'")
         g.deleteEdge(id)
+        touch(text(m, "graph"))
         Iterator.single(editResult(id))
 
       // client-streaming: every request frame is one GraphElement
@@ -353,6 +504,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         val o = mapper.createObjectNode()
         o.put("insert_count", inserted)
         o.put("error_count", errors)
+        if (inserted > 0) graphs.keySet().forEach(touch(_))
         Iterator.single(Pbuf.encode(reg, "BulkEditResult", o))
 
       case other => throw GrpcError(12, s"unimplemented method $other")

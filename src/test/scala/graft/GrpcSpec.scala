@@ -10,7 +10,7 @@ import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioSocketChannel
 import io.netty.handler.codec.http2._
 import io.netty.util.ReferenceCountUtil
-import graft.server.{GripqlProto, GrpcServer, Pbuf}
+import graft.server.{GripqlProto, GrpcServer, Pbuf, TestRegistry}
 
 import java.util.concurrent.{CompletableFuture, TimeUnit}
 
@@ -187,6 +187,116 @@ class GrpcSpec extends AnyFunSuite {
       val cnt = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
         """{"graph":"b","query":[{"v":[]},{"count":""}]}""")))
       assert(dec("QueryResult", cnt.payloads.head).get("count").asLong() == 2L)
+    }
+  }
+
+  test("REST and gRPC serve the same graph registry") {
+    val rest = new graft.server.GraftServer(spark, 0)
+    rest.start()
+    val grpc = new GrpcServer(spark, 0, TestRegistry.of(rest))
+    grpc.start()
+    val client = new Client("127.0.0.1", grpc.boundPort)
+    try {
+      // create + populate over HTTP ...
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${rest.boundPort}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(post("/v1/graph/shared", "").statusCode() == 200)
+      assert(post("/v1/graph/shared/vertex",
+        """{"gid":"s1","label":"Node"}""").statusCode() == 200)
+      // ... and see it over gRPC
+      val lg = client.call("/gripql.Query/ListGraphs", Seq(enc("Empty", "{}")))
+      assert(dec("ListGraphsResponse", lg.payloads.head).get("graphs").get(0).asText() == "shared")
+      val cnt = client.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"shared","query":[{"v":[]},{"count":""}]}""")))
+      assert(dec("QueryResult", cnt.payloads.head).get("count").asLong() == 1L)
+      // and the reverse: a gRPC edit visible over REST
+      assert(client.call("/gripql.Edit/AddVertex", Seq(enc("GraphElement",
+        """{"graph":"shared","vertex":{"gid":"s2","label":"Node"}}"""))).grpcStatus == 0)
+      val got = http.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${rest.boundPort}/v1/graph/shared/vertex/s2"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(got.statusCode() == 200 && got.body().contains("\"s2\""))
+    } finally { client.close(); grpc.stop(); rest.stop() }
+  }
+
+  test("job service: submit, poll, view, resume, list, delete") {
+    withServer { c =>
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"j"}"""))).grpcStatus == 0)
+      for (gid <- Seq("a", "b", "c"))
+        assert(c.call("/gripql.Edit/AddVertex", Seq(enc("GraphElement",
+          s"""{"graph":"j","vertex":{"gid":"$gid","label":"N"}}"""))).grpcStatus == 0)
+      assert(c.call("/gripql.Edit/AddEdge", Seq(enc("GraphElement",
+        """{"graph":"j","edge":{"from":"a","to":"b","label":"t"}}"""))).grpcStatus == 0)
+
+      val sub = c.call("/gripql.Query/Submit", Seq(enc("GraphQuery",
+        """{"graph":"j","query":[{"v":[]}]}""")))
+      assert(sub.grpcStatus == 0)
+      val jobId = dec("QueryJob", sub.payloads.head).get("id").asText()
+
+      // poll until the spool completes
+      var state = ""
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (state != "COMPLETE" && System.nanoTime() < deadline) {
+        val st = c.call("/gripql.Query/GetJob", Seq(enc("QueryJob",
+          s"""{"graph":"j","id":"$jobId"}""")))
+        state = dec("JobStatus", st.payloads.head).get("state").asText()
+        if (state == "ERROR") fail("job errored")
+        if (state != "COMPLETE") Thread.sleep(200)
+      }
+      assert(state == "COMPLETE")
+
+      // view streams the spooled vertices
+      val view = c.call("/gripql.Query/ViewJob", Seq(enc("QueryJob",
+        s"""{"graph":"j","id":"$jobId"}""")))
+      assert(view.grpcStatus == 0)
+      assert(view.payloads.map(p =>
+        dec("QueryResult", p).get("vertex").get("gid").asText()).toSet == Set("a", "b", "c"))
+
+      // resume extends the spooled stream with more statements
+      val res = c.call("/gripql.Query/ResumeJob", Seq(enc("ExtendQuery",
+        s"""{"graph":"j","src_id":"$jobId","query":[{"out":["t"]},{"count":""}]}""")))
+      assert(res.grpcStatus == 0)
+      assert(dec("QueryResult", res.payloads.head).get("count").asLong() == 1L)
+
+      val ls = c.call("/gripql.Query/ListJobs", Seq(enc("GraphID", """{"graph":"j"}""")))
+      assert(ls.payloads.map(p => dec("QueryJob", p).get("id").asText()).contains(jobId))
+
+      val del = c.call("/gripql.Query/DeleteJob", Seq(enc("QueryJob",
+        s"""{"graph":"j","id":"$jobId"}""")))
+      assert(del.grpcStatus == 0)
+      assert(dec("JobStatus", del.payloads.head).get("state").asText() == "DELETED")
+      assert(c.call("/gripql.Query/GetJob", Seq(enc("QueryJob",
+        s"""{"graph":"j","id":"$jobId"}"""))).grpcStatus == 5)
+    }
+  }
+
+  test("indices and timestamps") {
+    withServer { c =>
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"i"}"""))).grpcStatus == 0)
+      // fresh graph: a timestamp exists (AddGraph touches it)
+      val t0 = c.call("/gripql.Query/GetTimestamp", Seq(enc("GraphID", """{"graph":"i"}""")))
+      val ts0 = dec("Timestamp", t0.payloads.head).get("timestamp").asText()
+      assert(ts0 != "0")
+
+      assert(c.call("/gripql.Edit/AddIndex", Seq(enc("IndexID",
+        """{"graph":"i","label":"Person","field":"name"}"""))).grpcStatus == 0)
+      val li = c.call("/gripql.Query/ListIndices", Seq(enc("GraphID", """{"graph":"i"}""")))
+      val idx = dec("IndexID", li.payloads.head)
+      assert(idx.get("label").asText() == "Person" && idx.get("field").asText() == "name")
+      assert(c.call("/gripql.Edit/DeleteIndex", Seq(enc("IndexID",
+        """{"graph":"i","label":"Person","field":"name"}"""))).grpcStatus == 0)
+      assert(c.call("/gripql.Query/ListIndices",
+        Seq(enc("GraphID", """{"graph":"i"}"""))).payloads.isEmpty)
+      assert(c.call("/gripql.Edit/DeleteIndex", Seq(enc("IndexID",
+        """{"graph":"i","label":"Person","field":"name"}"""))).grpcStatus == 5)
     }
   }
 

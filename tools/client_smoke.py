@@ -100,6 +100,12 @@ def main(port, fixture_dir):
     check("vertexLabels", sorted(labels["vertexLabels"]),
           ["Character", "Film", "Planet", "Species", "Starship", "Vehicle"])
 
+    # ot_index pattern: advisory index add + listing through the client
+    G.addIndex("Character", "eye_color")
+    idx = G.listIndices()
+    check("listIndices", [(i["label"], i["field"]) for i in idx],
+          [("Character", "eye_color")])
+
     if failures:
         print("\n".join(failures))
         sys.exit(1)
