@@ -333,6 +333,24 @@ class GraftServer(spark: SparkSession, port: Int,
       // server/job_manager.go): submit runs async, spooling the traveler
       // stream to parquet; view replays it; resume extends it with more
       // statements through the compiler's extension mode.
+      // spooled-result reuse probe (reference: gripql.proto:390-395
+      // SearchJobs → POST /v1/graph/{g}/job-search; job_manager.go finds a
+      // finished spool whose query checksum matches the posted traversal)
+      case ("POST", g :: "job-search" :: Nil) => withGraph(ex, g) { _ =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val qNode = Option(body.get("query"))
+          .getOrElse(throw new IllegalArgumentException("missing 'query'"))
+        val query = if (qNode.isTextual) Parser.parse(qNode.asText())
+                    else Json.parseQuery(qNode.toString)
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("jobs")
+        Jobs.searchJobs(jobsDir(g), query).foreach { id =>
+          val st = jobState(g, id).map(_._1).getOrElse("COMPLETE")
+          arr.addObject().put("id", id).put("graph", g).put("state", st)
+        }
+        send(ex, 200, node.toString)
+      }
+
       case ("POST", g :: "job" :: Nil) => withGraph(ex, g) { mg =>
         val body = mapper.readTree(ex.getRequestBody)
         val qNode = Option(body.get("query"))

@@ -40,7 +40,18 @@ import scala.jdk.CollectionConverters._
   *    never materializes server-side. Outbound DATA respects HTTP/2 flow
   *    control via netty's remote flow controller queue.
   *  - Statuses: 0 OK, 3 INVALID_ARGUMENT (bad query/message), 5 NOT_FOUND,
-  *    12 UNIMPLEMENTED (unknown method), 2 UNKNOWN.
+  *    9 FAILED_PRECONDITION (job not settled), 12 UNIMPLEMENTED (unknown
+  *    method), 2 UNKNOWN.
+  *
+  * Served methods (gripql.proto Query + Edit services): Traversal,
+  * GetVertex, GetEdge, GetTimestamp, GetSchema, SampleSchema, ListGraphs,
+  * ListLabels, ListIndices, Submit, ListJobs, SearchJobs, GetJob,
+  * DeleteJob, ViewJob, ResumeJob; AddVertex, AddEdge, BulkAdd, AddGraph,
+  * DeleteGraph, DeleteVertex, DeleteEdge, AddIndex, DeleteIndex,
+  * AddSchema. GRIPPER mappings (AddMapping/GetMapping) stay REST-only:
+  * our mapping body must also carry the parquet source bindings the
+  * reference gets from server startup config, which the proto's Graph
+  * message cannot express.
   */
 class GrpcServer(spark: SparkSession, port: Int,
                  graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph]) {
@@ -60,6 +71,10 @@ class GrpcServer(spark: SparkSession, port: Int,
   private val indices =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[(String, String)]]()
   private val timestamps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // posted schemas (AddSchema) win over sampling, like the reference's
+  // stored schema (schema/schema.go) and the REST facade
+  private val postedSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, ObjectNode]()
   private def touch(g: String): Unit =
     timestamps.put(g, System.currentTimeMillis().toString)
   private val boss = new NioEventLoopGroup(1)
@@ -209,6 +224,19 @@ class GrpcServer(spark: SparkSession, port: Int,
       s"job '$id' is $st${if (e != null) s": $e" else ""}")
   }
 
+  /** One Graph-message node for the (small) sampled schema graph. */
+  private def sampledSchemaNode(name: String): ObjectNode = {
+    val sg = graft.model.SchemaSampler.sampleSchema(spark, mg(name).graph)
+    val o = mapper.createObjectNode().put("graph", name)
+    val vArr = o.putArray("vertices")
+    sg.vertices.collect().foreach(r =>
+      vArr.add(vertexNode(r.getString(0), r.getString(1), r.getString(2))))
+    val eArr = o.putArray("edges")
+    sg.edges.collect().foreach(r =>
+      eArr.add(edgeNode(r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+    o
+  }
+
   /** JobStatus message body (gripql.proto:239-246 — no error-text field;
     * an ERROR state's message travels in grpc-status instead). */
   private def jobStatusNode(g: String, id: String): ObjectNode = jobState(g, id) match {
@@ -300,15 +328,22 @@ class GrpcServer(spark: SparkSession, port: Int,
       case "/gripql.Query/GetSchema" =>
         val m = one(msgs, "GraphID")
         val name = text(m, "graph")
-        val sg = graft.model.SchemaSampler.sampleSchema(spark, mg(name).graph)
-        val o = mapper.createObjectNode().put("graph", name)
-        val vArr = o.putArray("vertices")
-        sg.vertices.collect().foreach(r =>
-          vArr.add(vertexNode(r.getString(0), r.getString(1), r.getString(2))))
-        val eArr = o.putArray("edges")
-        sg.edges.collect().foreach(r =>
-          eArr.add(edgeNode(r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))))
+        mg(name)
+        val o = postedSchemas.getOrDefault(name, sampledSchemaNode(name))
         Iterator.single(Pbuf.encode(reg, "Graph", o))
+
+      case "/gripql.Query/SampleSchema" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        mg(name)
+        Iterator.single(Pbuf.encode(reg, "Graph", sampledSchemaNode(name)))
+
+      case "/gripql.Edit/AddSchema" =>
+        val m = one(msgs, "Graph")
+        val name = Option(text(m, "graph")).getOrElse(throw GrpcError(3, "missing graph"))
+        mg(name)
+        postedSchemas.put(name, m)
+        Iterator.single(editResult(name))
 
       case "/gripql.Query/GetTimestamp" =>
         val m = one(msgs, "GraphID")
@@ -381,6 +416,18 @@ class GrpcServer(spark: SparkSession, port: Int,
         all.toSeq.sorted.iterator.map(id => Pbuf.encode(reg, "QueryJob",
           mapper.createObjectNode().put("id", id).put("graph", name)))
 
+      // spooled-result reuse probe (reference: job_manager.go — find a
+      // finished job whose query checksum matches the posted traversal)
+      case "/gripql.Query/SearchJobs" =>
+        val q = one(msgs, "GraphQuery")
+        val name = Option(text(q, "graph")).getOrElse(throw GrpcError(3, "missing graph"))
+        mg(name)
+        val qArr = Option(q.get("query")).filter(_.isArray)
+          .getOrElse(throw GrpcError(3, "missing query statements"))
+        val query = Json.parseQuery(qArr.toString)
+        graft.model.Jobs.searchJobs(jobsDir(name), query).iterator
+          .map(id => Pbuf.encode(reg, "JobStatus", jobStatusNode(name, id)))
+
       case "/gripql.Query/GetJob" =>
         val m = one(msgs, "QueryJob")
         val (name, id) = (text(m, "graph"), text(m, "id"))
@@ -434,7 +481,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         val m = one(msgs, "GraphID")
         val name = text(m, "graph")
         if (graphs.remove(name) == null) throw GrpcError(5, s"no graph '$name'")
-        indices.remove(name); timestamps.remove(name)
+        indices.remove(name); timestamps.remove(name); postedSchemas.remove(name)
         Iterator.single(editResult(name))
 
       case "/gripql.Edit/AddVertex" =>

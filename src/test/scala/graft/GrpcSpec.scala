@@ -268,12 +268,44 @@ class GrpcSpec extends AnyFunSuite {
       val ls = c.call("/gripql.Query/ListJobs", Seq(enc("GraphID", """{"graph":"j"}""")))
       assert(ls.payloads.map(p => dec("QueryJob", p).get("id").asText()).contains(jobId))
 
+      // SearchJobs finds the spool by query checksum; a different query
+      // finds nothing
+      val found = c.call("/gripql.Query/SearchJobs", Seq(enc("GraphQuery",
+        """{"graph":"j","query":[{"v":[]}]}""")))
+      assert(found.grpcStatus == 0)
+      assert(found.payloads.map(p => dec("JobStatus", p).get("id").asText()).contains(jobId))
+      assert(c.call("/gripql.Query/SearchJobs", Seq(enc("GraphQuery",
+        """{"graph":"j","query":[{"e":[]}]}"""))).payloads.isEmpty)
+
       val del = c.call("/gripql.Query/DeleteJob", Seq(enc("QueryJob",
         s"""{"graph":"j","id":"$jobId"}""")))
       assert(del.grpcStatus == 0)
       assert(dec("JobStatus", del.payloads.head).get("state").asText() == "DELETED")
       assert(c.call("/gripql.Query/GetJob", Seq(enc("QueryJob",
         s"""{"graph":"j","id":"$jobId"}"""))).grpcStatus == 5)
+    }
+  }
+
+  test("schema: posted wins over sampled; SampleSchema always samples") {
+    withServer { c =>
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"s"}"""))).grpcStatus == 0)
+      assert(c.call("/gripql.Edit/AddVertex", Seq(enc("GraphElement",
+        """{"graph":"s","vertex":{"gid":"v1","label":"Person","data":{"age":1}}}"""))).grpcStatus == 0)
+      // sampled schema first
+      val sampled = dec("Graph",
+        c.call("/gripql.Query/GetSchema", Seq(enc("GraphID", """{"graph":"s"}"""))).payloads.head)
+      assert(sampled.get("vertices").get(0).get("label").asText() == "Person")
+      // posted schema wins afterwards
+      assert(c.call("/gripql.Edit/AddSchema", Seq(enc("Graph",
+        """{"graph":"s","vertices":[{"gid":"Posted","label":"Posted","data":{"age":"NUMERIC"}}],"edges":[]}"""))).grpcStatus == 0)
+      val posted = dec("Graph",
+        c.call("/gripql.Query/GetSchema", Seq(enc("GraphID", """{"graph":"s"}"""))).payloads.head)
+      assert(posted.get("vertices").get(0).get("label").asText() == "Posted")
+      // SampleSchema bypasses the posted copy
+      val resampled = dec("Graph",
+        c.call("/gripql.Query/SampleSchema", Seq(enc("GraphID", """{"graph":"s"}"""))).payloads.head)
+      assert(resampled.get("vertices").get(0).get("label").asText() == "Person")
     }
   }
 

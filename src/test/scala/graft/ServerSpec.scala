@@ -207,6 +207,14 @@ class ServerSpec extends AnyFunSuite {
       val res = req(c, p, "POST", s"/v1/graph/jg/job/$id/resume",
         """{"query":".out('knows').count()"}""")
       assert(res.statusCode() == 200 && res.body().trim == """{"count":2}""")
+      // job-search finds the spool by query checksum; a different query
+      // finds nothing (reference SearchJobs, gripql.proto:390-395)
+      val hit = req(c, p, "POST", "/v1/graph/jg/job-search",
+        """{"query":"V().hasLabel('Person')"}""")
+      assert(hit.statusCode() == 200 && hit.body().contains(id), hit.body())
+      val miss = req(c, p, "POST", "/v1/graph/jg/job-search",
+        """{"query":"E()"}""")
+      assert(miss.statusCode() == 200 && !miss.body().contains("job-"), miss.body())
       // resuming an unknown job is a 400, delete works once
       assert(req(c, p, "POST", "/v1/graph/jg/job/job-nope/resume",
         """{"query":".count()"}""").statusCode() == 400)
