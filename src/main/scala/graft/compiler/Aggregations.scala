@@ -12,13 +12,21 @@ import graft.functions.GJson
   *
   * Fan-out shape: each aggregation's INPUT columns (the resolved field
   * value, its container-type test, ...) are row-local derivations, so they
-  * are computed first and only that narrow projection is cached for the
-  * fan-out — never the full traveler rows. At 100 TB the difference is
-  * caching a few doubles per row vs re-serializing every property bag into
-  * storage memory. Each aggregation is then a groupBy whose partial
-  * (map-side) aggregation Spark handles natively; the reference's
-  * disk-spilling KV variant (processors_extra.go) collapses into Spark's
-  * spillable hash aggregate.
+  * are computed first and only that narrow projection feeds the fan-out —
+  * never the full traveler rows. At 100 TB the difference is a few strings
+  * per row vs re-serializing every property bag into storage memory.
+  *
+  * Every key→count-shaped aggregation (term / type / field / count) merges
+  * into ONE explode + groupBy(name, key) pass: a single scan and a single
+  * shuffle no matter how many such aggregations the statement fans out to,
+  * with Spark's native map-side partial aggregation (the reference's
+  * disk-spilling KV variant, processors_extra.go, collapses into Spark's
+  * spillable hash aggregate). Term sizing (top-k per name) rides a window
+  * over the already-aggregated tiny frame. Only histogram / percentile —
+  * whose shapes need bounds passes or t-digests — run as separate
+  * aggregations, and only then is the narrow projection persisted and the
+  * fan-out materialized eagerly (so the shared cache can be released).
+  * A pure key-count statement returns a LAZY single-shuffle plan.
   */
 object Aggregations {
   /** "25" for 25.0, "99.9" for 99.9 — percent keys render like the JSON numbers. */
@@ -31,8 +39,16 @@ object Aggregations {
     * `isContainer` the array/object skip test. */
   case class Pre(scalar: Column, isContainer: Column)
 
+  private def isKeyCount(a: Agg): Boolean = a match {
+    case _: Agg.Term | _: Agg.TypeAgg | _: Agg.FieldAgg | _: Agg.CountAgg => true
+    case _ => false
+  }
+
   def run(df0: DataFrame, aggs: Seq[Agg], pre: Option[Pre] = None): DataFrame = {
-    val multi = aggs.size > 1
+    // histogram/percentile evaluate the narrow frame more than once — only
+    // they force a persist + eager materialization of the fan-out
+    val heavy = aggs.filterNot(isKeyCount)
+    val multi = heavy.nonEmpty && aggs.size > 1
 
     // ---- per-agg input derivations (row-local, pre-cache) ----
     def p(i: Int, n: String) = s"__a${i}_$n"
@@ -71,16 +87,50 @@ object Aggregations {
     val df = if (multi) narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
              else narrow
 
-    // ---- per-agg groupBys over the narrow inputs ----
-    val parts = aggs.zipWithIndex.map {
-      case (Agg.Term(name, _, size), i) =>
-        val keyed = df
-          .filter(col(p(i, "key")).isNotNull && !col(p(i, "skip")))
-          .groupBy(col(p(i, "key")).as("key"))
+    // ---- ONE explode + groupBy(name, key) for every key→count agg ----
+    // (0..n (name, key) pairs per row per agg; a term whose value is
+    // container-typed or null contributes nothing, a field agg fans out
+    // its map keys, count contributes a constant key)
+    def emptyLike(arr: Column): Column = filter(arr, _ => lit(false))
+    val keyCountCols: Seq[Column] = aggs.zipWithIndex.collect {
+      case (Agg.Term(name, _, _), i) =>
+        val one = array(struct(lit(name).as("name"), col(p(i, "key")).as("key")))
+        when(col(p(i, "key")).isNotNull && !col(p(i, "skip")), one)
+          .otherwise(emptyLike(one))
+      case (Agg.TypeAgg(name, _), i) =>
+        array(struct(lit(name).as("name"), col(p(i, "t")).as("key")))
+      case (Agg.FieldAgg(name, _), i) =>
+        coalesce(
+          transform(col(p(i, "keys")), k => struct(lit(name).as("name"), k.as("key"))),
+          emptyLike(array(struct(lit(name).as("name"), lit("").as("key")))))
+      case (Agg.CountAgg(name), _) =>
+        array(struct(lit(name).as("name"), lit("count").as("key")))
+    }
+    val keyCountPart: Option[DataFrame] =
+      if (keyCountCols.isEmpty) None
+      else {
+        val merged = df.select(explode(concat(keyCountCols: _*)).as("kv"))
+          .groupBy(col("kv.name").as("name"), col("kv.key").as("key"))
           .agg(count(lit(1)).cast("double").as("value"))
-        val sized = if (size > 0) keyed.orderBy(col("value").desc, col("key")).limit(size) else keyed
-        sized.select(lit(name).as("name"), col("key"), col("value"))
+        // top-k per sized term, over the already-aggregated (tiny) frame —
+        // same (value desc, key) order as the reference's sort+truncate
+        val sizes = aggs.collect { case Agg.Term(n, _, s) if s > 0 => (n, s) }
+        val sized =
+          if (sizes.isEmpty) merged
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("name").orderBy(col("value").desc, col("key"))
+            val cap = sizes.foldLeft(lit(Int.MaxValue)) { case (acc, (n, s)) =>
+              when(col("name") === n, lit(s)).otherwise(acc)
+            }
+            merged.withColumn("__r", row_number().over(w))
+              .filter(col("__r") <= cap).drop("__r")
+          }
+        Some(sized.select(col("name"), col("key"), col("value")))
+      }
 
+    // ---- the bounds/digest-shaped aggs keep their own passes ----
+    val parts = keyCountPart.toSeq ++ aggs.zipWithIndex.collect[DataFrame] {
       case (Agg.Histogram(name, _, interval), i) =>
         // dense buckets min→max including zeros (reference: processors.go:1021-1065)
         val bucketed = df.select((floor(col(p(i, "x")) / interval) * interval).as("bucket"))
@@ -109,29 +159,15 @@ object Aggregations {
           one.select(lit(name).as("name"),
             lit(fmtNum(pc)).as("key"), col(s"q$j").as("value"))
         }.reduce(_ unionByName _)
-
-      case (Agg.FieldAgg(name, _), i) =>
-        // map-valued field: key → #docs containing key (processors.go:1093-1109)
-        df.select(explode(col(p(i, "keys"))).as("key"))
-          .groupBy("key").agg(count(lit(1)).cast("double").as("value"))
-          .select(lit(name).as("name"), col("key"), col("value"))
-
-      case (Agg.TypeAgg(name, _), i) =>
-        // runtime type name → count (processors.go:1111-1124)
-        df.select(col(p(i, "t")).as("key")).groupBy("key")
-          .agg(count(lit(1)).cast("double").as("value"))
-          .select(lit(name).as("name"), col("key"), col("value"))
-
-      case (Agg.CountAgg(name), _) =>
-        df.agg(count(lit(1)).cast("double").as("value"))
-          .select(lit(name).as("name"), lit("count").as("key"), col("value"))
     }
     val out = parts.reduce(_ unionByName _)
     if (multi) {
-      // aggregate() is terminal and its output is small: materialize the
-      // fan-out eagerly, then release the shared upstream cache so long-lived
-      // sessions don't leak blocks (the reference's per-query temp KV store
-      // is likewise dropped at query end).
+      // a mixed fan-out re-evaluates the persisted narrow frame: its
+      // output is small, so materialize eagerly and release the shared
+      // cache so long-lived sessions don't leak blocks (the reference's
+      // per-query temp KV store is likewise dropped at query end). The
+      // pure key-count case above never takes this path — it is one lazy
+      // single-shuffle plan with nothing to release.
       val res = out.localCheckpoint(true)
       df.unpersist(false)
       res
