@@ -32,9 +32,10 @@ import scala.jdk.CollectionConverters._
   *  - h2c prior-knowledge only (cleartext; clients send the HTTP/2 preface
   *    directly — what `grpc.insecure_channel` does).
   *  - Unary, server-streaming (Traversal/ViewJob: one DATA frame per
-  *    QueryResult) and client-streaming (BulkAdd: frames buffered until
-  *    END_STREAM) shapes are all supported by the buffer-then-dispatch
-  *    stream handler.
+  *    QueryResult, with writability backpressure against slow clients)
+  *    and client-streaming (BulkAdd: each element applies on arrival
+  *    through MutableGraph's bounded chunking — an arbitrarily large
+  *    ingest never buffers server-side) are all supported.
   *  - Spark work runs on a dispatch pool, never on the event loop; results
   *    stream through `toLocalIterator` (via [[Wire]]) so a large traversal
   *    never materializes server-side. Outbound DATA respects HTTP/2 flow
@@ -113,56 +114,127 @@ class GrpcServer(spark: SparkSession, port: Int,
     pool.shutdown()
   }
 
-  /** One gRPC call = one HTTP/2 stream: buffer DATA until END_STREAM,
-    * then dispatch off-loop and write headers / DATA frames / trailers. */
+  /** One gRPC call = one HTTP/2 stream. Complete gRPC frames are drained
+    * INCREMENTALLY as DATA arrives — BulkAdd's client stream applies each
+    * element on arrival (staged through MutableGraph.bulkAdd's bounded
+    * chunking), so an arbitrarily large ingest never buffers server-side;
+    * unary/server-streaming methods see at most their one small request
+    * message. Dispatch runs off-loop once END_STREAM lands. */
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private var path: String = ""
-    private val body = io.netty.buffer.Unpooled.compositeBuffer()
+    private val pending = io.netty.buffer.Unpooled.compositeBuffer()
+    private val frames = Vector.newBuilder[Array[Byte]]
+    private var bulk: BulkState = null
+    private var failure: Throwable = null
+    // outbound backpressure: the dispatch thread parks between DATA writes
+    // whenever the channel's write buffer is over its high-water mark
+    private val writability = new Object
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
         path = String.valueOf(h.headers().path())
+        if (path == "/gripql.Edit/BulkAdd") bulk = new BulkState
         if (h.isEndStream) finish(ctx)
       case d: Http2DataFrame =>
-        body.addComponent(true, d.content())
+        // HTTP/2 flow control is manual in netty's frame API: return the
+        // consumed bytes to the peer or a >64 KB client stream stalls at
+        // the initial window
+        val consumed = d.initialFlowControlledBytes()
+        pending.addComponent(true, d.content())
+        try drain()
+        catch { case e: Throwable if failure == null => failure = e }
+        if (consumed > 0 && !d.isEndStream)
+          ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
         if (d.isEndStream) finish(ctx)
       case other => ReferenceCountUtil.release(other)
     }
 
+    /** Extract every COMPLETE gRPC frame ([flag][4-byte BE len][payload])
+      * from the pending buffer; a partial frame tail stays pending. */
+    private def drain(): Unit = {
+      var more = true
+      while (more && failure == null) {
+        if (pending.readableBytes() < 5) more = false
+        else {
+          pending.markReaderIndex()
+          val flag = pending.readByte()
+          require(flag == 0, "compressed gRPC frames unsupported")
+          val len = pending.readInt()
+          require(len >= 0, "negative gRPC frame length")
+          if (pending.readableBytes() < len) { pending.resetReaderIndex(); more = false }
+          else {
+            val arr = new Array[Byte](len)
+            pending.readBytes(arr)
+            if (bulk != null) bulk.add(arr) else frames += arr
+          }
+        }
+      }
+      pending.discardReadComponents()
+    }
+
+    override def channelWritabilityChanged(ctx: ChannelHandlerContext): Unit = {
+      writability.synchronized(writability.notifyAll())
+      ctx.fireChannelWritabilityChanged()
+    }
+
+    private[GrpcServer] def awaitWritable(ch: Channel): Unit =
+      while (!ch.isWritable && ch.isActive)
+        writability.synchronized(writability.wait(100))
+
     override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit = {
-      ReferenceCountUtil.release(body)
+      ReferenceCountUtil.release(pending)
       ctx.close()
     }
 
     private def finish(ctx: ChannelHandlerContext): Unit = {
-      val messages =
-        try parseFrames(body)
-        finally ReferenceCountUtil.release(body)
-      pool.execute(() => respond(ctx, path, messages))
+      require(pending.readableBytes() == 0 || failure != null, "truncated gRPC frame header")
+      ReferenceCountUtil.release(pending)
+      val messages = frames.result()
+      val (b, err) = (bulk, failure)
+      pool.execute(() => respond(ctx, this, path, messages, Option(b), Option(err)))
     }
   }
 
-  /** gRPC message framing: [compressed flag][4-byte BE length][payload]. */
-  private def parseFrames(buf: ByteBuf): Vector[Array[Byte]] = {
-    val out = Vector.newBuilder[Array[Byte]]
-    while (buf.readableBytes() > 0) {
-      require(buf.readableBytes() >= 5, "truncated gRPC frame header")
-      val flag = buf.readByte()
-      require(flag == 0, "compressed gRPC frames unsupported")
-      val len = buf.readInt()
-      require(len >= 0 && buf.readableBytes() >= len, "gRPC frame overruns body")
-      val arr = new Array[Byte](len)
-      buf.readBytes(arr)
-      out += arr
+  /** Incremental BulkAdd state: decoded elements stage straight into the
+    * target graph through bulkAdd's chunked seal (one open chunk of driver
+    * memory), counters mirror the REST route's per-line error semantics. */
+  private final class BulkState {
+    var inserted = 0L
+    var errors = 0L
+    def add(bytes: Array[Byte]): Unit =
+      try {
+        val m = Pbuf.decode(reg, "GraphElement", bytes)
+        val g = Option(text(m, "graph")).flatMap(n => Option(graphs.get(n)))
+          .getOrElse(throw new IllegalArgumentException("unknown graph"))
+        (Option(m.get("vertex")), Option(m.get("edge"))) match {
+          case (Some(v), _) if !v.isNull =>
+            val (gid, label) = (text(v, "gid"), text(v, "label"))
+            if (gid == null || label == null)
+              throw new IllegalArgumentException("vertex needs gid and label")
+            g.addVertex(gid, label, dataText(v)); inserted += 1
+          case (_, Some(e)) if !e.isNull =>
+            val (from, to, label) = (text(e, "from"), text(e, "to"), text(e, "label"))
+            if (from == null || to == null || label == null)
+              throw new IllegalArgumentException("edge needs from, to, label")
+            g.addEdge(from, to, label, dataText(e), text(e, "gid")); inserted += 1
+          case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
+        }
+      } catch { case scala.util.control.NonFatal(_) => errors += 1 }
+    def result(): Array[Byte] = {
+      if (inserted > 0) graphs.keySet().forEach(touch(_))
+      val o = mapper.createObjectNode()
+      o.put("insert_count", inserted)
+      o.put("error_count", errors)
+      Pbuf.encode(reg, "BulkEditResult", o)
     }
-    out.result()
   }
 
   private final case class GrpcError(code: Int, msg: String)
     extends RuntimeException(msg)
 
-  private def respond(ctx: ChannelHandlerContext, path: String,
-                      messages: Vector[Array[Byte]]): Unit = {
+  private def respond(ctx: ChannelHandlerContext, handler: StreamHandler, path: String,
+                      messages: Vector[Array[Byte]], bulk: Option[BulkState],
+                      readFailure: Option[Throwable]): Unit = {
     var headersSent = false
     def sendHeaders(): Unit = {
       val h = new DefaultHttp2Headers().status("200")
@@ -178,9 +250,17 @@ class GrpcServer(spark: SparkSession, port: Int,
       ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
     }
     try {
-      val out = dispatch(path, messages)
+      readFailure.foreach(e => throw e)
+      val out = bulk match {
+        case Some(b) => Iterator.single(b.result())
+        case None => dispatch(path, messages)
+      }
       sendHeaders()
       out.foreach { m =>
+        // HTTP/2 flow control feedback: a slow client drains the write
+        // buffer below the high-water mark before the next frame is queued,
+        // so a huge Traversal stream can't grow server memory unboundedly
+        handler.awaitWritable(ctx.channel())
         val b = ctx.alloc().buffer(5 + m.length)
         b.writeByte(0); b.writeInt(m.length); b.writeBytes(m)
         ctx.writeAndFlush(new DefaultHttp2DataFrame(b))
@@ -523,36 +603,8 @@ class GrpcServer(spark: SparkSession, port: Int,
         touch(text(m, "graph"))
         Iterator.single(editResult(id))
 
-      // client-streaming: every request frame is one GraphElement
-      // (reference: gripql.proto:440 BulkAdd(stream GraphElement))
-      case "/gripql.Edit/BulkAdd" =>
-        var inserted = 0L
-        var errors = 0L
-        msgs.foreach { bytes =>
-          try {
-            val m = Pbuf.decode(reg, "GraphElement", bytes)
-            val g = mg(Option(text(m, "graph"))
-              .getOrElse(throw new IllegalArgumentException("missing graph")))
-            (Option(m.get("vertex")), Option(m.get("edge"))) match {
-              case (Some(v), _) if !v.isNull =>
-                val (gid, label) = (text(v, "gid"), text(v, "label"))
-                if (gid == null || label == null)
-                  throw new IllegalArgumentException("vertex needs gid and label")
-                g.addVertex(gid, label, dataText(v)); inserted += 1
-              case (_, Some(e)) if !e.isNull =>
-                val (from, to, label) = (text(e, "from"), text(e, "to"), text(e, "label"))
-                if (from == null || to == null || label == null)
-                  throw new IllegalArgumentException("edge needs from, to, label")
-                g.addEdge(from, to, label, dataText(e), text(e, "gid")); inserted += 1
-              case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
-            }
-          } catch { case scala.util.control.NonFatal(_) => errors += 1 }
-        }
-        val o = mapper.createObjectNode()
-        o.put("insert_count", inserted)
-        o.put("error_count", errors)
-        if (inserted > 0) graphs.keySet().forEach(touch(_))
-        Iterator.single(Pbuf.encode(reg, "BulkEditResult", o))
+      // (client-streaming /gripql.Edit/BulkAdd never reaches dispatch —
+      // its frames apply incrementally in BulkState as they arrive)
 
       case other => throw GrpcError(12, s"unimplemented method $other")
     }

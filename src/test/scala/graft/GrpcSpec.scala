@@ -64,7 +64,12 @@ class GrpcSpec extends AnyFunSuite {
                 }
                 if (h.isEndStream) complete()
               case d: Http2DataFrame =>
+                // manual flow control in netty's frame API: hand the
+                // consumed bytes back or big server streams stall at 64 KB
+                val consumed = d.initialFlowControlledBytes()
                 buf.addComponent(true, d.content())
+                if (consumed > 0 && !d.isEndStream)
+                  ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
                 if (d.isEndStream) complete()
               case other => ReferenceCountUtil.release(other)
             }
@@ -329,6 +334,30 @@ class GrpcSpec extends AnyFunSuite {
         Seq(enc("GraphID", """{"graph":"i"}"""))).payloads.isEmpty)
       assert(c.call("/gripql.Edit/DeleteIndex", Seq(enc("IndexID",
         """{"graph":"i","label":"Person","field":"name"}"""))).grpcStatus == 5)
+    }
+  }
+
+  test("large streams both ways: fragmented BulkAdd in, >64KB Traversal out") {
+    withServer { c =>
+      assert(c.call("/gripql.Edit/AddGraph",
+        Seq(enc("GraphID", """{"graph":"big"}"""))).grpcStatus == 0)
+      // 5000 elements ≈ 350 KB: far past the 64 KB initial flow-control
+      // window and netty's 16 KB max frame size, so the request arrives as
+      // many DATA frames with gRPC frames split across them — exercising
+      // the incremental drain and the server's window updates
+      val frames = (1 to 5000).map(i => enc("GraphElement",
+        s"""{"graph":"big","vertex":{"gid":"v$i","label":"L","data":{"pad":"x$i-abcdefghijklmnop"}}}"""))
+      val r = c.call("/gripql.Edit/BulkAdd", frames)
+      assert(r.grpcStatus == 0)
+      assert(dec("BulkEditResult", r.payloads.head).get("insert_count").asLong() == 5000L)
+
+      // and stream them all back: the response is also >64 KB, exercising
+      // the client's window updates and the server's writability parking
+      val all = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"big","query":[{"v":[]}]}""")))
+      assert(all.grpcStatus == 0)
+      assert(all.payloads.size == 5000)
+      assert(dec("QueryResult", all.payloads.head).get("vertex").get("data").has("pad"))
     }
   }
 
