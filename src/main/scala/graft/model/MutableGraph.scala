@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * partition-overwrite of label-partitioned parquet ([[GraphFrame.save]]);
   * on a lakehouse table format this whole class collapses into MERGE INTO.
   */
+/** Thread-safety: every public method synchronizes on the instance —
+  * the REST facade serializes requests but the gRPC dispatch pool (and a
+  * shared REST+gRPC registry) calls in concurrently, and the pending
+  * ArrayBuffer/frame state must see one writer at a time. Mutations are
+  * driver-side buffer work, so the critical sections are short. */
 class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
                    wrapped: Option[GraphFrame] = None) {
   import MutableGraph._
@@ -46,12 +51,12 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
   }
 
   def addVertex(gid: String, label: String, dataJson: String = "{}"): Unit =
-    vBuf += ((gid, label, dataJson))
+    synchronized { vBuf += ((gid, label, dataJson)) }
 
   /** gid defaults to a generated unique id (reference generates a UUID,
     * kvgraph/graph.go AddEdge). */
   def addEdge(from: String, to: String, label: String, dataJson: String = "{}",
-              gid: String = null): Unit = {
+              gid: String = null): Unit = synchronized {
     val g = if (gid == null) java.util.UUID.randomUUID().toString else gid
     eBuf += ((g, label, from, to, dataJson))
   }
@@ -65,7 +70,7 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     * not driver memory. Returns the error count. */
   def bulkAdd(vertices: Iterator[(String, String, String)],
               edges: Iterator[(String, String, String, String, String)],
-              batchSize: Int): Long = {
+              batchSize: Int): Long = synchronized {
     var errors = 0L
     vertices.grouped(batchSize).foreach { chunk =>
       chunk.foreach { case t @ (gid, label, _) =>
@@ -98,7 +103,7 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     * edge gids are filled with uuid() and pinned by an eager checkpoint
     * (uuid() is nondeterministic per execution — without the pin a retry
     * could mint different ids). Either side may be null. */
-  def bulkAddFrames(vertices: DataFrame = null, edges: DataFrame = null): Long = {
+  def bulkAddFrames(vertices: DataFrame = null, edges: DataFrame = null): Long = synchronized {
     var errors = 0L
     if (vertices != null) {
       val vv = vertices.select(col("gid").cast("string").as("gid"),
@@ -136,14 +141,14 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     errors
   }
 
-  def deleteVertex(gid: String): Unit = {
+  def deleteVertex(gid: String): Unit = synchronized {
     flush()
     v = v.filter(col("gid") =!= gid)
     // incident edges go with the vertex (reference: ot_update.py test_delete_edge)
     e = e.filter(col("from") =!= gid && col("to") =!= gid)
   }
 
-  def deleteEdge(gid: String): Unit = {
+  def deleteEdge(gid: String): Unit = synchronized {
     flush()
     e = e.filter(col("gid") =!= gid)
   }
@@ -153,7 +158,7 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     * gids INSIDE one distributed bulk frame resolve by partition order,
     * which is the only order such a frame has), then ONE MERGE over the
     * stored rows (anti-join + union) however many batches are pending. */
-  def flush(): Unit = {
+  def flush(): Unit = synchronized {
     sealBuffers()
     if (vFrames.nonEmpty) {
       val newV = lastWins(vFrames.reduce(_ unionByName _)).drop("__seq")
@@ -176,7 +181,7 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     * bit as [[derivedTopology]]), after which the extras are dropped:
     * edits may have invalidated the declared topology, and a merged edge
     * frame no longer matches the bucketed to-copy. */
-  def graph: GraphFrame = {
+  def graph: GraphFrame = synchronized {
     flush()
     wrapped match {
       case Some(g) if (v eq v0) && (e eq e0) => g
@@ -191,18 +196,18 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     * (flush merges frames, deletes filter in place), so reference
     * identity of the pair is an airtight dirty bit — no invalidation
     * hooks to forget. */
-  def derivedTopology: Seq[EdgeType] = {
+  def derivedTopology: Seq[EdgeType] = synchronized {
     flush()
     if (topoCache == null || !(topoCache._1 eq v) || !(topoCache._2 eq e))
       topoCache = (v, e, GraphFrame.deriveTriples(GraphFrame(v, e)))
     topoCache._3
   }
 
-  def getVertex(gid: String): Option[Row] = {
+  def getVertex(gid: String): Option[Row] = synchronized {
     flush(); v.filter(col("gid") === gid).collect().headOption
   }
 
-  def getEdge(gid: String): Option[Row] = {
+  def getEdge(gid: String): Option[Row] = synchronized {
     flush(); e.filter(col("gid") === gid).collect().headOption
   }
 

@@ -182,6 +182,30 @@ class EditSpec extends AnyFunSuite {
     assert(n(g2, Q.V("b").out("w")) == 1)
   }
 
+  test("concurrent writers interleaved with reads lose no elements") {
+    // the gRPC dispatch pool (and a shared REST+gRPC registry) mutates a
+    // graph from many threads — every add must survive interleaved flushes
+    val mg = MutableGraph.empty(spark)
+    val threads = 8
+    val perThread = 200
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    for (t <- 0 until threads) pool.execute { () =>
+      try {
+        for (i <- 0 until perThread) {
+          mg.addVertex(s"v$t-$i", "N")
+          if (i % 50 == 0) mg.getVertex(s"v$t-0") // interleave buffer seals
+        }
+      } catch { case e: Throwable => failed.compareAndSet(null, e) }
+      finally done.countDown()
+    }
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failed.get() == null, String.valueOf(failed.get()))
+    assert(mg.graph.vertices.count() == threads.toLong * perThread)
+  }
+
   test("derived topology caches across calls and refreshes after mutations") {
     val mg = MutableGraph.empty(spark)
     mg.addVertex("a", "x"); mg.addVertex("b", "y"); mg.addEdge("a", "b", "z")
