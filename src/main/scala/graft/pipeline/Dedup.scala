@@ -841,4 +841,57 @@ object Dedup {
       .join(rebuilt, col(idCol) === col("__id"), "left")
       .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
+
+  /** Exact repeated-SPAN scrub — the ExactSubstr recipe (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better") as a
+    * distributed plan: remove from every document every maximal token
+    * span of length >= `k` whose k-token window also appears in at least
+    * `minDocs` distinct documents. Unlike [[dedupPassages]] (fixed
+    * non-overlapping chunks), windows here start at EVERY token position,
+    * so repeated material is caught at arbitrary alignment — the paper's
+    * semantics, minus its single-node suffix array.
+    *
+    * Scale shape: suffix arrays don't distribute; overlapping k-windows
+    * do. One posexplode builds the windows (×k characters, same class as
+    * the minhash shingle explode), document frequency is one hash
+    * shuffle on the window text, islands-and-gaps span merging is a
+    * per-document window over repeated start positions (shuffles on the
+    * doc id, which the coverage anti-join and reassembly then reuse).
+    * Everything is linear in corpus size; nothing is pairwise. */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 50, minDocs: Long = 2L): DataFrame = {
+    require(k >= 1, s"span window must be >= 1 token, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"), split(normalize(col(textCol)), " ").as("__ws"))
+    // overlapping k-token windows with their start positions (docs shorter
+    // than k contribute no windows and keep all tokens)
+    val starts = toks.filter(size(col("__ws")) >= k)
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, size(__ws) - $k), i -> concat_ws(' ', slice(__ws, i + 1, $k)))")))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__sh"))
+    val repeated = starts.groupBy("__sh")
+      .agg(countDistinct("__id").as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__sh")
+    val repStarts = starts.join(repeated, Seq("__sh")).select("__id", "__p")
+    // islands-and-gaps: starts closer than k merge into one maximal span
+    val w = Window.partitionBy("__id").orderBy("__p")
+    val spans = repStarts
+      .withColumn("__prev", lag(col("__p"), 1).over(w))
+      .withColumn("__ni", when(col("__prev").isNull || col("__p") - col("__prev") > k, 1).otherwise(0))
+      .withColumn("__iid", sum(col("__ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("__id", "__iid")
+      .agg(min("__p").as("__s"), (max(col("__p")) + lit(k - 1)).as("__e"))
+    val covered = spans.select(col("__id"), explode(sequence(col("__s"), col("__e"))).as("__p"))
+    val words = toks.select(col("__id"), posexplode(col("__ws")))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__w"))
+    val rebuilt = words.join(covered, Seq("__id", "__p"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("__p"), col("__w")))),
+        s => s.getField("__w")), " ").as("__text"))
+    df.select(col(idCol))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
 }

@@ -404,6 +404,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(Curation.sampleByGroup(small, "doc_id", "src", 10).count() == 3)
   }
 
+  test("repeated-span scrub removes cross-document spans at any alignment") {
+    // docs 0/1 share an 8-token run at DIFFERENT positions (the case the
+    // fixed-chunk passage dedup cannot catch); docs 3/4 share a 10-token
+    // run whose three overlapping 8-windows must merge into ONE maximal
+    // span; doc 2 is untouched
+    val shared8 = "a b c d e f g h"
+    val shared10 = "q r s t u v w x y z"
+    val rows = Seq(
+      (0L, s"x $shared8 y"),
+      (1L, s"p q $shared8"),
+      (2L, "totally unique words that repeat nowhere else at all"),
+      (3L, s"one $shared10"),
+      (4L, s"$shared10 two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(rows, "doc_id", "text", k = 8)
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "x y")
+    assert(got(1L) == "p q")
+    assert(got(2L) == "totally unique words that repeat nowhere else at all")
+    assert(got(3L) == "one")
+    assert(got(4L) == "two")
+
+    // below-threshold runs survive: 7 shared tokens, k = 8
+    val short = Seq((0L, "a b c d e f g tail1"), (1L, "a b c d e f g tail2"))
+      .toDF("doc_id", "text")
+    val keptAll = Dedup.scrubRepeatedSpans(short, "doc_id", "text", k = 8)
+      .as[(Long, String)].collect().toMap
+    assert(keptAll(0L) == "a b c d e f g tail1")
+    assert(keptAll(1L) == "a b c d e f g tail2")
+  }
+
   test("cross-corpus near-dup pairs only across the two sides") {
     // new = docs {0,1}, ref = docs {2,3,4}; truth at 0.5 on 3-grams:
     // 0-2 and 0-4 identical (j=1), 1-2 and 1-4 differ last word (j=0.75);
