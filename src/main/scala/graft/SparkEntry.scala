@@ -250,6 +250,10 @@ edges:
     // in the oracle; ties break to the string-min community on both sides
     "q66_labelprop" -> ((s, d) =>
       graft.model.GraphAlgos.labelPropagation(gripperGraph(s, d), "region", maxIters = 2)),
+    // triangle enumeration on the near-dup graph (reuses the memoized
+    // pair set the q62/q63/q64 trio shares)
+    "q67_triangles" -> ((s, d) =>
+      graft.model.GraphAlgos.triangleCount(dedupGraph(s, d), "near_dup")),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -678,6 +682,14 @@ edges:
          |SELECT gid, community FROM l2""".stripMargin,
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
+    // closed wedges over the exact-Jaccard pair set (a_id < b_id): the
+    // orientation differs from the Spark side's string-canonical edges,
+    // but a triangle COUNT is orientation-invariant
+    "q67_triangles" -> (s"WITH $shingleCtes,\n" +
+      "pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5) " +
+      "SELECT count(*) AS n_triangles FROM pr e1 " +
+      "JOIN pr e2 ON e2.a_id = e1.b_id " +
+      "JOIN pr e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id"),
     "p02_dedup_minhash" -> shingleCte,
     "p03_dedup_simhash" -> shingleCte,
     "p04_dedup_ngram" -> shingleCte,

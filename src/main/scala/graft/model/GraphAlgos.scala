@@ -175,4 +175,24 @@ object GraphAlgos {
       .groupBy("deg")
       .agg(count(lit(1)).as("n_vertices"))
   }
+
+  /** Triangle count (undirected; each triangle counted once). Edges
+    * canonicalize to u < v, wedges (a<b<c) form by joining on the middle
+    * vertex, and a third canonical edge closes each wedge — the classic
+    * two-join distributed triangle enumeration: candidates only ever form
+    * through SHARED vertices, never all-triples. At production scale the
+    * standard refinement is degree-orientation (point each edge at the
+    * higher-degree endpoint) so wedge fan-out is bounded by the smaller
+    * degree; canonical-id orientation keeps the same join shape. */
+  def triangleCount(g: GraphFrame, edgeLabel: String): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val wedges = canon.select(col("u").as("a"), col("v").as("b"))
+      .join(canon.select(col("u").as("b"), col("v").as("c")), "b")
+    wedges.join(canon.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

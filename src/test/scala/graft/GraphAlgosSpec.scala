@@ -105,6 +105,27 @@ class GraphAlgosSpec extends AnyFunSuite {
     got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12, got.toString))
   }
 
+  test("triangle count: K4 has 4, direction and duplicates don't inflate") {
+    // K4 on {a,b,c,d} = 4 triangles; edges deliberately mixed-direction
+    // with one reversed duplicate (a->b AND b->a must canonicalize to one)
+    val v = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(
+      ("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "a", "{}"),
+      ("e3", "link", "a", "c", "{}"), ("e4", "link", "d", "a", "{}"),
+      ("e5", "link", "b", "c", "{}"), ("e6", "link", "c", "d", "{}"),
+      ("e7", "link", "b", "d", "{}"),
+      ("e8", "other", "a", "d", "{}")) // off-label: ignored
+      .toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.triangleCount(GraphFrame(v, e), "link")
+      .as[Long].collect().head
+    assert(got == 4L)
+    // a triangle-free star is 0
+    val star = Seq(("s1", "link", "a", "b", "{}"), ("s2", "link", "a", "c", "{}"),
+      ("s3", "link", "a", "d", "{}")).toDF("gid", "label", "from", "to", "data")
+    assert(GraphAlgos.triangleCount(GraphFrame(v, star), "link")
+      .as[Long].collect().head == 0L)
+  }
+
   test("label propagation: triangle converges, min-id tie break, isolated keeps own") {
     // triangle a-b-c (hand-traced: r1 a->b,b->a,c->a; r2 all tie-break to a;
     // r3 stable all "a"), bridgeless pair d-e (synchronous oscillation —
