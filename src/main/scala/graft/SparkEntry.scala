@@ -254,6 +254,9 @@ edges:
     // pair set the q62/q63/q64 trio shares)
     "q67_triangles" -> ((s, d) =>
       graft.model.GraphAlgos.triangleCount(dedupGraph(s, d), "near_dup")),
+    // global clustering coefficient on the same shared graph
+    "q68_clustering" -> ((s, d) =>
+      graft.model.GraphAlgos.clusteringCoefficient(dedupGraph(s, d), "near_dup")),
 
     // ---- LLM-data-pipeline operators
     "p01_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
@@ -690,6 +693,19 @@ edges:
       "SELECT count(*) AS n_triangles FROM pr e1 " +
       "JOIN pr e2 ON e2.a_id = e1.b_id " +
       "JOIN pr e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id"),
+    // triangles + wedge count from undirected degrees over the same pair
+    // CTE; coefficient rounded to 6 places on both sides
+    "q68_clustering" -> (s"WITH $shingleCtes,\n" +
+      "pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "tri AS (SELECT count(*) AS n_triangles FROM pr e1 " +
+      "JOIN pr e2 ON e2.a_id = e1.b_id " +
+      "JOIN pr e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id), " +
+      "deg AS (SELECT x, count(*) AS d FROM " +
+      "(SELECT a_id AS x FROM pr UNION ALL SELECT b_id FROM pr) GROUP BY x), " +
+      "wed AS (SELECT cast(coalesce(sum(d * (d - 1) / 2), 0) AS bigint) AS n_wedges FROM deg) " +
+      "SELECT n_triangles, n_wedges, " +
+      "CASE WHEN n_wedges > 0 THEN round(n_triangles * 3.0 / n_wedges, 6) ELSE 0.0 END AS coefficient " +
+      "FROM tri CROSS JOIN wed"),
     "p02_dedup_minhash" -> shingleCte,
     "p03_dedup_simhash" -> shingleCte,
     "p04_dedup_ngram" -> shingleCte,

@@ -195,4 +195,26 @@ object GraphAlgos {
     wedges.join(canon.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Global clustering coefficient = 3·triangles / open-or-closed wedges,
+    * where the wedge count is Σ d(d−1)/2 over undirected degrees — two
+    * scalar aggregates over the canonical edge list plus the triangle
+    * join, no new shuffle shapes. Returns one row
+    * (n_triangles, n_wedges, coefficient); 0-wedge graphs report 0.0. */
+  def clusteringCoefficient(g: GraphFrame, edgeLabel: String): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("x")).union(canon.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    val tris = triangleCount(g, edgeLabel)
+    tris.crossJoin(wedges).select(
+      col("n_triangles"), col("n_wedges"),
+      when(col("n_wedges") > 0,
+        round(col("n_triangles") * 3.0 / col("n_wedges"), 6)).otherwise(0.0)
+        .as("coefficient"))
+  }
 }

@@ -126,6 +126,23 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[Long].collect().head == 0L)
   }
 
+  test("clustering coefficient: K4 is 1.0, star is 0, path is 0") {
+    val v = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    def ed(pairs: (String, String)*) = pairs.zipWithIndex
+      .map { case ((f, t), i) => (s"e$i", "link", f, t, "{}") }
+      .toDF("gid", "label", "from", "to", "data")
+    // K4: 4 triangles, 12 wedges, coefficient 1.0
+    val k4 = GraphAlgos.clusteringCoefficient(GraphFrame(v,
+        ed("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")), "link")
+      .as[(Long, Long, Double)].collect().head
+    assert(k4 == ((4L, 12L, 1.0)))
+    // star: 3 wedges through the hub, no triangles
+    val star = GraphAlgos.clusteringCoefficient(GraphFrame(v,
+        ed("a" -> "b", "a" -> "c", "a" -> "d")), "link")
+      .as[(Long, Long, Double)].collect().head
+    assert(star == ((0L, 3L, 0.0)))
+  }
+
   test("label propagation: triangle converges, min-id tie break, isolated keeps own") {
     // triangle a-b-c (hand-traced: r1 a->b,b->a,c->a; r2 all tie-break to a;
     // r3 stable all "a"), bridgeless pair d-e (synchronous oscillation —
