@@ -418,7 +418,27 @@ edges:
         .select(col("doc_id"), col("lang_pred"), col("quality"),
           Curation.splitAssign(col("doc_id")).as("part"))
     }),
+    // Okapi BM25 keyword retrieval: every document matching any query
+    // term, scored with the Lucene-style plus-one idf
+    "p41_bm25" -> ((s, d) =>
+      graft.pipeline.Search.bm25(docs(s, d), "doc_id", "text", bm25Terms)),
+    // corpus collocations: adjacent word pairs seen >= 5 times, PMI-scored
+    "p42_collocations" -> ((s, d) => TextAnalysis.collocations(docs(s, d), "text")),
+    // Gopher-style named rule gates with per-rule pass/fail flags
+    "p43_quality_rules" -> ((s, d) =>
+      Curation.qualityRules(docs(s, d), "doc_id", "text")),
+    // 2-core of the near-dup graph by iterative peeling (4 rounds pinned
+    // so the oracle can unroll them; peeling converges well within that)
+    "q69_kcore" -> ((s, d) =>
+      graft.model.GraphAlgos.kCore(dedupGraph(s, d), "near_dup", k = 2, maxPeels = 4)),
+    // neighbor-Jaccard link prediction over the same shared graph
+    "q70_linkpred" -> ((s, d) =>
+      graft.model.GraphAlgos.linkPredictJaccard(dedupGraph(s, d), "near_dup")),
   )
+
+  /** p41's fixed query bag — terms present across the synthetic corpus at
+    * different document frequencies, so idf variation is exercised. */
+  private val bm25Terms = Seq("spark", "join", "window")
 
   /** Shared SQL fragments for the document-shingle oracles. */
   private val shingleCtes =
@@ -853,6 +873,74 @@ edges:
       "SELECT doc_id, round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word, " +
       "CASE WHEN len(w) - 1 <= 0 THEN 0.0 ELSE round(1.0 - len(bg) * 1.0 / (len(w) - 1), 4) END AS dup_bigram " +
       "FROM b"),
+    // BM25 with the same plus-one idf and (k1, b) = (1.2, 0.75); the
+    // score expression mirrors the Column form operation-for-operation so
+    // the IEEE double arithmetic matches before the final round(4)
+    "p41_bm25" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM dw), " +
+      "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens), " +
+      "tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM (SELECT doc_id, unnest(w) AS t FROM dw) " +
+      "WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t), " +
+      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term) " +
+      "SELECT tf.doc_id, round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * " +
+      "(tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 4) AS score " +
+      "FROM tf JOIN lens l ON l.doc_id = tf.doc_id JOIN dfq d ON d.term = tf.term CROSS JOIN stats s " +
+      "GROUP BY tf.doc_id"),
+    // PMI over integer counts with one ratio+ln at the end, mirrored
+    // operation-for-operation; DuckDB zips the two equal-length unnests
+    "p42_collocations" -> ("WITH dw AS (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM dw) GROUP BY t), " +
+      "big AS (SELECT w1, w2, count(*) AS n FROM (" +
+      "SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1, " +
+      "unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2 FROM dw) GROUP BY w1, w2), " +
+      "tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS u_total, " +
+      "(SELECT CAST(sum(n) AS DOUBLE) FROM big) AS b_total) " +
+      // + 0.0 folds DuckDB's signed-zero round(-1e-9) = -0.0 onto Spark's
+      // BigDecimal-rounded +0.0 (identity for every other value)
+      "SELECT b.w1, b.w2, b.n, round(ln(b.n * t.u_total * t.u_total / (t.b_total * u1.c * u2.c)), 4) + 0.0 AS pmi " +
+      "FROM big b JOIN uni u1 ON u1.t = b.w1 JOIN uni u2 ON u2.t = b.w2 CROSS JOIN tot t " +
+      "WHERE b.n >= 5"),
+    // same thresholds as Curation.qualityRules' defaults; dup_frac reuses
+    // the p26 dup_word expression
+    "p43_quality_rules" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "sig AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+      "round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 4) AS mean_word_len, " +
+      "round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_frac, " +
+      "CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS BIGINT) AS stop_hits " +
+      "FROM dw) " +
+      "SELECT doc_id, n_words, mean_word_len, dup_frac, stop_hits, " +
+      "n_words BETWEEN 50 AND 2500 AS ok_words, " +
+      "mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len, " +
+      "dup_frac <= 0.4 AS ok_dup, stop_hits >= 2 AS ok_stop, " +
+      "(n_words BETWEEN 50 AND 2500) AND (mean_word_len BETWEEN 3.0 AND 10.0) " +
+      "AND dup_frac <= 0.4 AND stop_hits >= 2 AS keep FROM sig"),
+    // 4 unrolled peel rounds of the 2-core; an early-converging peel is a
+    // fixpoint, so extra unrolled rounds are identity
+    "q69_kcore" -> (s"WITH $shingleCtes,\n" +
+      "pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5), " +
+      "e0 AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr), " +
+      "d0 AS (SELECT u, count(*) AS c FROM e0 GROUP BY u), r0 AS (SELECT u FROM d0 WHERE c < 2), " +
+      "e1 AS (SELECT u, v FROM e0 WHERE u NOT IN (SELECT u FROM r0) AND v NOT IN (SELECT u FROM r0)), " +
+      "d1 AS (SELECT u, count(*) AS c FROM e1 GROUP BY u), r1 AS (SELECT u FROM d1 WHERE c < 2), " +
+      "e2 AS (SELECT u, v FROM e1 WHERE u NOT IN (SELECT u FROM r1) AND v NOT IN (SELECT u FROM r1)), " +
+      "d2 AS (SELECT u, count(*) AS c FROM e2 GROUP BY u), r2 AS (SELECT u FROM d2 WHERE c < 2), " +
+      "e3 AS (SELECT u, v FROM e2 WHERE u NOT IN (SELECT u FROM r2) AND v NOT IN (SELECT u FROM r2)), " +
+      "d3 AS (SELECT u, count(*) AS c FROM e3 GROUP BY u), r3 AS (SELECT u FROM d3 WHERE c < 2), " +
+      "e4 AS (SELECT u, v FROM e3 WHERE u NOT IN (SELECT u FROM r3) AND v NOT IN (SELECT u FROM r3)) " +
+      "SELECT u AS gid, count(*) AS deg FROM e4 GROUP BY u"),
+    // middle-vertex wedges minus existing edges; canonical pair order is
+    // the engine's string least/greatest over 'd:'-prefixed gids
+    "q70_linkpred" -> (s"WITH $shingleCtes,\n" +
+      "pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5), " +
+      "canon AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM pr), " +
+      "e AS (SELECT u, v FROM canon UNION SELECT v, u FROM canon), " +
+      "w AS (SELECT e1.u AS a, e2.v AS b, count(*) AS common FROM e e1 " +
+      "JOIN e e2 ON e2.u = e1.v AND e1.u < e2.v GROUP BY e1.u, e2.v), " +
+      "deg AS (SELECT u, count(*) AS d FROM e GROUP BY u) " +
+      "SELECT w.a AS gid_a, w.b AS gid_b, w.common, " +
+      "round(w.common * 1.0 / (da.d + db.d - w.common), 4) AS score " +
+      "FROM w JOIN deg da ON da.u = w.a JOIN deg db ON db.u = w.b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.u = w.a AND c.v = w.b)"),
   )
 
   /** Train/val/test oracle generated from [[Curation.splitBoundaries]] —

@@ -201,6 +201,85 @@ object GraphAlgos {
     * scalar aggregates over the canonical edge list plus the triangle
     * join, no new shuffle shapes. Returns one row
     * (n_triangles, n_wedges, coefficient); 0-wedge graphs report 0.0. */
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * vertex whose undirected degree over `edgeLabel` edges is < k, until
+    * either no vertex fails (the true k-core, an early exit) or
+    * `maxPeels` rounds have run — so with maxPeels = R the result is the
+    * R-round truncation, which EQUALS the fixpoint whenever peeling
+    * converges within R rounds (it does on bounded-cascade graphs; a
+    * fixed R also lets a SQL oracle unroll the rounds as plain CTEs).
+    * Output: (gid, deg) — the surviving vertices with their in-core
+    * degrees.
+    *
+    * Scale shape: each round is one degree hash-aggregate over the
+    * symmetric edge list plus two anti-joins against the (shrinking)
+    * victim set — never a pairwise product; the edge frame is
+    * localCheckpoint'ed each round so the loop's lineage stays flat.
+    * This is the standard distributed peeling scheme; per-round victim
+    * sets are usually a small fraction of vertices, so the anti-join
+    * build sides stay broadcast-small. */
+  def kCore(g: GraphFrame, edgeLabel: String, k: Int, maxPeels: Int = 10): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxPeels && !converged) {
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("__d"))
+      val victims = deg.filter(col("__d") < k).select(col("u").as("__bad"))
+        .localCheckpoint()
+      if (victims.isEmpty) converged = true
+      else {
+        val next = sym.join(victims, col("u") === col("__bad"), "left_anti")
+          .join(victims, col("v") === col("__bad"), "left_anti")
+          .localCheckpoint()
+        sym.unpersist(); victims.unpersist()
+        sym = next
+      }
+      round += 1
+    }
+    sym.groupBy(col("u").as("gid")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Link prediction by neighbor-set Jaccard: for every non-adjacent
+    * vertex pair sharing at least one neighbor over `edgeLabel` edges,
+    * score = |N(a)∩N(b)| / |N(a)∪N(b)| — the classic common-neighbors
+    * similarity (Liben-Nowell & Kleinberg 2003), here the "which
+    * documents are ABOUT to be duplicates" signal over a near-dup graph.
+    * Output: (gid_a, gid_b, common, score) with gid_a < gid_b, score
+    * rounded to 4 decimals.
+    *
+    * Scale shape: the same middle-vertex wedge join as
+    * [[triangleCount]] — candidate pairs only ever form through a SHARED
+    * neighbor, never all-pairs; degrees join on the vertex key, and the
+    * adjacency exclusion is one anti-join against the canonical edge
+    * list. Wedge fan-out is bounded by per-vertex degree (at production
+    * scale cap or sample super-node neighbor lists first). */
+  def linkPredictJaccard(g: GraphFrame, edgeLabel: String): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+    val wedges = sym.select(col("u").as("a"), col("v").as("m"))
+      .join(sym.select(col("u").as("m"), col("v").as("b")), "m")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    wedges
+      .join(canon, wedges("a") === canon("u") && wedges("b") === canon("v"), "left_anti")
+      .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("gid_a"), col("b").as("gid_b"), col("common"),
+        round(col("common") * lit(1.0) / (col("da") + col("db") - col("common")), 4)
+          .as("score"))
+  }
+
   def clusteringCoefficient(g: GraphFrame, edgeLabel: String): DataFrame = {
     val canon = g.edges.filter(col("label") === edgeLabel)
       .select(least(col("from"), col("to")).as("u"),

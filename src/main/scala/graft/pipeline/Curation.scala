@@ -27,6 +27,38 @@ object Curation {
         col("ws_tokens").between(minTokens, maxTokens))
   }
 
+  /** Per-document rule-based quality gates in the Gopher/C4 style
+    * (Rae et al. 2021 §A1.1 reduced to this corpus's signals): explicit
+    * named pass/fail flags, each a pure column expression, plus the
+    * conjunction — so a curation run can report WHICH rule rejected each
+    * document, not just a score. Word-level rules only (this engine's
+    * documents are single-line); the thresholds are the standard ones
+    * scaled to the corpus. Output: (id, n_words, mean_word_len,
+    * dup_frac, stop_hits, ok_words, ok_word_len, ok_dup, ok_stop, keep).
+    *
+    * Scale shape: one corpus scan, zero shuffles — every signal is a
+    * column expression over the same split-words array. */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Long = 50, maxWords: Long = 2500,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxDupFrac: Double = 0.4, minStopHits: Long = 2): DataFrame = {
+    val w = org.apache.spark.sql.functions.split(lower(trim(col(textCol))), " ")
+    val n = size(w).cast("long")
+    val meanLen = round(aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n, 4)
+    val dupFrac = TextAnalysis.dupWordFrac(col(textCol))
+    val stopHits = TextAnalysis.hitCount(col(textCol), TextAnalysis.stopwords.head._2)
+      .cast("long")
+    df.select(col(idCol), n.as("n_words"), meanLen.as("mean_word_len"),
+        dupFrac.as("dup_frac"), stopHits.as("stop_hits"))
+      .withColumn("ok_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_word_len", col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("ok_dup", col("dup_frac") <= maxDupFrac)
+      .withColumn("ok_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_dup") && col("ok_stop"))
+  }
+
   /** Cumulative fraction boundaries as fixed-width lowercase hex strings;
     * 8 hex digits of md5 give 2^32 buckets, so fraction resolution is
     * ~2.3e-10. Fixed width + lowercase hex makes lexicographic comparison

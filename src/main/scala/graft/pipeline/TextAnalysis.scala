@@ -153,4 +153,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("__c").as("freq_sum"))
       .withColumn("mean_freq", round(col("freq_sum") * lit(1.0) / col("n_tokens"), 4))
   }
+
+  /** Corpus collocations by pointwise mutual information: adjacent word
+    * pairs occurring ≥ `minCount` times, scored
+    * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) )
+    *     = ln( c(w1 w2) · U² / (B · c(w1) · c(w2)) )
+    * with U = total unigram tokens, B = total bigram tokens — the classic
+    * collocation-extraction statistic (Church & Hanks 1990), useful for
+    * spotting templated boilerplate phrases in a crawl. All counts stay
+    * integer until the single ratio+ln at the end (rounded to 4), so the
+    * SQL oracle matches bit-for-bit. Output: (w1, w2, n, pmi).
+    *
+    * Scale shape: two explode→hash-aggregate passes over the corpus
+    * (unigrams, bigrams — each one shuffle on the token), then the
+    * ≥ minCount bigram survivors join the unigram vocabulary twice on
+    * its key. The survivor side shrinks by the count floor before any
+    * join, and the corpus-total scalars ride in as a broadcast. */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+    val w = words(col(textCol))
+    val uni = df.select(explode(w).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val bi = df.select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val totals = uni.agg(sum("__c").cast("double").as("u_total"))
+      .crossJoin(bi.agg(sum("n").cast("double").as("b_total")))
+    bi.filter(col("n") >= minCount)
+      .join(uni.select(col("__t").as("w1"), col("__c").as("c1")), "w1")
+      .join(uni.select(col("__t").as("w2"), col("__c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("n") * col("u_total") * col("u_total") /
+          (col("b_total") * col("c1") * col("c2"))), 4).as("pmi"))
+  }
 }

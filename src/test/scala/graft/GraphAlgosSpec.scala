@@ -143,6 +143,45 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(star == ((0L, 3L, 0.0)))
   }
 
+  test("kCore: peel cascade, early convergence, empty core") {
+    // triangle a-b-c with a pendant chain c-d-e: round 1 removes e
+    // (deg 1), round 2 removes d — the 2-core is exactly the triangle,
+    // reached only by CASCADING peels (a one-shot degree filter would
+    // keep d). Mixed edge directions on purpose.
+    val v = Seq("a", "b", "c", "d", "e").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "c", "b", "{}"),
+      ("e3", "link", "c", "a", "{}"), ("e4", "link", "c", "d", "{}"),
+      ("e5", "link", "e", "d", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    val core2 = GraphAlgos.kCore(g, "link", k = 2).as[(String, Long)].collect().toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), core2.toString)
+    // k=3: the triangle's degree-2 vertices all peel — empty core
+    assert(GraphAlgos.kCore(g, "link", k = 3).isEmpty)
+    // maxPeels truncation: one round only removes e, so d survives with
+    // its post-round-1 degree 1
+    val one = GraphAlgos.kCore(g, "link", k = 2, maxPeels = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L), one.toString)
+  }
+
+  test("linkPredictJaccard: wedge pairs only, adjacency excluded, exact scores") {
+    // path a-b-c plus c-d: candidates (a,c) share {b}: N(a)={b}, N(c)={b,d}
+    // -> 1/2; (b,d) share {c}: N(b)={a,c}, N(d)={c} -> 1/2; (a,c) vs (a,d)?
+    // a,d share nothing (N(a)={b}); b-c adjacent pairs never appear.
+    val v = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "link", "c", "d", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.linkPredictJaccard(GraphFrame(v, e), "link")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("a", "c", 1L, 0.5), ("b", "d", 1L, 0.5)), got.toString)
+    // K3: every pair adjacent -> no candidates at all
+    val k3 = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "link", "a", "c", "{}")).toDF("gid", "label", "from", "to", "data")
+    assert(GraphAlgos.linkPredictJaccard(GraphFrame(v, k3), "link").isEmpty)
+  }
+
   test("label propagation: triangle converges, min-id tie break, isolated keeps own") {
     // triangle a-b-c (hand-traced: r1 a->b,b->a,c->a; r2 all tie-break to a;
     // r3 stable all "a"), bridgeless pair d-e (synchronous oscillation —

@@ -579,4 +579,65 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got == Map(0L -> (2L, 5L, 2.5), 1L -> (3L, 6L, 2.0), 2L -> (2L, 4L, 2.0)))
   }
+
+  test("bm25: hand-computed scores, rarer term outranks common at equal tf") {
+    // 4 docs; "rare" appears in 1 doc, "shared" in 3. Equal tf and equal
+    // doc length -> the rare-term doc MUST outscore the shared-only docs.
+    val rows = Seq(
+      (0L, "rare x y z"), (1L, "shared x y z"), (2L, "shared x y z"),
+      (3L, "shared x y z")).toDF("doc_id", "text")
+    val got = Search.bm25(rows, "doc_id", "text", Seq("rare", "shared"))
+      .as[(Long, Double)].collect().toMap
+    // every dl = 4 = avgdl -> denominator = tf + k1 = 2.2; tf factor =
+    // 1*(2.2)/2.2 = 1.0, so score = idf exactly.
+    def idf(df: Double) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L) == r4(idf(1.0)) && got(1L) == r4(idf(3.0)), got.toString)
+    assert(got(0L) > got(1L))
+    // a doc matching no term never appears
+    assert(!Search.bm25(rows, "doc_id", "text", Seq("absent"))
+      .collect().exists(_ => true))
+  }
+
+  test("bm25: longer documents score lower at equal tf (length normalization)") {
+    val rows = Seq(
+      (0L, "t a b c"),
+      (1L, "t a b c d e f g h i j k l m n o p q r s")).toDF("doc_id", "text")
+    val got = Search.bm25(rows, "doc_id", "text", Seq("t")).as[(Long, Double)].collect().toMap
+    assert(got(0L) > got(1L), got.toString)
+  }
+
+  test("collocations: PMI of a perfect pair beats an independent pair; floor filters") {
+    // "x y" always adjacent (5 times, only as a pair); "p q" co-occur but p
+    // and q also appear apart. minCount=2 keeps both; minCount=6 drops all.
+    val rows = Seq(
+      (0L, "x y p q"), (1L, "x y q p"), (2L, "x y p q"),
+      (3L, "x y q p"), (4L, "x y p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(rows, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.contains(("x", "y")) && got(("x", "y"))._1 == 5L)
+    assert(got.contains(("p", "q")) && got(("p", "q"))._1 == 3L)
+    assert(got(("x", "y"))._2 > got(("p", "q"))._2, got.toString)
+    assert(TextAnalysis.collocations(rows, "text", minCount = 6).isEmpty)
+  }
+
+  test("qualityRules: each gate trips independently and keep is the conjunction") {
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and is in"
+    val rows = Seq(
+      (0L, longDoc),                                  // passes everything
+      (1L, "the of and is in"),                       // too few words
+      (2L, ("the of and " * 22).trim),                // dup_frac too high
+      (3L, (1 to 60).map(i => s"w$i").mkString(" "))  // no stopwords
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityRules(rows, "doc_id", "text")
+      .select("doc_id", "ok_words", "ok_word_len", "ok_dup", "ok_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._6, got(0L).toString)                       // keep
+    assert(!got(1L)._2 && !got(1L)._6)                         // word floor
+    assert(!got(2L)._4 && !got(2L)._6)                         // dup gate
+    assert(got(3L)._2 && !got(3L)._5 && !got(3L)._6)           // stopword gate
+  }
 }
