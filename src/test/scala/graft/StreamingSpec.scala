@@ -289,6 +289,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bm25 scores arrivals against frozen corpus stats, batch-equal") {
+    import spark.implicits._
+    import graft.streaming.{DedupStreaming, SearchStreaming}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "rare x y z"), (1L, "shared x y z"), (2L, "shared x y z"),
+      (3L, "shared x y z")).toDF("doc_id", "text")
+    val terms = Seq("rare", "shared")
+    val (idf, avgdl) = SearchStreaming.bm25Stats(corpus, "doc_id", "text", terms)
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = SearchStreaming.bm25ScoreStream(input.toDF(), "doc_id", "text", idf, avgdl)
+      .writeStream.format("memory").queryName("sbm25_out")
+      .outputMode("append").start()
+    try {
+      // re-stream the corpus docs themselves plus a no-match arrival:
+      // scores must equal the batch operator's on identical stats
+      input.addData(
+        DedupStreaming.Doc(0, "rare x y z", ts(1000)),
+        DedupStreaming.Doc(1, "shared x y z", ts(1001)),
+        DedupStreaming.Doc(9, "nothing matches here ok", ts(1002)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, score FROM sbm25_out")
+        .as[(Long, Double)].collect().toMap
+      val batch = graft.pipeline.Search.bm25(corpus, "doc_id", "text", terms)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == Set(0L, 1L)) // 9 matches no term
+      assert(got(0L) == batch(0L) && got(1L) == batch(1L), s"$got vs $batch")
+    } finally q.stop()
+  }
+
+  test("quality rule gates run unchanged on a stream (stateless conjunction)") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    import graft.streaming.DedupStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = Curation.qualityRules(input.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("srules_out")
+      .outputMode("append").start()
+    try {
+      val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and is in"
+      input.addData(
+        DedupStreaming.Doc(1, good, ts(1000)),
+        DedupStreaming.Doc(2, "too short", ts(1001)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, keep FROM srules_out")
+        .as[(Long, Boolean)].collect().toMap
+      assert(got == Map(1L -> true, 2L -> false), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming passage scrub rewrites arrivals against the static boilerplate set") {
     import spark.implicits._
     import graft.streaming.DedupStreaming
