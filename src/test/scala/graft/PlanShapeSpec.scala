@@ -89,4 +89,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"edge counting must partial-aggregate before its exchange:\n$p")
   }
+
+  test("bm25: df stats and corpus scalars broadcast, no cartesian") {
+    val p = plan(Search.bm25(docs, "doc_id", "text", Seq("w1", "w2")))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the tiny (term df × corpus stats) side must arrive by broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf counting must map-side combine before its exchange:\n$p")
+  }
+
+  test("qualityRules: shuffle-free — no Exchange anywhere in the plan") {
+    // on this local fixture Catalyst folds the whole thing to a
+    // LocalTableScan — itself evidence every gate is a pure expression;
+    // the load-bearing invariant is the absence of any shuffle
+    val p = plan(Curation.qualityRules(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"rule gates must not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("collocations: unigram/bigram joins never cartesian, counts partial-agg") {
+    val p = plan(TextAnalysis.collocations(docs, "text", minCount = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"bigram counting must map-side combine before its exchange:\n$p")
+  }
 }
