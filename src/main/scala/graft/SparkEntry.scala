@@ -434,6 +434,20 @@ edges:
     // neighbor-Jaccard link prediction over the same shared graph
     "q70_linkpred" -> ((s, d) =>
       graft.model.GraphAlgos.linkPredictJaccard(dedupGraph(s, d), "near_dup")),
+    // SemDeDup: KMeans cells + within-cell cosine>=0.9 + min-id survivor.
+    // Same planted construction as p23: the probes are the only pairs
+    // above tau (cross-vector cosine <= 0.5), each probe is ~0.02 rad
+    // from its source so the pair can't straddle a Voronoi boundary, and
+    // the seeded random-init KMeans is deterministic per dataset - so the
+    // survivors are exactly the original corpus
+    "p44_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.pipeline.Similarity.semanticDedup(
+        e.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+          .unionByName(probeQueries(e)),
+        "vec_id", "embedding", tau = 0.9, nlist = 8)
+        .select(col("vec_id"))
+    }),
   )
 
   /** p41's fixed query bag — terms present across the synthetic corpus at
@@ -743,6 +757,9 @@ edges:
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p23_dedup_embed_ann" -> ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id " +
       "FROM embeddings WHERE vec_id < 10"),
+    // planted probes are the only above-tau pairs and lose the min-id
+    // pick to their source, so the survivor set is the original corpus
+    "p44_semantic_dedup" -> "SELECT vec_id FROM embeddings",
     "p15_sim_ivf" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p17_dedup_embed" -> ("WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings) " +

@@ -138,6 +138,36 @@ object Similarity {
     probeIvf(buildIvf(corpus, idCol, vecCol, nlist, seed),
       queries, qidCol, qvecCol, k, nprobe)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): KMeans-cluster the embedding corpus, form pairs
+    * only WITHIN a cluster, verify exact cosine ≥ tau, and keep one
+    * representative per near-dup component (the min id — the paper keeps
+    * an arbitrary member; min-id makes the choice deterministic and
+    * SQL-mirrorable). Returns the surviving corpus rows.
+    *
+    * Scale shape: the clustering is the same coarse quantizer as
+    * [[buildIvf]] (fit once, assignments shuffle the corpus once on the
+    * cell id); candidate pairs never leave a cell, so pair volume is
+    * Σ |cell|² rather than |corpus|² — the paper's exact trick. Systems
+    * deduping a growing corpus should build the index once
+    * ([[buildIvf]]/[[saveIvf]]) and pass it here per batch. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, nlist: Int = 16, seed: Long = 42L,
+                    prebuilt: Option[IvfIndex] = None): DataFrame = {
+    val idx = prebuilt.getOrElse(buildIvf(corpus, idCol, vecCol, nlist, seed))
+    val withNorm = idx.assigned.withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+    val l = withNorm.select(col("__bucket"), col("neighbor_id").as("a_id"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val r = withNorm.select(col("__bucket"), col("neighbor_id").as("b_id"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val pairs = l.join(r, "__bucket")
+      .filter(col("a_id") < col("b_id") &&
+        dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
+      .select(col("a_id"), col("b_id"))
+    graft.pipeline.Dedup.survivors(corpus, idCol, pairs)
+  }
+
   /** Embedding-cosine near-dup pairs: (a_id, b_id) with a < b and
     * cosine(va, vb) >= tau — the embedding-space sibling of the text
     * dedup family in [[graft.pipeline.Dedup]].

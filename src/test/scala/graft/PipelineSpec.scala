@@ -580,6 +580,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(0L -> (2L, 5L, 2.5), 1L -> (3L, 6L, 2.0), 2L -> (2L, 4L, 2.0)))
   }
 
+  test("semanticDedup drops planted near-copies, keeps min id, matches exact form") {
+    // two tight clusters in R^4 plus one near-copy inside each; distinct
+    // members of a cluster are ~0.97 apart in cosine? no: crafted so
+    // within-cluster distinct cosines < 0.99 and the copies > 0.999
+    val rows = Seq(
+      (0L, Seq(1.0, 0.02, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.021, 0.0005, 0.0)),   // near-copy of 0
+      (2L, Seq(0.9, 0.4, 0.0, 0.1)),        // same cluster, not a dup at 0.999
+      (10L, Seq(0.0, 0.0, 1.0, 0.03)),
+      (11L, Seq(0.0005, 0.0, 1.0, 0.031)),  // near-copy of 10
+      (12L, Seq(0.1, 0.0, 0.9, 0.4))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        tau = 0.999, nlist = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 2L, 10L, 12L), got.toString)
+    // parity with the exact quadratic pair set + survivors composition
+    val exact = Dedup.survivors(rows, "vec_id",
+      Similarity.nearDupEmbed(rows, "vec_id", "embedding", 0.999))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(got == exact)
+  }
+
   test("bm25: hand-computed scores, rarer term outranks common at equal tf") {
     // 4 docs; "rare" appears in 1 doc, "shared" in 3. Equal tf and equal
     // doc length -> the rare-term doc MUST outscore the shared-only docs.
