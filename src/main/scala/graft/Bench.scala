@@ -93,6 +93,20 @@ object Bench {
     }
     def storageMb: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum >> 20
+    // CPU throughput calibration: a fixed deterministic Spark job whose
+    // cost is data-independent, timed once before the suite. The box's
+    // effective per-core speed swings ~1.7× day to day (measured: the
+    // same binary 53.0 s one evening, 89.5 s the next morning, idle both
+    // times), so absolute totals are only comparable after dividing by
+    // the same run's calib_sec — the artifact carries its own yardstick.
+    val calibSec = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 256L * 1000000L, 1L, cpus.toInt)
+        .select(bit_xor(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[bench] calib $calibSec%.3f s (256M xxhash64 across $cpus cores)")
     val loadBefore = loadavg
     // a memoized cross-query frame's localCheckpoint blocks are its only
     // copy (lineage truncated) — the per-query release sweeps must not
@@ -160,7 +174,7 @@ object Bench {
     // window again, the total survives at the window's end — with the
     // 1/5/15-min loadavg straddling the run so a contention-poisoned
     // artifact is identifiable as such from the recorded JSON alone
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)}}""")
     spark.stop()
   }
 }
