@@ -434,6 +434,16 @@ edges:
     // neighbor-Jaccard link prediction over the same shared graph
     "q70_linkpred" -> ((s, d) =>
       graft.model.GraphAlgos.linkPredictJaccard(dedupGraph(s, d), "near_dup")),
+    // personalized PageRank on the gripper graph: teleport concentrated
+    // on region-0's nations; 2 rounds pinned for the unrolled oracle
+    "q71_ppr" -> ((s, d) => {
+      val seeds = s.read.parquet(s"$d/nation.parquet")
+        .filter(col("n_regionkey") === 0)
+        .select(concat(lit("n:"), col("n_nationkey")).as("gid"))
+      graft.model.GraphAlgos.personalizedPageRank(
+        gripperGraph(s, d), "region", seeds, iters = 2)
+        .select(col("gid"), round(col("rank"), 4).as("ppr"))
+    }),
     // SemDeDup: KMeans cells + within-cell cosine>=0.9 + min-id survivor.
     // Same planted construction as p23: the probes are the only pairs
     // above tau (cross-vector cosine <= 0.5), each probe is ~0.02 rad
@@ -760,6 +770,25 @@ edges:
     // planted probes are the only above-tau pairs and lose the min-id
     // pick to their source, so the survivor set is the original corpus
     "p44_semantic_dedup" -> "SELECT vec_id FROM embeddings",
+    // 2 unrolled personalized-PageRank rounds; teleport AND dangling mass
+    // flow through the seed-concentrated preference vector, double
+    // constants mirrored operation-for-operation like q65
+    "q71_ppr" ->
+      s"""WITH verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
+         |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
+         |edges AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
+         |outdeg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY u),
+         |sds AS (SELECT 'n:' || n_nationkey AS gid FROM nation WHERE n_regionkey = 0),
+         |params AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sds),
+         |pref AS (SELECT v.gid, CASE WHEN s.gid IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM params) ELSE CAST(0.0 AS DOUBLE) END AS p FROM verts v LEFT JOIN sds s ON s.gid = v.gid),
+         |pr0 AS (SELECT gid, p AS r FROM pref),
+         |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr0 WHERE gid NOT IN (SELECT u FROM outdeg)),
+         |c0 AS (SELECT e.v AS gid, sum(p.r / o.od) AS c FROM edges e JOIN pr0 p ON p.gid = e.u JOIN outdeg o ON o.u = e.u GROUP BY e.v),
+         |pr1 AS (SELECT f.gid, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * f.p + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d0) * f.p) AS r FROM pref f LEFT JOIN c0 c ON f.gid = c.gid),
+         |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr1 WHERE gid NOT IN (SELECT u FROM outdeg)),
+         |c1 AS (SELECT e.v AS gid, sum(p.r / o.od) AS c FROM edges e JOIN pr1 p ON p.gid = e.u JOIN outdeg o ON o.u = e.u GROUP BY e.v),
+         |pr2 AS (SELECT f.gid, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * f.p + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d1) * f.p) AS r FROM pref f LEFT JOIN c1 c ON f.gid = c.gid)
+         |SELECT gid, round(r, 4) AS ppr FROM pr2""".stripMargin,
     "p15_sim_ivf" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p17_dedup_embed" -> ("WITH e AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings) " +

@@ -125,6 +125,57 @@ object GraphAlgos {
     ranks
   }
 
+  /** Personalized PageRank: the teleport distribution concentrates on a
+    * seed set instead of being uniform — ranks measure proximity TO THE
+    * SEEDS, the standard "related items" / local-relevance primitive
+    * (Page et al. 1999 §6; Jeh & Widom 2003). r ← (1−d)·p + d·(A·r +
+    * dangling·p), p = 1/|S| on seeds, 0 elsewhere; dangling mass
+    * teleports through p too, so Σr = 1 is preserved.
+    *
+    * Scale shape identical to [[pageRank]]: edge list repartitioned by
+    * source once + checkpointed, one narrow rank frame shuffles per
+    * round, dangling mass is one scalar agg per round; the preference
+    * vector rides along as a checkpointed (gid, p) frame instead of the
+    * uniform constant. */
+  def personalizedPageRank(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                           iters: Int = 20, damping: Double = 0.85,
+                           undirected: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val verts = g.vertices.select(col("gid")).distinct().localCheckpoint(true)
+    val s = seeds.select(col("gid")).distinct().localCheckpoint(true)
+    val ns = s.count().toDouble
+    require(ns > 0, "personalizedPageRank needs at least one seed")
+    val pref = verts.join(s.withColumn("__p", lit(1.0 / ns)), Seq("gid"), "left")
+      .select(col("gid"), coalesce(col("__p"), lit(0.0)).as("__p"))
+      .localCheckpoint(true)
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).repartition(col("u")).localCheckpoint(true)
+    val outdeg = e.groupBy(col("u").as("gid"))
+      .agg(count(lit(1)).cast("double").as("__outdeg")).localCheckpoint(true)
+    var ranks = pref.select(col("gid"), col("__p").as("rank")).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.join(outdeg, Seq("gid"), "left")
+      val dangling = withDeg.filter(col("__outdeg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val contribs = withDeg.filter(col("__outdeg").isNotNull)
+        .join(e, col("gid") === col("u"))
+        .select(col("v"), (col("rank") / col("__outdeg")).as("__c"))
+        .groupBy(col("v").as("gid")).agg(sum("__c").as("__c"))
+      ranks = pref.join(contribs, Seq("gid"), "left")
+        .select(col("gid"),
+          (lit(1.0 - damping) * col("__p") +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              lit(dangling) * col("__p"))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (community detection) over one edge
     * label: every vertex starts as its own community, then for `maxIters`
     * rounds adopts the most frequent community among its neighbors, ties

@@ -143,6 +143,22 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(star == ((0L, 3L, 0.0)))
   }
 
+  test("personalized pagerank: hand-traced 2 rounds, mass conserved, seed-local") {
+    // a -> b, c isolated; seeds = {a}, d = 0.85.
+    // r0 = (1, 0, 0); r1 = (0.15, 0.85, 0); r2: dangling = 0.85 teleports
+    // through p (all to a): a = 0.15 + 0.85*0.85 = 0.8725, b = 0.85*0.15
+    // = 0.1275, c stays 0 (teleport never reaches a non-seed sink's ring)
+    val v = Seq("a", "b", "c").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}")).toDF("gid", "label", "from", "to", "data")
+    val seeds = Seq("a").toDF("gid")
+    val got = GraphAlgos.personalizedPageRank(GraphFrame(v, e), "link", seeds, iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 0.8725) < 1e-12, got.toString)
+    assert(math.abs(got("b") - 0.1275) < 1e-12, got.toString)
+    assert(got("c") == 0.0, got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("kCore: peel cascade, early convergence, empty core") {
     // triangle a-b-c with a pendant chain c-d-e: round 1 removes e
     // (deg 1), round 2 removes d — the 2-core is exactly the triangle,
