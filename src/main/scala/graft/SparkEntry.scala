@@ -434,6 +434,12 @@ edges:
     // neighbor-Jaccard link prediction over the same shared graph
     "q70_linkpred" -> ((s, d) =>
       graft.model.GraphAlgos.linkPredictJaccard(dedupGraph(s, d), "near_dup")),
+    // HITS on the gripper graph: nations are hubs, regions authorities;
+    // 2 alternating L2-normalized rounds pinned for the unrolled oracle
+    "q72_hits" -> ((s, d) =>
+      graft.model.GraphAlgos.hits(gripperGraph(s, d), "region", iters = 2)
+        .select(col("gid"), round(col("hub"), 4).as("hub"),
+          round(col("authority"), 4).as("authority"))),
     // personalized PageRank on the gripper graph: teleport concentrated
     // on region-0's nations; 2 rounds pinned for the unrolled oracle
     "q71_ppr" -> ((s, d) => {
@@ -770,6 +776,31 @@ edges:
     // planted probes are the only above-tau pairs and lose the min-id
     // pick to their source, so the survivor set is the original corpus
     "p44_semantic_dedup" -> "SELECT vec_id FROM embeddings",
+    // 2 unrolled HITS rounds: each half step is a neighbor sum, an L2
+    // norm scalar, and a guarded divide — mirrored op-for-op
+    "q72_hits" ->
+      s"""WITH verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
+         |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
+         |edges AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
+         |h0 AS (SELECT gid, CAST(1.0 AS DOUBLE) AS h FROM verts),
+         |a1r AS (SELECT e.v AS gid, sum(h.h) AS s FROM edges e JOIN h0 h ON h.gid = e.u GROUP BY e.v),
+         |a1j AS (SELECT v.gid, coalesce(a.s, 0) AS s FROM verts v LEFT JOIN a1r a ON a.gid = v.gid),
+         |an1 AS (SELECT sqrt(sum(s * s)) AS n FROM a1j),
+         |a1 AS (SELECT gid, CASE WHEN (SELECT n FROM an1) > 0 THEN s / (SELECT n FROM an1) ELSE CAST(0.0 AS DOUBLE) END AS a FROM a1j),
+         |h1r AS (SELECT e.u AS gid, sum(a.a) AS s FROM edges e JOIN a1 a ON a.gid = e.v GROUP BY e.u),
+         |h1j AS (SELECT v.gid, coalesce(h.s, 0) AS s FROM verts v LEFT JOIN h1r h ON h.gid = v.gid),
+         |hn1 AS (SELECT sqrt(sum(s * s)) AS n FROM h1j),
+         |h1 AS (SELECT gid, CASE WHEN (SELECT n FROM hn1) > 0 THEN s / (SELECT n FROM hn1) ELSE CAST(0.0 AS DOUBLE) END AS h FROM h1j),
+         |a2r AS (SELECT e.v AS gid, sum(h.h) AS s FROM edges e JOIN h1 h ON h.gid = e.u GROUP BY e.v),
+         |a2j AS (SELECT v.gid, coalesce(a.s, 0) AS s FROM verts v LEFT JOIN a2r a ON a.gid = v.gid),
+         |an2 AS (SELECT sqrt(sum(s * s)) AS n FROM a2j),
+         |a2 AS (SELECT gid, CASE WHEN (SELECT n FROM an2) > 0 THEN s / (SELECT n FROM an2) ELSE CAST(0.0 AS DOUBLE) END AS a FROM a2j),
+         |h2r AS (SELECT e.u AS gid, sum(a.a) AS s FROM edges e JOIN a2 a ON a.gid = e.v GROUP BY e.u),
+         |h2j AS (SELECT v.gid, coalesce(h.s, 0) AS s FROM verts v LEFT JOIN h2r h ON h.gid = v.gid),
+         |hn2 AS (SELECT sqrt(sum(s * s)) AS n FROM h2j),
+         |h2 AS (SELECT gid, CASE WHEN (SELECT n FROM hn2) > 0 THEN s / (SELECT n FROM hn2) ELSE CAST(0.0 AS DOUBLE) END AS h FROM h2j)
+         |SELECT h2.gid, round(h2.h, 4) AS hub, round(a2.a, 4) AS authority
+         |FROM h2 JOIN a2 ON a2.gid = h2.gid""".stripMargin,
     // 2 unrolled personalized-PageRank rounds; teleport AND dangling mass
     // flow through the seed-concentrated preference vector, double
     // constants mirrored operation-for-operation like q65

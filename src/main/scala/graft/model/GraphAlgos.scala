@@ -125,6 +125,48 @@ object GraphAlgos {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999): alternating power
+    * iteration a ← Eᵀh, h ← E·a with L2 normalization after each half
+    * step — the classic complement to PageRank for directed link
+    * analysis (good hubs point at good authorities). Vertices with no
+    * qualifying edges score 0 on the corresponding side. Output:
+    * (gid, hub, authority), unrounded.
+    *
+    * Scale shape mirrors [[pageRank]]: edge list repartitioned by source
+    * once + checkpointed; each half step is one aggregate keyed on the
+    * receiving endpoint; the L2 norm is one scalar agg per half step
+    * (the same legitimate driver-scalar class as the dangling mass). */
+  def hits(g: GraphFrame, edgeLabel: String, iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val verts = g.vertices.select(col("gid")).distinct().localCheckpoint(true)
+    val e = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+      .repartition(col("u")).localCheckpoint(true)
+    var hub = verts.withColumn("h", lit(1.0)).localCheckpoint(true)
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val aRaw = e.join(hub, col("u") === col("gid"))
+        .groupBy(col("v").as("gid")).agg(sum("h").as("__s"))
+      val aJoined = verts.join(aRaw, Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("__s"), lit(0.0)).as("__s"))
+        .localCheckpoint(true)
+      val an = math.sqrt(aJoined.agg(sum(col("__s") * col("__s"))).first().getDouble(0))
+      auth = aJoined.select(col("gid"),
+        (if (an > 0) col("__s") / lit(an) else lit(0.0)).as("a")).localCheckpoint(true)
+      val hRaw = e.join(auth, col("v") === col("gid"))
+        .groupBy(col("u").as("gid")).agg(sum("a").as("__s"))
+      val hJoined = verts.join(hRaw, Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("__s"), lit(0.0)).as("__s"))
+        .localCheckpoint(true)
+      val hn = math.sqrt(hJoined.agg(sum(col("__s") * col("__s"))).first().getDouble(0))
+      hub = hJoined.select(col("gid"),
+        (if (hn > 0) col("__s") / lit(hn) else lit(0.0)).as("h")).localCheckpoint(true)
+      i += 1
+    }
+    hub.join(auth, "gid").select(col("gid"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Personalized PageRank: the teleport distribution concentrates on a
     * seed set instead of being uniform — ranks measure proximity TO THE
     * SEEDS, the standard "related items" / local-relevance primitive

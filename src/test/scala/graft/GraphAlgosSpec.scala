@@ -143,6 +143,21 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(star == ((0L, 3L, 0.0)))
   }
 
+  test("hits: hand-traced 2 alternating rounds, L2-normalized, zero off-sides") {
+    // edges a->b, c->b, c->d. After 2 rounds: hubs a=5/sqrt(89),
+    // c=8/sqrt(89); authorities b=5/sqrt(34), d=3/sqrt(34); pure-source
+    // vertices have authority 0, pure-sink vertices hub 0.
+    val v = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "c", "b", "{}"),
+      ("e3", "link", "c", "d", "{}")).toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.hits(GraphFrame(v, e), "link", iters = 2)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def ~=(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(~=(got("a")._1, 5 / math.sqrt(89)) && ~=(got("c")._1, 8 / math.sqrt(89)), got.toString)
+    assert(~=(got("b")._2, 5 / math.sqrt(34)) && ~=(got("d")._2, 3 / math.sqrt(34)), got.toString)
+    assert(got("a")._2 == 0.0 && got("c")._2 == 0.0 && got("b")._1 == 0.0 && got("d")._1 == 0.0)
+  }
+
   test("personalized pagerank: hand-traced 2 rounds, mass conserved, seed-local") {
     // a -> b, c isolated; seeds = {a}, d = 0.85.
     // r0 = (1, 0, 0); r1 = (0.15, 0.85, 0); r2: dangling = 0.85 teleports
