@@ -76,14 +76,18 @@ object SparkEntry {
   }
 
   private def buildDedupGraph(s: SparkSession, d: String): graft.model.GraphFrame = {
-    val pairs = Dedup.nearDupMinhash(docs(s, d), "doc_id", "text")
+    // scored variant: same banded join + verify pass, but the edge data
+    // keeps the shingle-set symmetric difference n_a + n_b − 2·n_common
+    // as an integer weight ("how far from identical") — q73's metric
+    val pairs = Dedup.nearDupMinhashScored(docs(s, d), "doc_id", "text")
     val v = docs(s, d).select(concat(lit("d:"), col("doc_id")).as("gid"),
       lit("document").as("label"), lit("{}").as("data"))
     val e = pairs.select(
       concat(lit("e:"), col("a_id"), lit(":"), col("b_id")).as("gid"),
       lit("near_dup").as("label"),
       concat(lit("d:"), col("a_id")).as("from"),
-      concat(lit("d:"), col("b_id")).as("to"), lit("{}").as("data"))
+      concat(lit("d:"), col("b_id")).as("to"),
+      to_json(struct((col("n_a") + col("n_b") - lit(2L) * col("n_common")).as("w"))).as("data"))
     val before = s.sparkContext.getPersistentRDDs.keySet
     val ce = e.localCheckpoint() // eager: blocks + persistent-RDD entry exist on return
     (s.sparkContext.getPersistentRDDs.keySet -- before).foreach(sharedRddIds.add)
@@ -450,6 +454,23 @@ edges:
         gripperGraph(s, d), "region", seeds, iters = 2)
         .select(col("gid"), round(col("rank"), 4).as("ppr"))
     }),
+    // weighted SSSP over the near-dup graph from the (string-)min
+    // endpoint; weight = shingle-set symmetric difference carried in the
+    // edge data, 4 Bellman-Ford rounds = the oracle's hop-bounded walk
+    "q73_sssp" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val seeds = g.edges.filter(col("label") === "near_dup").agg(min(col("from")).as("gid"))
+      graft.model.GraphAlgos.shortestPaths(g, "near_dup", seeds,
+        weight = get_json_object(col("data"), "$.w"), maxRounds = 4)
+    }),
+    // deterministic DeepWalk walks from every near-dup endpoint, 3 steps;
+    // the md5-seeded neighbor choice replays exactly in the SQL oracle
+    "q74_walks" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val ed = g.edges.filter(col("label") === "near_dup")
+      val seeds = ed.select(col("from").as("gid")).union(ed.select(col("to"))).distinct()
+      graft.model.GraphAlgos.randomWalks(g, "near_dup", seeds, steps = 3)
+    }),
     // SemDeDup: KMeans cells + within-cell cosine>=0.9 + min-id survivor.
     // Same planted construction as p23: the probes are the only pairs
     // above tau (cross-vector cosine <= 0.5), each probe is ~0.02 rad
@@ -756,6 +777,44 @@ edges:
       "SELECT n_triangles, n_wedges, " +
       "CASE WHEN n_wedges > 0 THEN round(n_triangles * 3.0 / n_wedges, 6) ELSE 0.0 END AS coefficient " +
       "FROM tri CROSS JOIN wed"),
+    // weighted SSSP ground truth: hop-bounded recursive walk carrying the
+    // accumulated weight, min over (<=4)-edge paths per node — the exact
+    // Bellman-Ford 4-round truncation. pw re-derives the pair CTE with
+    // the set sizes kept so the weight is the same integer symmetric
+    // difference the engine stores in the edge data
+    "q73_sssp" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |pw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
+         |  CAST(na + nb - 2*i AS BIGINT) AS w
+         |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
+         |e AS (SELECT a AS u, b AS v, w FROM pr UNION SELECT b, a, w FROM pr),
+         |src AS (SELECT min(a) AS s FROM pr),
+         |walk(id, h, dist) AS (
+         |  SELECT s, 0, CAST(0 AS BIGINT) FROM src
+         |  UNION
+         |  SELECT e.v, walk.h + 1, walk.dist + e.w FROM walk JOIN e ON e.u = walk.id WHERE walk.h < 4)
+         |SELECT id AS gid, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin,
+    // 3 unrolled deterministic-walk steps; per-step neighbor choice =
+    // row_number over (md5 hash, neighbor) — identical to the engine's
+    // min(struct(md5, v)) argmin
+    "q74_walks" ->
+      (s"WITH $shingleCtes,\n" +
+        "pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),\n" +
+        "e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),\n" +
+        "s0 AS (SELECT DISTINCT u AS walk_id, u AS gid FROM e),\n" +
+        "n1 AS (SELECT s0.walk_id, e.v, md5(s0.walk_id || '|1|' || e.v) AS h FROM s0 JOIN e ON e.u = s0.gid),\n" +
+        "s1 AS (SELECT walk_id, v AS gid FROM (SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rn FROM n1) WHERE rn = 1),\n" +
+        "n2 AS (SELECT s1.walk_id, e.v, md5(s1.walk_id || '|2|' || e.v) AS h FROM s1 JOIN e ON e.u = s1.gid),\n" +
+        "s2 AS (SELECT walk_id, v AS gid FROM (SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rn FROM n2) WHERE rn = 1),\n" +
+        "n3 AS (SELECT s2.walk_id, e.v, md5(s2.walk_id || '|3|' || e.v) AS h FROM s2 JOIN e ON e.u = s2.gid),\n" +
+        "s3 AS (SELECT walk_id, v AS gid FROM (SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rn FROM n3) WHERE rn = 1)\n" +
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, gid FROM s0 " +
+        "UNION ALL SELECT walk_id, CAST(1 AS BIGINT), gid FROM s1 " +
+        "UNION ALL SELECT walk_id, CAST(2 AS BIGINT), gid FROM s2 " +
+        "UNION ALL SELECT walk_id, CAST(3 AS BIGINT), gid FROM s3"),
     "p02_dedup_minhash" -> shingleCte,
     "p03_dedup_simhash" -> shingleCte,
     "p04_dedup_ngram" -> shingleCte,

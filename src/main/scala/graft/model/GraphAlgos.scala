@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics beyond GripQL's per-traveler algebra — shapes a
@@ -371,6 +371,102 @@ object GraphAlgos {
       .select(col("a").as("gid_a"), col("b").as("gid_b"), col("common"),
         round(col("common") * lit(1.0) / (col("da") + col("db") - col("common")), 4)
           .as("score"))
+  }
+
+  /** Weighted single-source(-set) shortest paths by distributed
+    * Bellman-Ford rounds: dist ← min(dist, min_{u→v}(dist(u) + w(u,v))),
+    * `maxRounds` times — so the result is exactly the minimum over paths
+    * of ≤ `maxRounds` edges (the R-round truncation, which EQUALS the
+    * true distance whenever relaxation converges within R rounds; a
+    * fixed R also lets a SQL oracle walk the graph with a plain
+    * hop-bounded recursive CTE). Early exit when a round changes
+    * nothing — monotonicity makes that identical to running all R
+    * rounds. Unreached vertices are absent; seeds are distance 0.
+    * `weight` is evaluated against the edge row (e.g. a column of the
+    * edge frame or an expression over its `data` JSON) and must be
+    * non-negative for the truncation to be meaningful. Output:
+    * (gid, dist) with dist long.
+    *
+    * Scale shape mirrors [[pageRank]]: the weighted edge list is
+    * repartitioned by source once and checkpointed; each round shuffles
+    * only the narrow (gid, dist) frame — candidate relaxations
+    * pre-aggregate map-side on the destination key before the min — and
+    * each round's frame is checkpointed so lineage stays flat. The
+    * change test is one scalar count per round (same legitimate
+    * driver-scalar class as the PageRank dangling mass). */
+  def shortestPaths(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                    weight: Column, maxRounds: Int = 10,
+                    undirected: Boolean = true): DataFrame = {
+    require(maxRounds >= 0, s"need maxRounds >= 0, got $maxRounds")
+    require(seeds.columns.length == 1,
+      s"seeds must be a single gid column, got (${seeds.columns.mkString(", ")})")
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"), weight.cast("long").as("w"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v"), col("w")))
+             else base).repartition(col("u")).localCheckpoint(true)
+    var dist = seeds.select(col(seeds.columns.head).as("gid"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val relaxed = dist.join(e, dist("gid") === e("u"))
+        .select(col("v").as("gid"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("gid").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      // a relaxation round can only add vertices or lower distances, so
+      // "nothing improved" == "no row differs" == fixpoint reached
+      val improved = next.join(dist.withColumnRenamed("dist", "__old"), Seq("gid"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old")).limit(1).count()
+      if (improved == 0) converged = true
+      dist = next
+      round += 1
+    }
+    dist
+  }
+
+  /** Deterministic DeepWalk-style random walks (Perozzi et al. 2014):
+    * one walk per seed vertex, `steps` hops, where the "random" neighbor
+    * choice at step t is the neighbor minimizing
+    * md5(walk_id || '|' || t || '|' || neighbor) — a hash-seeded uniform
+    * choice that is reproducible across engines (the property a training
+    * pipeline needs for resumable walk-corpus generation, and what lets
+    * a SQL oracle replay the walks exactly). A vertex with no qualifying
+    * neighbors ends its walk early. Output: (walk_id, step, gid) with
+    * step 0 = the seed itself.
+    *
+    * Scale shape: the symmetric edge list is repartitioned by source
+    * once and checkpointed; each step is one join of the narrow
+    * (walk_id, gid) frontier against it plus an argmin aggregation on
+    * walk_id (min(struct(hash, neighbor)) — no window, no second
+    * shuffle), with the frontier checkpointed per step. Walk count
+    * scales with seeds, never with edges². */
+  def randomWalks(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                  steps: Int = 3, undirected: Boolean = true): DataFrame = {
+    require(steps >= 0, s"need steps >= 0, got $steps")
+    require(seeds.columns.length == 1,
+      s"seeds must be a single gid column, got (${seeds.columns.mkString(", ")})")
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).distinct().repartition(col("u")).localCheckpoint(true)
+    var cur = seeds.select(col(seeds.columns.head).as("walk_id"))
+      .distinct().withColumn("gid", col("walk_id")).localCheckpoint(true)
+    var out = cur.select(col("walk_id"), lit(0L).as("step"), col("gid"))
+    var t = 1
+    while (t <= steps && !cur.isEmpty) {
+      val next = cur.join(e, cur("gid") === e("u"))
+        .groupBy("walk_id")
+        .agg(min(struct(
+          md5(concat_ws("|", col("walk_id"), lit(t), col("v"))).as("h"),
+          col("v").as("v"))).as("__pick"))
+        .select(col("walk_id"), col("__pick.v").as("gid"))
+        .localCheckpoint(true)
+      out = out.unionByName(next.select(col("walk_id"), lit(t.toLong).as("step"), col("gid")))
+      cur = next
+      t += 1
+    }
+    out
   }
 
   def clusteringCoefficient(g: GraphFrame, edgeLabel: String): DataFrame = {

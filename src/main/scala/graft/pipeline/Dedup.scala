@@ -137,7 +137,8 @@ object Dedup {
     * shingle strings cut the measured verify time ~30%. An xxhash64
     * collision inside one pair's union (~10² shingles over a 2⁶⁴ domain,
     * p ≈ 10⁻¹⁵) is the only way this diverges from string Jaccard. */
-  private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double,
+                            keepScores: Boolean = false): DataFrame = {
     // sort + dedup once per DOCUMENT so the per-PAIR intersection is a
     // native allocation-free merge scan (graft_sorted_intersect) instead
     // of a hash set built per candidate pair — the verify join runs over
@@ -156,7 +157,10 @@ object Dedup {
           .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
         .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
         .filter(col("jaccard") >= threshold)
-        .select(col("a_id"), col("b_id"))
+        .select((Seq(col("a_id"), col("b_id")) ++ (if (keepScores) Seq(
+          col("__i").cast("long").as("n_common"),
+          size(col("__sha")).cast("long").as("n_a"),
+          size(col("__shb")).cast("long").as("n_b")) else Nil)): _*)
         .localCheckpoint(true)
     } finally hashed.unpersist(false)
   }
@@ -181,6 +185,24 @@ object Dedup {
     withShingles(df, idCol, textCol, shingleN) { sh =>
       val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
       verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
+    }
+  }
+
+  /** [[nearDupMinhash]] keeping the verify pass's set statistics:
+    * (a_id, b_id, n_common, n_a, n_b) — the shared-shingle count and the
+    * two distinct-shingle set sizes the Jaccard was computed from. The
+    * symmetric difference n_a + n_b − 2·n_common is an integer edge
+    * weight ("how far from identical") for weighted graph analytics over
+    * the near-dup graph; exposing it here costs nothing because the
+    * verify join already holds all three numbers. */
+  def nearDupMinhashScored(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 64,
+                           bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    withShingles(df, idCol, textCol, shingleN) { sh =>
+      val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
+      verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold,
+        keepScores = true)
     }
   }
 
