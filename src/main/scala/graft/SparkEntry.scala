@@ -454,6 +454,19 @@ edges:
         gripperGraph(s, d), "region", seeds, iters = 2)
         .select(col("gid"), round(col("rank"), 4).as("ppr"))
     }),
+    // hashed-TF-IDF near-dup pairs: feature-hash tokens into 64 md5
+    // buckets, smoothed-idf weights, L2-normalize, then the same exact
+    // upper-triangle cosine join as p17 — tau 0.98 sits >0.002 from every
+    // pair at sf0.01, so float summation order cannot flip membership
+    "p45_tfidf_pairs" -> ((s, d) =>
+      graft.pipeline.Similarity.nearDupEmbed(
+        TextAnalysis.hashedTfidf(docs(s, d), "doc_id", "text"),
+        "doc_id", "tfidf", tau = 0.98)),
+    // DSIR importance weights toward the English slice of the corpus:
+    // hashed-unigram log-likelihood ratio target-vs-background
+    "p46_dsir" -> ((s, d) =>
+      TextAnalysis.dsirWeights(docs(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en")),
     // weighted SSSP over the near-dup graph from the (string-)min
     // endpoint; weight = shingle-set symmetric difference carried in the
     // edge data, 4 Bellman-Ford rounds = the oracle's hop-bounded walk
@@ -777,6 +790,32 @@ edges:
       "SELECT n_triangles, n_wedges, " +
       "CASE WHEN n_wedges > 0 THEN round(n_triangles * 3.0 / n_wedges, 6) ELSE 0.0 END AS coefficient " +
       "FROM tri CROSS JOIN wed"),
+    // hashed-TF-IDF pair ground truth: same md5-bucket hashing, smoothed
+    // idf, L2 normalization; the pair cosine re-forms as a shared-bucket
+    // join-sum (zero buckets contribute nothing to the dense dot)
+    "p45_tfidf_pairs" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)),' ')) AS t FROM documents), " +
+        "tf AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT % 64 AS b, count(*) AS tf FROM tok GROUP BY 1,2), " +
+        "dfq AS (SELECT b, count(*) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM documents), " +
+        "w AS (SELECT doc_id, b, tf * (ln(((SELECT n FROM nn)+1.0)/(df+1.0)) + 1.0) AS w FROM tf JOIN dfq USING (b)), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nz FROM w GROUP BY 1), " +
+        "u AS (SELECT w.doc_id, b, w / nz AS w FROM w JOIN nrm ON w.doc_id = nrm.doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w*b.w) AS s " +
+        "FROM u a JOIN u b ON a.b = b.b AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+        "SELECT a_id, b_id FROM p WHERE s >= 0.98"),
+    // DSIR ground truth: identical bucket counts, add-one-smoothed
+    // probabilities, the log-ratio written with the same operation order
+    "p46_dsir" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)),' ')) AS t FROM documents), " +
+        "tfb AS (SELECT doc_id, ('0x' || substr(md5(t),1,8))::BIGINT % 64 AS b, count(*) AS tf FROM tok GROUP BY 1,2), " +
+        "tgt AS (SELECT b, sum(tf) AS ct FROM tfb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1), " +
+        "alls AS (SELECT b, sum(tf) AS cb FROM tfb GROUP BY 1), " +
+        "tots AS (SELECT (SELECT CAST(coalesce(sum(ct),0) AS DOUBLE) FROM tgt) AS t, " +
+        "(SELECT CAST(sum(cb) AS DOUBLE) FROM alls) AS g), " +
+        "ratio AS (SELECT a.b, ln(((coalesce(ct,0)+1.0)/(t+64)) / ((cb+1.0)/(g+64))) AS r " +
+        "FROM alls a LEFT JOIN tgt USING (b) CROSS JOIN tots) " +
+        "SELECT doc_id, round(sum(tf * r), 4) AS weight FROM tfb JOIN ratio USING (b) GROUP BY 1"),
     // weighted SSSP ground truth: hop-bounded recursive walk carrying the
     // accumulated weight, min over (<=4)-edge paths per node — the exact
     // Bellman-Ford 4-round truncation. pw re-derives the pair CTE with

@@ -154,6 +154,83 @@ object TextAnalysis {
       .withColumn("mean_freq", round(col("freq_sum") * lit(1.0) / col("n_tokens"), 4))
   }
 
+  /** Stable token→bucket feature hashing (Weinberger et al. 2009): the
+    * first 8 hex chars of md5 mod `dim`. md5 because every engine renders
+    * it identically (a SQL oracle replays the bucketing exactly), and
+    * because feature hashing is what makes the vectorizers below scale —
+    * fixed dimensionality, no driver-side vocabulary, no OOV handling. */
+  private def hashBucket(t: Column, dim: Int): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim
+
+  /** Hashed TF-IDF document vectors: tokens feature-hash into `dim`
+    * buckets ([[hashBucket]]), per-bucket weight = tf · idf with the
+    * smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's variant — strictly
+    * positive, so empty vectors cannot arise), then L2-normalized so the
+    * downstream pair dot product IS the cosine. Output: (id, tfidf:
+    * array<double>[dim]) — unit vectors, feedable straight into the
+    * [[Similarity]] family (near-dup pairs, ANN, kNN).
+    *
+    * Scale shape: one explode→hash-aggregate on (id, bucket), a ≤ dim-row
+    * bucket-frequency aggregate broadcast back with the corpus-count
+    * scalar, and one per-document aggregate that builds the dense vector
+    * via map_from_entries — no window, no driver vocabulary, shuffle
+    * volume ∝ distinct (doc, bucket) pairs, never corpus tokens². */
+  def hashedTfidf(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    val tok = df.select(col(idCol).as("__id"), explode(words(col(textCol))).as("__t"))
+    val tf = tok.groupBy(col("__id"), hashBucket(col("__t"), dim).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy("__b").agg(count(lit(1)).cast("double").as("__df"))
+    val stats = df.agg(count(lit(1)).cast("double").as("__n"))
+    val wtd = tf.join(broadcast(dfreq.crossJoin(stats)), "__b")
+      .select(col("__id"), col("__b"),
+        (col("__tf") * (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0)).as("__w"))
+    wtd.groupBy("__id")
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__w")))).as("__m"),
+        sqrt(sum(col("__w") * col("__w"))).as("__nz"))
+      .select(col("__id").as(idCol),
+        transform(sequence(lit(0L), lit((dim - 1).toLong)), i =>
+          coalesce(element_at(col("__m"), i), lit(0.0)) / col("__nz")).as("tfidf"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, reduced from hashed
+    * bigrams to hashed unigrams): score every document by how much more
+    * likely its tokens are under the TARGET token distribution than under
+    * the corpus-wide background,
+    * weight(d) = Σ_b tf(d,b) · ln( p̂_target(b) / p̂_background(b) ),
+    * with add-one-smoothed bucket probabilities p̂(b) = (c(b)+1)/(total+dim)
+    * over the [[hashBucket]] feature space. Positive = looks like the
+    * target slice; sampling ∝ weight is the DSIR recipe for steering a
+    * 100 TB crawl toward a high-quality target domain. `isTarget` is any
+    * boolean column expression over `df`'s rows (e.g. lang = 'en').
+    * Output: (id, weight) rounded to 4 decimals.
+    *
+    * Scale shape: one explode→hash-aggregate on (id, bucket) feeds both
+    * the per-document probe side and (re-aggregated) the two ≤ dim-row
+    * bucket-count frames; the log-ratio table is broadcast back, so the
+    * only wide shuffle is the (id, bucket) aggregate — same bound as
+    * [[hashedTfidf]], independent of corpus size in the join. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    val tok = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+      explode(words(col(textCol))).as("__t"))
+    val tf = tok.groupBy(col("__id"), col("__tgt"), hashBucket(col("__t"), dim).as("__b"))
+      .agg(count(lit(1)).as("__tf"))
+    val tgt = tf.filter(col("__tgt")).groupBy("__b").agg(sum("__tf").as("__ct"))
+    val all = tf.groupBy("__b").agg(sum("__tf").as("__cb"))
+    val tots = tgt.agg(coalesce(sum("__ct"), lit(0L)).cast("double").as("__t"))
+      .crossJoin(all.agg(sum("__cb").cast("double").as("__g")))
+    val ratio = all.join(tgt, Seq("__b"), "left").crossJoin(tots)
+      .select(col("__b"),
+        log(((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__t") + dim)) /
+          ((col("__cb") + 1.0) / (col("__g") + dim))).as("__r"))
+    tf.join(broadcast(ratio), "__b")
+      .groupBy(col("__id").as(idCol))
+      .agg(round(sum(col("__tf") * col("__r")), 4).as("weight"))
+  }
+
   /** Corpus collocations by pointwise mutual information: adjacent word
     * pairs occurring ≥ `minCount` times, scored
     * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) )

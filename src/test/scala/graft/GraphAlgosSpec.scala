@@ -213,6 +213,61 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(GraphAlgos.linkPredictJaccard(GraphFrame(v, k3), "link").isEmpty)
   }
 
+  test("shortestPaths: relaxation beats the direct edge, truncation bounds hops") {
+    // a-b(1), b-c(1), a-c(5): the 2-hop route to c (2) must beat the
+    // direct edge (5); d hangs off c (weight 2 -> dist 4); f unreachable
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val v = Seq("a", "b", "c", "d", "f").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(
+      ("e1", "link", "a", "b", """{"w":1}"""), ("e2", "link", "b", "c", """{"w":1}"""),
+      ("e3", "link", "a", "c", """{"w":5}"""), ("e4", "link", "c", "d", """{"w":2}"""))
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    val seeds = Seq("a").toDF("gid")
+    val w = get_json_object(col("data"), "$.w")
+    val got = GraphAlgos.shortestPaths(g, "link", seeds, w)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 4L), got.toString)
+    // one round only relaxes direct edges: c keeps the weight-5 edge
+    val trunc = GraphAlgos.shortestPaths(g, "link", seeds, w, maxRounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(trunc == Map("a" -> 0L, "b" -> 1L, "c" -> 5L), trunc.toString)
+    // directed: nothing reaches back over reversed edges
+    val dir = GraphAlgos.shortestPaths(g, "link", Seq("d").toDF("gid"), w,
+      undirected = false).as[(String, Long)].collect().toMap
+    assert(dir == Map("d" -> 0L), dir.toString)
+  }
+
+  test("randomWalks: md5-argmin choice replays, walks follow edges, dead ends stop") {
+    import org.apache.spark.sql.functions.col
+    val v = Seq("a", "b", "c", "z").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "a", "c", "{}"),
+      ("e3", "link", "b", "c", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    val got = GraphAlgos.randomWalks(g, "link", Seq("a").toDF("gid"), steps = 2)
+      .as[(String, Long, String)].collect().toSet
+    // replay the choice rule sequentially: md5("a|1|b") vs md5("a|1|c")
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sym = Map("a" -> Seq("b", "c"), "b" -> Seq("a", "c"), "c" -> Seq("a", "b"))
+    var cur = "a"
+    var expect = Set(("a", 0L, "a"))
+    for (t <- 1 to 2) {
+      cur = sym(cur).minBy(n => (h(s"a|$t|$n"), n))
+      expect += (("a", t.toLong, cur))
+    }
+    assert(got == expect, s"got $got expect $expect")
+    // a seed with no edges emits only its step-0 row
+    val lone = GraphAlgos.randomWalks(g, "link", Seq("z").toDF("gid"), steps = 3)
+      .as[(String, Long, String)].collect().toSet
+    assert(lone == Set(("z", 0L, "z")))
+    // determinism: the same call twice is identical
+    val again = GraphAlgos.randomWalks(g, "link", Seq("a").toDF("gid"), steps = 2)
+      .as[(String, Long, String)].collect().toSet
+    assert(again == got)
+  }
+
   test("label propagation: triangle converges, min-id tie break, isolated keeps own") {
     // triangle a-b-c (hand-traced: r1 a->b,b->a,c->a; r2 all tie-break to a;
     // r3 stable all "a"), bridgeless pair d-e (synchronous oscillation —

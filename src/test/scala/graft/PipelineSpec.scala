@@ -663,4 +663,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got(2L)._4 && !got(2L)._6)                         // dup gate
     assert(got(3L)._2 && !got(3L)._5 && !got(3L)._6)           // stopword gate
   }
+
+  test("hashedTfidf: unit vectors of the right dim; duplicates identical, disjoint docs orthogonal-ish") {
+    val out = TextAnalysis.hashedTfidf(docs, "doc_id", "text", dim = 32)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.size == 5 && out.values.forall(_.length == 32))
+    // unit norm
+    out.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9) }
+    // exact duplicates (after lower/trim) hash to the same vector — up to
+    // 1-ulp norm differences from per-group float summation order
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 }
+    assert(close(out(0L), out(2L)) && close(out(0L), out(4L)))
+    // cosine(dup pair) = 1; the disjoint-vocab doc scores far lower
+    def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos(out(0L), out(2L)) - 1.0) < 1e-9)
+    assert(cos(out(0L), out(1L)) > 0.8)           // near-dup: 8 of 9 words shared
+    assert(cos(out(0L), out(3L)) < 0.1)           // no shared words (modulo bucket collisions)
+  }
+
+  test("dsirWeights: target-like docs score positive, off-target negative, hand-checked ratio") {
+    // target slice = docs containing "spark"; the pure-target doc must
+    // score positive, the pure-background doc negative
+    val d = Seq(
+      (0L, "spark spark spark"),
+      (1L, "hadoop hadoop hadoop"),
+      (2L, "spark hadoop")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(d, "doc_id", "text",
+      isTarget = col("text").contains("spark"), dim = 16)
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) > 0, out.toString)
+    assert(out(1L) < 0, out.toString)
+    // replay the math: target tokens = docs 0,2 -> spark:4, hadoop:1 (T=5);
+    // background: spark:4, hadoop:4 (B=8); dim=16, add-one smoothing
+    def r(ct: Long, cb: Long) = math.log(((ct + 1.0) / (5 + 16.0)) / ((cb + 1.0) / (8 + 16.0)))
+    val expect0 = BigDecimal(3 * r(4, 4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) == expect0, s"${out(0L)} vs $expect0")
+    val expect2 = BigDecimal(r(4, 4) + r(1, 4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == expect2, s"${out(2L)} vs $expect2")
+  }
 }
