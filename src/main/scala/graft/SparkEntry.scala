@@ -270,6 +270,23 @@ edges:
     // the library default is the scale-sane radius 7 — see nearDupSimhash
     "p03_dedup_simhash" -> ((s, d) => Dedup.nearDupSimhash(docs(s, d), "doc_id", "text", maxHamming = 13)),
     "p04_dedup_ngram" -> ((s, d) => Dedup.nearDupNgram(docs(s, d), "doc_id", "text")),
+    // prefix-filtered exact Jaccard join: same pair contract as p04,
+    // candidate generation indexes only each doc's rarest shingles
+    "p47_dedup_prefix" -> ((s, d) => Dedup.nearDupPrefix(docs(s, d), "doc_id", "text")),
+    // asymmetric containment |A∩B|/|A| >= 0.6 — catches docs embedded in
+    // larger containers that symmetric Jaccard misses
+    "p48_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text")),
+    // near-dup survivorship by QUALITY (max qualityScore, tie min id)
+    // instead of min-id — "keep the best copy of each duplicate cluster"
+    "p49_quality_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.survivorsBy(dd, "doc_id", TextAnalysis.qualityScore(col("text")),
+        Dedup.nearDupNgram(dd, "doc_id", "text"))
+        .select(col("doc_id"))
+    }),
+    // corpus-trained bigram-LM perplexity filter (CCNet-style): mean
+    // per-bigram negative log-likelihood under add-one smoothing
+    "p50_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogLoss(docs(s, d), "doc_id", "text")),
     "p05_sim_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -542,6 +559,38 @@ edges:
       |  UNION
       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id)
       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** Quality-survivorship oracle: the recursive-CTE components composed
+    * with the p08 quality fragment and a per-cluster argmax (quality
+    * DESC, id ASC) — only argmax winners and unclustered docs survive. */
+  private def qualityDedupSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $shingleCtes,
+      |pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),
+      |nodes AS (SELECT a_id AS id FROM pr UNION SELECT b_id FROM pr),
+      |e AS (SELECT a_id AS u, b_id AS v FROM pr UNION SELECT b_id, a_id FROM pr),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+      |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |q AS (SELECT doc_id, round(least(1.0, cast(len(w) AS double) / 100.0) * 0.5 +
+      |  least(1.0, cast(len(list_filter(w, x -> list_contains($en, x))) AS double) / cast(len(w) AS double) * 5.0) * 0.5, 4) AS qual FROM dw),
+      |rk AS (SELECT cl.id AS id, row_number() OVER (PARTITION BY cluster_id ORDER BY qual DESC, cl.id ASC) AS rn
+      |  FROM cl JOIN q ON q.doc_id = cl.id)
+      |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+  }
+
+  /** Bigram-LM oracle: identical add-one-smoothed model built in SQL. */
+  private val bigramLmSql =
+    """WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |inst AS (SELECT doc_id, w[g] AS w1, w[g+1] AS w2 FROM dw, unnest(generate_series(1, len(w)-1)) AS u(g)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM inst GROUP BY 1, 2),
+      |uni AS (SELECT t, count(*) AS cu FROM (SELECT unnest(w) AS t FROM dw) GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM uni)
+      |SELECT doc_id, count(*) AS n_bigrams, round(-sum(ln((cb+1.0)/(cu+v)))/count(*), 4) AS nll
+      |FROM inst JOIN bi USING (w1, w2) JOIN uni ON uni.t = inst.w1 CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
 
   /** Lang-id oracle generated from the SAME stopword profiles as the Scala
     * implementation, so the two can never drift apart. */
@@ -857,6 +906,16 @@ edges:
     "p02_dedup_minhash" -> shingleCte,
     "p03_dedup_simhash" -> shingleCte,
     "p04_dedup_ngram" -> shingleCte,
+    // p47 is the prefix-filter algorithm for the SAME exact-Jaccard
+    // contract, so it shares p04's ground truth
+    "p47_dedup_prefix" -> shingleCte,
+    "p48_containment" -> (s"WITH $shingleCtes" +
+      ", cp AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id, " +
+      "len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS c " +
+      "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id) " +
+      "SELECT contained_id, container_id FROM cp WHERE c >= 0.6"),
+    "p49_quality_dedup" -> qualityDedupSql,
+    "p50_bigram_lm" -> bigramLmSql,
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +

@@ -225,55 +225,130 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 1000L): DataFrame =
     withShingles(df, idCol, textCol, shingleN) { sh =>
-      // the index carries xxhash64(shingle), not the ~30-byte string: the
-      // self-join shuffles 8-byte keys and compares longs (same collision
-      // argument as verifyJaccard — one in-doc-pair collision per ~10^15)
-      val inv = sh.select(col("__id"),
-        explode(graft.functions.VectorExprs.hashArray(col("__sh"))).as("__s"))
-      val common = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDf).select("__s")
-      val commonList = common.collect().map(_.getLong(0))
-      if (commonList.nonEmpty) {
-        // mirror simhashCandidates' policy: recall loss is explicit, never
-        // silent — a pair whose EVERY shared shingle is corpus-common
-        // boilerplate is invisible to the capped index
-        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-          s"nearDupNgram: ${commonList.length} shingles above df=$maxDf excluded from the " +
-          "inverted index (their intersection contribution is restored exactly, but pairs " +
-          "sharing ONLY corpus-common shingles cannot become candidates)")
-      }
-      val rareInv =
-        if (commonList.isEmpty) inv
-        else inv.join(broadcast(common), Seq("__s"), "left_anti")
-      // index self-join; join + count beats a groupBy-and-emit-pairs form
-      // because pair volume is Σ df² — per-pair work must stay codegen'd,
-      // not inside an interpreted array lambda (measured 40% slower). The
-      // join strategy is left to stats: broadcast is right while the
-      // index fits (it did at bench scale) and is never picked once the
-      // estimate is corpus-sized.
-      val l = rareInv.alias("l"); val r = rareInv.alias("r")
-      val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
-        .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
-        .agg(count(lit(1)).as("__ir"))
-      val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
-      val withSizes = shared
-        .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
-        .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
-      val withI =
-        if (commonList.isEmpty) withSizes.withColumn("__i", col("__ir"))
-        else {
-          val cpd = sh.select(col("__id"),
-            array_intersect(graft.functions.VectorExprs.hashArray(col("__sh")),
-              typedLit(commonList)).as("__c"))
-          withSizes
-            .join(cpd.select(col("__id").as("a_id"), col("__c").as("__ca")), "a_id")
-            .join(cpd.select(col("__id").as("b_id"), col("__c").as("__cb")), "b_id")
-            .withColumn("__i", col("__ir") + size(array_intersect(col("__ca"), col("__cb"))))
-        }
-      withI
+      sharedShingleCounts(sh, maxDf, "nearDupNgram")
         .withColumn("jaccard", col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
         .filter(col("jaccard") >= threshold)
         .select(col("a_id"), col("b_id"))
+    }
+
+  /** Shared-shingle counts for every unordered doc pair with at least one
+    * rare shared shingle: (a_id, b_id, __i, __na, __nb) with a < b —
+    * the exact-intersection core behind [[nearDupNgram]] and
+    * [[containmentPairs]] (df-cap skew guard documented there). */
+  private def sharedShingleCounts(sh: DataFrame, maxDf: Long, opName: String): DataFrame = {
+    // the index carries xxhash64(shingle), not the ~30-byte string: the
+    // self-join shuffles 8-byte keys and compares longs (same collision
+    // argument as verifyJaccard — one in-doc-pair collision per ~10^15)
+    val inv = sh.select(col("__id"),
+      explode(graft.functions.VectorExprs.hashArray(col("__sh"))).as("__s"))
+    val common = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("__s")
+    val commonList = common.collect().map(_.getLong(0))
+    if (commonList.nonEmpty) {
+      // mirror simhashCandidates' policy: recall loss is explicit, never
+      // silent — a pair whose EVERY shared shingle is corpus-common
+      // boilerplate is invisible to the capped index
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        s"$opName: ${commonList.length} shingles above df=$maxDf excluded from the " +
+        "inverted index (their intersection contribution is restored exactly, but pairs " +
+        "sharing ONLY corpus-common shingles cannot become candidates)")
+    }
+    val rareInv =
+      if (commonList.isEmpty) inv
+      else inv.join(broadcast(common), Seq("__s"), "left_anti")
+    // index self-join; join + count beats a groupBy-and-emit-pairs form
+    // because pair volume is Σ df² — per-pair work must stay codegen'd,
+    // not inside an interpreted array lambda (measured 40% slower). The
+    // join strategy is left to stats: broadcast is right while the
+    // index fits (it did at bench scale) and is never picked once the
+    // estimate is corpus-sized.
+    val l = rareInv.alias("l"); val r = rareInv.alias("r")
+    val shared = l.join(r, col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+      .agg(count(lit(1)).as("__ir"))
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val withSizes = shared
+      .join(sizes.select(col("__id").as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("__n").as("__nb")), "b_id")
+    if (commonList.isEmpty) withSizes.withColumn("__i", col("__ir"))
+    else {
+      val cpd = sh.select(col("__id"),
+        array_intersect(graft.functions.VectorExprs.hashArray(col("__sh")),
+          typedLit(commonList)).as("__c"))
+      withSizes
+        .join(cpd.select(col("__id").as("a_id"), col("__c").as("__ca")), "a_id")
+        .join(cpd.select(col("__id").as("b_id"), col("__c").as("__cb")), "b_id")
+        .withColumn("__i", col("__ir") + size(array_intersect(col("__ca"), col("__cb"))))
+    }
+  }
+
+  /** Shingle-containment pairs (contained_id, container_id): ordered pairs
+    * where |A∩B| / |A| ≥ `threshold` — the asymmetric cousin of
+    * [[nearDupNgram]] that catches a document EMBEDDED in a larger one
+    * (quote farms, wrapper pages, partial scrapes), which symmetric
+    * Jaccard misses whenever the container is much bigger (J ≤ |A|/|B|).
+    * One inverted-index pass serves both directions: the symmetric
+    * (a, b, i, na, nb) counts yield containment a→b as i/na and b→a as
+    * i/nb, so the candidate join runs ONCE and the direction split is a
+    * pure projection (union of two filters, no second shuffle). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.6,
+                       maxDf: Long = 1000L): DataFrame =
+    withShingles(df, idCol, textCol, shingleN) { sh =>
+      val c = sharedShingleCounts(sh, maxDf, "containmentPairs")
+      val iD = col("__i").cast("double")
+      val ab = c.filter(iD / col("__na") >= threshold)
+        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"))
+      val ba = c.filter(iD / col("__nb") >= threshold)
+        .select(col("b_id").as("contained_id"), col("a_id").as("container_id"))
+      ab.unionByName(ba)
+    }
+
+  /** Exact n-gram-Jaccard near-dup pairs via PREFIX FILTERING (Bayardo et
+    * al. 2007 "Scaling Up All Pairs", Xiao et al. PPJoin): same output
+    * contract as [[nearDupNgram]], different candidate generator. Shingle
+    * hashes are globally ordered by (document frequency asc, hash asc) —
+    * rarest first — and only each document's PREFIX (the first
+    * n − ⌈t·n⌉ + 1 ordered shingles) enters the inverted index: two sets
+    * with J ≥ t must share ≥ ⌈t·n⌉ elements, and by the prefix lemma two
+    * such sets must collide inside these prefixes. Candidates then verify
+    * exactly ([[verifyJaccard]]'s sorted-merge intersect).
+    *
+    * Scale shape vs the full inverted index: index volume drops by ~t
+    * (at t=0.5, half), and — decisively — the indexed shingles are the
+    * RAREST of each document, so Σ df² over index entries collapses:
+    * high-df boilerplate shingles sort to the suffix and never join.
+    * That removes the need for [[nearDupNgram]]'s df-cap recall caveat —
+    * this variant is exact with no excluded-pair class. A size-ratio
+    * pruning predicate (⌈t·max(na,nb)⌉ ≤ min(na,nb)) rides the candidate
+    * join for free. */
+  def nearDupPrefix(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    withShingles(df, idCol, textCol, shingleN) { sh =>
+      val hashed = sh.select(col("__id"),
+        array_distinct(graft.functions.VectorExprs.hashArray(col("__sh"))).as("__hs"))
+      val inv = hashed.select(col("__id"), explode(col("__hs")).as("__s"))
+      val dfreq = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+      // per-doc shingles re-assembled in global rarity order; one shuffle
+      // on __id (the struct sort makes (df, hash) the order inside the
+      // collected array, no window needed)
+      val ordered = inv.join(dfreq, "__s")
+        .groupBy("__id")
+        .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__o"))
+        .select(col("__id"),
+          transform(col("__o"), x => x.getField("__s")).as("__os"),
+          size(col("__o")).as("__n"))
+      val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+      val pref = ordered.select(col("__id"), col("__n"),
+        explode(slice(col("__os"), lit(1), prefLen)).as("__s"))
+      val l = pref.alias("l"); val r = pref.alias("r")
+      val cand = l.join(r,
+          col("l.__s") === col("r.__s") && col("l.__id") < col("r.__id") &&
+          ceil(lit(threshold) * greatest(col("l.__n"), col("r.__n"))) <=
+            least(col("l.__n"), col("r.__n")))
+        .select(col("l.__id").as("a_id"), col("r.__id").as("b_id"))
+        .distinct()
+      verifyJaccard(cand, sh, threshold)
     }
 
   /** 64-bit SimHash over the word multiset: bit i of the fingerprint is the
@@ -560,6 +635,31 @@ object Dedup {
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[survivors]] with a QUALITY policy instead of min-id: per near-dup
+    * cluster keep the row maximizing `scoreCol` (ties break on min id) —
+    * the survivorship rule real curation pipelines want, since near-dups
+    * routinely differ in boilerplate, truncation, or encoding damage and
+    * "keep the best copy" beats "keep an arbitrary copy".
+    *
+    * Scale shape: [[clusters]]' log-round contraction produces the
+    * (id, cluster_id) frame; the score joins on the id key, the per-
+    * cluster argmax is one window over cluster_id (clusters are
+    * near-dup-sized, so no skewed partitions), and the loser set — by
+    * construction smaller than the pair list — anti-joins back against
+    * the corpus (broadcast while it fits). The corpus itself is never
+    * shuffled. */
+  def survivorsBy(df: DataFrame, idCol: String, scoreCol: Column,
+                  pairs: DataFrame,
+                  aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val scored = df.select(col(idCol).as("id"), scoreCol.as("__score"))
+    val ranked = clusters(pairs, aCol, bCol).join(scored, "id")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__score").desc, col("id").asc)))
+    val losers = ranked.filter(col("__rn") > 1).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least

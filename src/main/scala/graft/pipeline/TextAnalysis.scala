@@ -231,6 +231,46 @@ object TextAnalysis {
       .agg(round(sum(col("__tf") * col("__r")), 4).as("weight"))
   }
 
+  /** Per-document negative log-likelihood under a corpus-trained bigram
+    * language model with add-one smoothing — the CCNet/KenLM-style
+    * "perplexity filter" reduced to a self-trained bigram model:
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V), V = |vocabulary|, and
+    * nll(d) = mean over d's bigram instances of −ln P. Templated or
+    * in-distribution text scores LOW, out-of-distribution or garbled
+    * text HIGH — rank and cut at a percentile, exactly how production
+    * perplexity filters are applied. Output: (id, n_bigrams, nll)
+    * (rounded to 4); documents with fewer than 2 words have no bigrams
+    * and are not scored.
+    *
+    * Scale shape: the bigram instance frame is built once (explode of a
+    * zip_with over adjacent tokens) and feeds BOTH the model counts (one
+    * hash-aggregate on the bigram key) and the scoring side; counts
+    * attach back via one join on the bigram key after the unigram count
+    * and the broadcast vocabulary scalar fold into the model table — so
+    * the wide work is two token-keyed hash-aggregates and one
+    * model-sized join, all partial-aggregated map-side. Counts stay
+    * integer until the single ln per distinct bigram. */
+  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val inst = df.select(col(idCol).as("__id"), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col("__id"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val uni = df.select(explode(w).as("__t")).groupBy("__t").agg(count(lit(1)).as("__cu"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    // model table: per-bigram −ln P computed ONCE per distinct bigram,
+    // instances then join it on the bigram key
+    val model = inst.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+      .join(uni.withColumnRenamed("__t", "__w1"), "__w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("__w1"), col("__w2"),
+        (-log((col("__cb") + 1.0) / (col("__cu") + col("__v")))).as("__nl"))
+    inst.join(model, Seq("__w1", "__w2"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__nl")) / count(lit(1)), 4).as("nll"))
+  }
+
   /** Corpus collocations by pointwise mutual information: adjacent word
     * pairs occurring ≥ `minCount` times, scored
     * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) )

@@ -683,6 +683,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos(out(0L), out(3L)) < 0.1)           // no shared words (modulo bucket collisions)
   }
 
+  test("nearDupPrefix equals the full-index exact join on planted and varied corpora") {
+    def pairs(df: DataFrame): Set[(Long, Long)] = df.as[(Long, Long)].collect().toSet
+    assert(pairs(Dedup.nearDupPrefix(docs, "doc_id", "text")) ==
+      pairs(Dedup.nearDupNgram(docs, "doc_id", "text")))
+    // varied corpus: templated families with per-doc unique tails exercise
+    // the rarity ordering (unique shingles land in prefixes, family
+    // boilerplate sorts to the suffix and never enters the index)
+    val varied = (0 until 120).map { i =>
+      (i.toLong, s"family${i % 6} shared template body tokens here tail${i} unique${i * 7}")
+    }.toDF("doc_id", "text")
+    val exact = pairs(Dedup.nearDupNgram(varied, "doc_id", "text", maxDf = 1000000L))
+    assert(exact.nonEmpty)
+    assert(pairs(Dedup.nearDupPrefix(varied, "doc_id", "text")) == exact)
+    // and at a different threshold (prefix length depends on t)
+    assert(pairs(Dedup.nearDupPrefix(varied, "doc_id", "text", threshold = 0.8)) ==
+      pairs(Dedup.nearDupNgram(varied, "doc_id", "text", threshold = 0.8, maxDf = 1000000L)))
+  }
+
+  test("containmentPairs: embedded doc found in its container, asymmetric by construction") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon and then a very long unrelated continuation of many words"),
+      (2L, "totally disjoint vocabulary document")
+    ).toDF("doc_id", "text")
+    // doc0's 3 shingles all occur in doc1 -> containment(0 in 1) = 1.0;
+    // doc1 has 14 shingles, only 3 shared -> containment(1 in 0) = 3/14
+    val out = Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.6)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+    // symmetric Jaccard misses the pair entirely at the same bar:
+    // 3/(3+14-3) ≈ 0.21
+    assert(Dedup.nearDupNgram(d, "doc_id", "text", threshold = 0.6).count() == 0)
+  }
+
+  test("survivorsBy keeps the max-score member per cluster, min id on ties") {
+    val d = Seq(
+      (0L, 0.2), (1L, 0.9), (2L, 0.9),   // cluster {0,1,2}: 1 wins (0.9, tie beats 2 on id)
+      (3L, 0.5), (4L, 0.1),              // cluster {3,4}: 3 wins
+      (5L, 0.0)                          // unpaired: always survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.survivorsBy(d, "doc_id", col("score"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 5L))
+  }
+
+  test("bigramLogLoss: hand-computed add-one bigram NLL; single-word docs unscored") {
+    val d = Seq((0L, "a b a b"), (1L, "a c"), (2L, "solo")).toDF("doc_id", "text")
+    // uni: a:3 b:2 c:1 solo:1, V=4; bigrams: (a,b):2 (b,a):1 (a,c):1
+    // P(b|a)=(2+1)/(3+4)  P(a|b)=(1+1)/(2+4)  P(c|a)=(1+1)/(3+4)
+    val out = TextAnalysis.bigramLogLoss(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e0 = round4(-(math.log(3.0 / 7) + math.log(2.0 / 6) + math.log(3.0 / 7)) / 3)
+    val e1 = round4(-math.log(2.0 / 7))
+    assert(out(0L) == ((3L, e0)), out.toString)
+    assert(out(1L) == ((1L, e1)), out.toString)
+    assert(!out.contains(2L))
+  }
+
   test("dsirWeights: target-like docs score positive, off-target negative, hand-checked ratio") {
     // target slice = docs containing "spark"; the pure-target doc must
     // score positive, the pure-background doc negative
