@@ -501,6 +501,22 @@ edges:
       val seeds = ed.select(col("from").as("gid")).union(ed.select(col("to"))).distinct()
       graft.model.GraphAlgos.randomWalks(g, "near_dup", seeds, steps = 3)
     }),
+    // modularity of the 2-round LPA communities on the gripper graph —
+    // the quality score community detection should be judged by; the
+    // oracle recomputes the same unrolled communities then the same sums
+    "q75_modularity" -> ((s, d) => {
+      val g = gripperGraph(s, d)
+      graft.model.GraphAlgos.modularity(g, "region",
+        graft.model.GraphAlgos.labelPropagation(g, "region", maxIters = 2))
+    }),
+    // 2-round mean neighbor aggregation (GraphSAGE-style smoothing) of
+    // per-doc token counts over the near-dup graph
+    "q76_nbr_mean" -> ((s, d) => {
+      val feats = docs(s, d).select(concat(lit("d:"), col("doc_id")).as("gid"),
+        size(split(lower(trim(col("text"))), " ")).as("f"))
+      graft.model.GraphAlgos.aggregateNeighborhood(dedupGraph(s, d), "near_dup",
+        feats, rounds = 2)
+    }),
     // SemDeDup: KMeans cells + within-cell cosine>=0.9 + min-id survivor.
     // Same planted construction as p23: the probes are the only pairs
     // above tau (cross-vector cosine <= 0.5), each probe is ~0.02 rad
@@ -559,6 +575,21 @@ edges:
       |  UNION
       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id)
       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** The q66/q75 shared 2-round synchronous-LPA CTE chain over the
+    * gripper nation→region graph (ties: max count, then min community). */
+  private val lpaCtes =
+    """verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
+      |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
+      |e0 AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |l0 AS (SELECT gid, gid AS community FROM verts),
+      |n1 AS (SELECT e.v AS gid, l.community, count(*) AS cnt FROM edges e JOIN l0 l ON l.gid = e.u GROUP BY e.v, l.community),
+      |b1 AS (SELECT gid, community FROM (SELECT gid, community, row_number() OVER (PARTITION BY gid ORDER BY cnt DESC, community ASC) AS rn FROM n1) WHERE rn = 1),
+      |l1 AS (SELECT l.gid, coalesce(b.community, l.community) AS community FROM l0 l LEFT JOIN b1 b ON l.gid = b.gid),
+      |n2 AS (SELECT e.v AS gid, l.community, count(*) AS cnt FROM edges e JOIN l1 l ON l.gid = e.u GROUP BY e.v, l.community),
+      |b2 AS (SELECT gid, community FROM (SELECT gid, community, row_number() OVER (PARTITION BY gid ORDER BY cnt DESC, community ASC) AS rn FROM n2) WHERE rn = 1),
+      |l2 AS (SELECT l.gid, coalesce(b.community, l.community) AS community FROM l1 l LEFT JOIN b2 b ON l.gid = b.gid)""".stripMargin
 
   /** Quality-survivorship oracle: the recursive-CTE components composed
     * with the p08 quality fragment and a per-cluster argmax (quality
@@ -804,18 +835,32 @@ edges:
     // 2 unrolled synchronous LPA rounds; argmax by (count desc, community
     // asc) via row_number matches the engine's min(struct(-cnt, community))
     "q66_labelprop" ->
-      s"""WITH verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
-         |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
-         |e0 AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
-         |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-         |l0 AS (SELECT gid, gid AS community FROM verts),
-         |n1 AS (SELECT e.v AS gid, l.community, count(*) AS cnt FROM edges e JOIN l0 l ON l.gid = e.u GROUP BY e.v, l.community),
-         |b1 AS (SELECT gid, community FROM (SELECT gid, community, row_number() OVER (PARTITION BY gid ORDER BY cnt DESC, community ASC) AS rn FROM n1) WHERE rn = 1),
-         |l1 AS (SELECT l.gid, coalesce(b.community, l.community) AS community FROM l0 l LEFT JOIN b1 b ON l.gid = b.gid),
-         |n2 AS (SELECT e.v AS gid, l.community, count(*) AS cnt FROM edges e JOIN l1 l ON l.gid = e.u GROUP BY e.v, l.community),
-         |b2 AS (SELECT gid, community FROM (SELECT gid, community, row_number() OVER (PARTITION BY gid ORDER BY cnt DESC, community ASC) AS rn FROM n2) WHERE rn = 1),
-         |l2 AS (SELECT l.gid, coalesce(b.community, l.community) AS community FROM l1 l LEFT JOIN b2 b ON l.gid = b.gid)
+      s"""WITH $lpaCtes
          |SELECT gid, community FROM l2""".stripMargin,
+    // q66's unrolled communities + the Newman sums: L_c/m − (D_c/2m)²
+    // per community with incident edges (both sides omit edge-less ones)
+    "q75_modularity" ->
+      s"""WITH $lpaCtes,
+         |m AS (SELECT cast(count(*) AS double) AS m FROM e0),
+         |ce AS (SELECT lu.community AS cu, lv.community AS cv
+         |  FROM e0 JOIN l2 lu ON lu.gid = e0.u JOIN l2 lv ON lv.gid = e0.v),
+         |intra AS (SELECT cu AS community, count(*) AS n_intra FROM ce WHERE cu = cv GROUP BY cu),
+         |inc AS (SELECT community, count(*) AS deg_sum FROM
+         |  (SELECT cu AS community FROM ce UNION ALL SELECT cv FROM ce) GROUP BY community)
+         |SELECT inc.community, coalesce(n_intra, 0) AS n_intra, deg_sum,
+         |  round(coalesce(n_intra, 0) / m.m - (deg_sum / (2 * m.m)) ^ 2, 6) AS q
+         |FROM inc LEFT JOIN intra ON intra.community = inc.community CROSS JOIN m""".stripMargin,
+    // 2 unrolled mean-aggregation rounds over the exact-Jaccard pair
+    // graph; vertices without neighbors keep their own value each round
+    "q76_nbr_mean" -> (s"WITH $shingleCtes,\n" +
+      """pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),
+        |e AS (SELECT 'd:' || a_id AS u, 'd:' || b_id AS v FROM pr UNION ALL SELECT 'd:' || b_id, 'd:' || a_id FROM pr),
+        |f0 AS (SELECT 'd:' || doc_id AS gid, cast(len(string_split(lower(trim(text)), ' ')) AS double) AS h FROM documents),
+        |a1 AS (SELECT e.u AS gid, avg(f0.h) AS h FROM e JOIN f0 ON f0.gid = e.v GROUP BY e.u),
+        |f1 AS (SELECT f0.gid, coalesce(a1.h, f0.h) AS h FROM f0 LEFT JOIN a1 ON a1.gid = f0.gid),
+        |a2 AS (SELECT e.u AS gid, avg(f1.h) AS h FROM e JOIN f1 ON f1.gid = e.v GROUP BY e.u),
+        |f2 AS (SELECT f1.gid, coalesce(a2.h, f1.h) AS h FROM f1 LEFT JOIN a2 ON a2.gid = f1.gid)
+        |SELECT gid, round(h, 4) AS h FROM f2""".stripMargin),
 
     "p01_dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text))",
     // closed wedges over the exact-Jaccard pair set (a_id < b_id): the

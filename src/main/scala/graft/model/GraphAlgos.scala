@@ -485,4 +485,71 @@ object GraphAlgos {
         round(col("n_triangles") * 3.0 / col("n_wedges"), 6)).otherwise(0.0)
         .as("coefficient"))
   }
+
+  /** Newman modularity of a community assignment, per community:
+    * q_c = L_c/m − (D_c/2m)², where m = |edges of `edgeLabel`| treated
+    * as undirected, L_c = intra-community edge count and D_c = the sum
+    * of member degrees — total modularity is Σ q_c. The quality metric
+    * every community-detection pass ([[labelPropagation]], the clusters
+    * family) should be scored by before its output drives curation
+    * decisions. Output: (community, n_intra, deg_sum, q) with q rounded
+    * to 6; communities with no incident edges contribute 0 and are
+    * omitted.
+    *
+    * Scale shape: the edge list joins the (vertex-sized) assignment
+    * frame once per endpoint on the gid key, then everything aggregates
+    * to community-sized frames; the edge-count scalar broadcasts back.
+    * Nothing is ever pairwise. */
+  def modularity(g: GraphFrame, edgeLabel: String, communities: DataFrame): DataFrame = {
+    val e = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val cm = communities.select(col("gid"), col("community"))
+    val ce = e.join(cm.select(col("gid").as("u"), col("community").as("cu")), "u")
+      .join(cm.select(col("gid").as("v"), col("community").as("cv")), "v")
+    val tot = ce.agg(count(lit(1)).cast("double").as("__m"))
+    val intra = ce.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("n_intra"))
+    val inc = ce.select(col("cu").as("community"))
+      .unionAll(ce.select(col("cv").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    inc.join(intra, Seq("community"), "left").crossJoin(broadcast(tot))
+      .select(col("community"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"),
+        col("deg_sum"),
+        round(coalesce(col("n_intra"), lit(0L)) / col("__m") -
+          pow(col("deg_sum") / (lit(2.0) * col("__m")), 2), 6).as("q"))
+  }
+
+  /** Iterated mean neighbor aggregation — GNN-style message passing
+    * without the learned weights (the GraphSAGE mean aggregator, Hamilton
+    * et al. 2017): h₀ = the given per-vertex feature,
+    * h_{r+1}(v) = mean of h_r over v's neighbors (vertices with no
+    * neighbor keep h_r). `features` is (gid, f); rounds ≥ 1. The
+    * smoothed features feed embedding/label propagation pipelines where
+    * a vertex's context matters more than its own value. Output:
+    * (gid, h) rounded to 4 after the LAST round only.
+    *
+    * Scale shape: same loop discipline as [[labelPropagation]] — the
+    * (doubled, if undirected) edge list is repartitioned on the join key
+    * once and checkpointed; each round shuffles only the narrow (gid, h)
+    * frame through one join + one pre-aggregated mean. */
+  def aggregateNeighborhood(g: GraphFrame, edgeLabel: String, features: DataFrame,
+                            rounds: Int = 2, undirected: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).repartition(col("v")).localCheckpoint(true)
+    var h = features.select(col("gid"), col("f").cast("double").as("h")).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val nb = e.join(h.withColumnRenamed("gid", "v"), "v")
+        .groupBy(col("u").as("gid")).agg(avg(col("h")).as("__nh"))
+      h = h.join(nb, Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("__nh"), col("h")).as("h"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    h.select(col("gid"), round(col("h"), 4).as("h"))
+  }
 }

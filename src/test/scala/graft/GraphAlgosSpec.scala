@@ -281,4 +281,47 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
       "d" -> "d", "e" -> "e", "z" -> "z"), got.toString)
   }
+
+  test("modularity: two clean communities hand-computed; mixed assignment scores lower") {
+    // two triangles {a,b,c} and {d,e,f} joined by one bridge c-d; m = 7
+    val v = Seq("a", "b", "c", "d", "e", "f").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val ed = Seq(("1", "a", "b"), ("2", "b", "c"), ("3", "c", "a"),
+      ("4", "d", "e"), ("5", "e", "f"), ("6", "f", "d"), ("7", "c", "d"))
+      .map { case (i, u, w) => (s"e$i", "link", u, w, "{}") }
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, ed)
+    val two = Seq(("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y"), ("e", "y"), ("f", "y")).toDF("gid", "community")
+    val out = GraphAlgos.modularity(g, "link", two)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // community x: L=3 intra, D = deg(a)+deg(b)+deg(c) = 2+2+3 = 7
+    def q(l: Long, d: Long) = BigDecimal(l / 7.0 - math.pow(d / 14.0, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map("x" -> ((3L, 7L, q(3, 7))), "y" -> ((3L, 7L, q(3, 7)))), out.toString)
+    // everything in ONE community: Q = 7/7 - 1 = 0 — worse than the split
+    val one = v.select($"gid", org.apache.spark.sql.functions.lit("z").as("community"))
+    val qOne = GraphAlgos.modularity(g, "link", one)
+      .as[(String, Long, Long, Double)].collect()
+    assert(qOne.map(_._4).sum == 0.0)
+    assert(out.values.map(_._3).sum > 0.3)
+  }
+
+  test("neighborhood mean aggregation: two rounds hand-traced, isolated keeps value") {
+    // path a-b-c with features 0, 6, 12; isolated z = 99
+    // r1: a = 6, b = (0+12)/2 = 6, c = 6, z = 99
+    // r2: a = 6, b = (6+6)/2 = 6, c = 6
+    val v = Seq("a", "b", "c", "z").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val ed = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val feats = Seq(("a", 0.0), ("b", 6.0), ("c", 12.0), ("z", 99.0)).toDF("gid", "f")
+    val out = GraphAlgos.aggregateNeighborhood(GraphFrame(v, ed), "link", feats, rounds = 2)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 6.0, "b" -> 6.0, "c" -> 6.0, "z" -> 99.0), out.toString)
+    // one round from asymmetric start: a gets b's 6, c gets b's 6, b mean(0,12)=6
+    val r1 = GraphAlgos.aggregateNeighborhood(GraphFrame(v, ed), "link",
+      Seq(("a", 0.0), ("b", 4.0), ("c", 12.0), ("z", 1.0)).toDF("gid", "f"), rounds = 1)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == Map("a" -> 4.0, "b" -> 6.0, "c" -> 4.0, "z" -> 1.0), r1.toString)
+  }
 }
