@@ -306,6 +306,16 @@ edges:
       val e = emb(s, d)
       Similarity.annIvf(e, "vec_id", "embedding", probeQueries(e), "vec_id", "embedding", 1)
     }),
+    // IVF-PQ with exact shortlist rerank: the planted probe's source is
+    // in the probed cells (same construction as p15) and its ADC
+    // distance ≈ the query's own quantization error — far below any
+    // other vector's — so it always reaches the shortlist and the exact
+    // rerank pins it at rank 1
+    "p51_sim_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.annIvfPq(e, "vec_id", "embedding", probeQueries(e), "vec_id", "embedding",
+        k = 1, dim = 64)
+    }),
     // tau=0.45 sits in a measured gap of the corpus cosine distribution
     // (nearest pair cosines 0.4497 / 0.4501 at sf0.1) so float noise
     // cannot flip membership against the oracle
@@ -972,6 +982,8 @@ edges:
     // planted-neighbor probes: the ANN must return each probe's source
     // vector as its rank-1 neighbor (see probeQueries above)
     "p06_sim_ann" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
+      "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
+    "p51_sim_ivfpq" -> ("SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, " +
       "cast(1 AS bigint) AS rank FROM embeddings WHERE vec_id < 10"),
     "p23_dedup_embed_ann" -> ("SELECT vec_id AS a_id, vec_id + 1000000 AS b_id " +
       "FROM embeddings WHERE vec_id < 10"),

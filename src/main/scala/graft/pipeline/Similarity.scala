@@ -270,4 +270,116 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** Product-quantization codebooks: `m` per-subspace KMeans models over
+    * dim/m-wide vector slices (Jégou et al. 2011). cents(sub)(code) is
+    * the dsub-dim centroid; the whole codebook is m·ksub·dsub doubles —
+    * kilobytes — so it travels as expression literals, never a join. */
+  case class PqCodebook(cents: Array[Array[Array[Double]]], dim: Int) {
+    def m: Int = cents.length
+    def ksub: Int = cents(0).length
+    def dsub: Int = dim / m
+  }
+
+  /** Fit the PQ codebook: one KMeans per subspace (same deterministic
+    * seeded random-init policy as [[buildIvf]]). Fit cost is m small
+    * KMeans runs over single slices — at 100 TB you fit on a sample and
+    * encode everything with [[encodePq]]'s single scan. */
+  def buildPqCodebook(corpus: DataFrame, vecCol: String, dim: Int,
+                      m: Int = 4, ksub: Int = 16, seed: Long = 42L): PqCodebook = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = dim / m
+    val cents = (0 until m).map { j =>
+      val slices = corpus.select(array_to_vector(
+        slice(toDouble(col(vecCol)), j * dsub + 1, dsub)).as("__feat"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).setInitMode("random")
+        .setFeaturesCol("__feat").setPredictionCol("__c")
+        .fit(slices).clusterCenters.map(_.toArray)
+    }.toArray
+    PqCodebook(cents, dim)
+  }
+
+  /** Per-subspace squared distances of a vector slice to every centroid
+    * of that subspace's codebook — the shared kernel of encode (argmin)
+    * and ADC (lookup-table build). Pure column expressions. */
+  private def subDists(vec: Column, cb: PqCodebook, j: Int): Seq[Column] = {
+    val sl = slice(vec, j * cb.dsub + 1, cb.dsub)
+    cb.cents(j).toSeq.map { cent =>
+      fsum(zip_with(sl, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)))
+    }
+  }
+
+  /** PQ-encode a corpus in ONE scan with no shuffle: per subspace, the
+    * argmin-distance code (ties to the lower code). Output: (id, code:
+    * array<int>[m]) — m bytes of payload per vector instead of dim
+    * floats; the 16-64x compression is what makes billion-vector ANN
+    * memory-resident. */
+  def encodePq(df: DataFrame, idCol: String, vecCol: String, cb: PqCodebook): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val codes = (0 until cb.m).map { j =>
+      val ds = subDists(v, cb, j)
+      // argmin via least-of-structs: (dist, code) pairs, min is the code
+      least(ds.zipWithIndex.map { case (d, c) => struct(d.as("d"), lit(c).as("c")) }: _*)
+        .getField("c")
+    }
+    df.select(col(idCol), array(codes: _*).as("code"))
+  }
+
+  /** IVF-PQ approximate nearest neighbors — the standard billion-scale
+    * composition (Faiss IVFPQ, here without residual encoding): the IVF
+    * coarse quantizer prunes to `nprobe` cells, PQ codes give each
+    * candidate an asymmetric-distance (ADC) score from a per-query
+    * lookup table WITHOUT touching the stored vectors, the best
+    * `shortlist` per query rerank exactly, and the top `k` of the
+    * rerank return. Distances are squared-L2; `rank` orders ascending.
+    *
+    * Scale shape: the corpus is scanned twice at build (cell assignment,
+    * PQ codes — both shuffle-free after the fits) and NEVER per query:
+    * a probe joins the query's nprobe cells, scores |cell| candidates
+    * through an m-term sum of broadcast-literal table lookups, and only
+    * `shortlist` full vectors per query are touched for the exact
+    * rerank. Probe cost per query ≈ (corpus/nlist)·nprobe code reads —
+    * independent of dim until the rerank. */
+  def annIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
+               seed: Long = 42L): DataFrame = {
+    val ivf = buildIvf(corpus, idCol, vecCol, nlist, seed)
+    val cb = buildPqCodebook(corpus, vecCol, dim, m, ksub, seed)
+    // assigned cells + codes, one narrow frame: (neighbor_id, __bucket, code)
+    val coded = ivf.assigned.join(
+      encodePq(corpus, idCol, vecCol, cb).withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
+      .select(col("neighbor_id"), col("__bucket"), col("code"), col("__v"))
+    val centDf = broadcast(ivf.centroids)
+    val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"))
+    val probes = q.crossJoin(centDf)
+      .withColumn("__dist", fsum(zip_with(col("__q"), col("__cent"), (a, b) => (a - b) * (a - b))))
+      .withColumn("__pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__dist").asc, col("__bucket").asc)))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__q"), col("__bucket"))
+    // ADC: per query the m×ksub table d(j,c) = ||q_j − cent_j,c||² is an
+    // expression over __q; a candidate's score indexes it by its codes
+    val tables = (0 until m).map(j => array(subDists(col("__q"), cb, j): _*).as(s"__t$j"))
+    val adcScore = (0 until m).map(j =>
+      element_at(col(s"__t$j"), element_at(col("code"), j + 1) + 1)).reduce(_ + _)
+    val scored = coded.join(probes.select((col("query_id") +: col("__q") +: col("__bucket") +: tables): _*), "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adcScore)
+    val short = scored.withColumn("__sr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__adc").asc, col("neighbor_id").asc)))
+      .filter(col("__sr") <= shortlist)
+    // exact rerank of the shortlist only
+    short.withColumn("__d", fsum(zip_with(col("__q"), col("__v"), (a, b) => (a - b) * (a - b))))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -117,6 +117,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(probed == ivf, s"persisted probe drifted: ${probed.diff(ivf)} vs ${ivf.diff(probed)}")
   }
 
+  test("ivf-pq: codes well-formed, ADC shortlist + exact rerank matches exact L2 top-k") {
+    val dim = 8
+    val vecs = (0 until 40).map { i =>
+      val base = if (i < 20) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.buildPqCodebook(vecs, "embedding", dim, m = 2, ksub = 4)
+    // KMeans may collapse empty clusters on degenerate two-mode data, so
+    // the realized codebook can be smaller than ksub — never larger
+    assert(cb.m == 2 && cb.dsub == 4 && cb.cents.forall(c => c.nonEmpty && c.length <= 4))
+    val codes = Similarity.encodePq(vecs, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 40)
+    assert(codes.values.forall(c => c.length == 2 &&
+      c.zipWithIndex.forall { case (x, j) => x >= 0 && x < cb.cents(j).length }))
+    // identical inputs encode identically (encoding is a pure expression)
+    val again = Similarity.encodePq(vecs, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(again == codes)
+    // with a shortlist covering the cells, the exact rerank makes the
+    // output EQUAL the exact squared-L2 top-5 (not merely high recall)
+    val q = vecs.filter($"vec_id" === 0 || $"vec_id" === 20)
+    val all = vecs.as[(Long, Seq[Float])].collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val exact = (for (qid <- Seq(0L, 20L)) yield {
+      all.toSeq.filter(_._1 != qid)
+        .map { case (nid, v) => (nid, l2(all(qid), v)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(5).zipWithIndex
+        .map { case ((nid, _), r) => (qid, nid, (r + 1).toLong) }
+    }).flatten.toSet
+    val got = Similarity.annIvfPq(vecs, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 5, dim = dim, nlist = 4, nprobe = 2, m = 2, ksub = 4, shortlist = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == exact, s"missing=${exact.diff(got)} extra=${got.diff(exact)}")
+  }
+
   test("text analysis: langid, quality, tokens, fingerprint are deterministic") {
     val d = Seq((1L, "the cat is on the mat"), (2L, "el gato es de la casa")).toDF("doc_id", "text")
     val lang = d.select($"doc_id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
