@@ -75,6 +75,27 @@ object SparkEntry {
     dedupGraphMemo.computeIfAbsent((s, d), { case (sess, dir) => buildDedupGraph(sess, dir) })
   }
 
+  /** The exact n-gram pair set p18/p49 both consume — memoized per
+    * (session, dir) like [[dedupGraph]]: the inverted-index join is the
+    * expensive half of both entries and identical between them.
+    * nearDupNgram's result is already eagerly localCheckpoint'ed, so
+    * memoizing the frame shares the materialized blocks (tracked in
+    * [[sharedRddIds]] so storage sweeps keep them). p04 intentionally
+    * does NOT use this — it IS the measurement of the pair join. */
+  private val ngramPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    ngramPairsMemo.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    ngramPairsMemo.computeIfAbsent((s, d), { case (sess, dir) =>
+      val before = sess.sparkContext.getPersistentRDDs.keySet
+      val pairs = Dedup.nearDupNgram(docs(sess, dir), "doc_id", "text")
+      pairs.count() // force materialization so the checkpoint blocks exist
+      (sess.sparkContext.getPersistentRDDs.keySet -- before).foreach(sharedRddIds.add)
+      pairs
+    })
+  }
+
   private def buildDedupGraph(s: SparkSession, d: String): graft.model.GraphFrame = {
     // scored variant: same banded join + verify pass, but the edge data
     // keeps the shingle-set symmetric difference n_a + n_b − 2·n_common
@@ -278,12 +299,10 @@ edges:
     "p48_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text")),
     // near-dup survivorship by QUALITY (max qualityScore, tie min id)
     // instead of min-id — "keep the best copy of each duplicate cluster"
-    "p49_quality_dedup" -> ((s, d) => {
-      val dd = docs(s, d)
-      Dedup.survivorsBy(dd, "doc_id", TextAnalysis.qualityScore(col("text")),
-        Dedup.nearDupNgram(dd, "doc_id", "text"))
-        .select(col("doc_id"))
-    }),
+    "p49_quality_dedup" -> ((s, d) =>
+      Dedup.survivorsBy(docs(s, d), "doc_id", TextAnalysis.qualityScore(col("text")),
+        ngramPairs(s, d))
+        .select(col("doc_id"))),
     // corpus-trained bigram-LM perplexity filter (CCNet-style): mean
     // per-bigram negative log-likelihood under add-one smoothing
     "p50_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogLoss(docs(s, d), "doc_id", "text")),
@@ -335,7 +354,7 @@ edges:
     // pairs → connected components → (doc_id, cluster_id): the composition
     // that turns near-dup pair lists into dedup decisions
     "p18_dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(Dedup.nearDupNgram(docs(s, d), "doc_id", "text"), "a_id", "b_id")
+      Dedup.clusters(ngramPairs(s, d), "a_id", "b_id")
         .select(col("id").as("doc_id"), col("cluster_id"))),
     // the one-call curation composition: dedup survivors + quality +
     // token gates + language tag in a single corpus pass

@@ -297,11 +297,17 @@ object Dedup {
     withShingles(df, idCol, textCol, shingleN) { sh =>
       val c = sharedShingleCounts(sh, maxDf, "containmentPairs")
       val iD = col("__i").cast("double")
-      val ab = c.filter(iD / col("__na") >= threshold)
-        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"))
-      val ba = c.filter(iD / col("__nb") >= threshold)
-        .select(col("b_id").as("contained_id"), col("a_id").as("container_id"))
-      ab.unionByName(ba)
+      // both directions in ONE pass over the counts (a union of two
+      // filters would execute the candidate join twice): emit the 0-2
+      // passing directions per pair via explode of a filtered pair array
+      c.select(explode(filter(array(
+          struct((iD / col("__na") >= threshold).as("ok"),
+            col("a_id").as("contained_id"), col("b_id").as("container_id")),
+          struct((iD / col("__nb") >= threshold).as("ok"),
+            col("b_id").as("contained_id"), col("a_id").as("container_id"))),
+          s => s.getField("ok"))).as("__d"))
+        .select(col("__d.contained_id").as("contained_id"),
+          col("__d.container_id").as("container_id"))
     }
 
   /** Exact n-gram-Jaccard near-dup pairs via PREFIX FILTERING (Bayardo et

@@ -281,29 +281,87 @@ object Similarity {
     def dsub: Int = dim / m
   }
 
-  /** Fit the PQ codebook: one KMeans per subspace (same deterministic
-    * seeded random-init policy as [[buildIvf]]). Fit cost is m small
-    * KMeans runs over single slices — at 100 TB you fit on a sample and
-    * encode everything with [[encodePq]]'s single scan. */
+  /** Fit the PQ codebook: Lloyd's iterations over ALL m subspaces at
+    * once — each iteration is ONE job over the cached vector frame using
+    * the same per-subspace argmin expressions as [[encodePq]] (flat
+    * small literals, whole plan reused), re-centering via an
+    * explode→avg aggregate whose output (m·ksub·dsub doubles,
+    * kilobytes) collects to the driver and rides back as next
+    * iteration's literals. One Spark job per iteration instead of a
+    * full MLlib KMeans run per subspace (m fits measured ~7 s of
+    * scheduler overhead; a long-format variant with one shared nested
+    * codebook literal measured ~4 s/iteration in optimizer time — flat
+    * per-centroid literals are the fast shape). Deterministic: init
+    * picks ksub lexicographically-least distinct slices per subspace
+    * from a hash-thresholded sample; a codebook's job is coverage, not
+    * optimality (same rationale as [[buildIvf]]'s random init — recall
+    * comes from the shortlist+rerank, not perfect centroids). At
+    * 100 TB, fit on a sampled corpus and [[encodePq]] everything in one
+    * scan. */
   def buildPqCodebook(corpus: DataFrame, vecCol: String, dim: Int,
-                      m: Int = 4, ksub: Int = 16, seed: Long = 42L): PqCodebook = {
+                      m: Int = 4, ksub: Int = 16, seed: Long = 42L,
+                      iters: Int = 5): PqCodebook = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val dsub = dim / m
-    val cents = (0 until m).map { j =>
-      val slices = corpus.select(array_to_vector(
-        slice(toDouble(col(vecCol)), j * dsub + 1, dsub)).as("__feat"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).setInitMode("random")
-        .setFeaturesCol("__feat").setPredictionCol("__c")
-        .fit(slices).clusterCenters.map(_.toArray)
-    }.toArray
-    PqCodebook(cents, dim)
+    val baseV = corpus.select(toDouble(col(vecCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(1L, baseV.count())
+      // hash-thresholded sample targeting ~20·ksub candidate vectors —
+      // bounded driver collect (the codebook itself is driver-sized)
+      val p = math.min(997L, math.max(1L, 997L * 20L * ksub / n))
+      val sample = baseV.filter(
+          pmod(abs(xxhash64(col("__v"), lit(seed))), lit(997L)) < lit(p) ||
+            lit(n <= 20L * ksub))
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "PQ init sample is empty")
+      var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        sample.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).distinct
+          .sortBy(_.mkString(","))
+          .take(ksub).map(_.toArray)
+      }
+      // pad short subspaces (tiny/dup-heavy corpora) to a UNIFORM code
+      // count by repeating the first centroid — a duplicate can only tie,
+      // and ties break to the lower code, so assignments are unchanged
+      val ks = cents.map(_.length).max
+      cents = cents.map(a => a ++ Array.fill(ks - a.length)(a(0)))
+      var it = 0
+      while (it < iters) {
+        val cb = PqCodebook(cents, dim)
+        // per subspace: code = argmin distance (the encodePq expression),
+        // paired with the slice so one explode yields (sub, code, slice)
+        val entries = (0 until m).map { j =>
+          val ds = subDists(col("__v"), cb, j)
+          val code = least(ds.zipWithIndex.map { case (d, c) =>
+            struct(d.as("d"), lit(c).as("c")) }: _*).getField("c")
+          struct(lit(j).as("s"), code.as("c"),
+            slice(col("__v"), j * dsub + 1, dsub).as("x"))
+        }
+        val upd = baseV.select(explode(array(entries: _*)).as("__e"))
+          .select(col("__e.s").as("__sub"), col("__e.c").as("__c"), posexplode(col("__e.x")))
+          .toDF("__sub", "__c", "__i", "__val")
+          .groupBy("__sub", "__c", "__i").agg(avg(col("__val")).as("__m"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2).toArray).toMap
+        cents = Array.tabulate(m) { j =>
+          Array.tabulate(cents(j).length) { c =>
+            upd.getOrElse((j, c), cents(j)(c)) // empty cluster keeps its centroid
+          }
+        }
+        it += 1
+      }
+      PqCodebook(cents, dim)
+    } finally baseV.unpersist(false)
   }
 
   /** Per-subspace squared distances of a vector slice to every centroid
     * of that subspace's codebook — the shared kernel of encode (argmin)
-    * and ADC (lookup-table build). Pure column expressions. */
+    * and ADC (lookup-table build). The zip_with+aggregate fold runs
+    * interpreted (HOFs get no codegen) but keeps the expression tree
+    * SMALL — an unrolled (vec[i] − literal)² scalar form was tried and
+    * measured 4x SLOWER end-to-end: m·ksub·dsub unique literal terms per
+    * iteration forced Janino to recompile a giant projection per Lloyd
+    * round, dwarfing the interpreted-eval cost it saved. */
   private def subDists(vec: Column, cb: PqCodebook, j: Int): Seq[Column] = {
     val sl = slice(vec, j * cb.dsub + 1, cb.dsub)
     cb.cents(j).toSeq.map { cent =>
