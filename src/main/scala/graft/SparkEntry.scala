@@ -472,6 +472,14 @@ edges:
     // term, scored with the Lucene-style plus-one idf
     "p41_bm25" -> ((s, d) =>
       graft.pipeline.Search.bm25(docs(s, d), "doc_id", "text", bm25Terms)),
+    // hybrid-retrieval combiner: two keyword lists fused by reciprocal
+    // rank — the glue between the BM25 and embedding retrieval families
+    "p52_rrf" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.pipeline.Search.rrfFuse(Seq(
+        graft.pipeline.Search.bm25(dd, "doc_id", "text", bm25Terms),
+        graft.pipeline.Search.bm25(dd, "doc_id", "text", rrfTermsB)), "doc_id", "score")
+    }),
     // corpus collocations: adjacent word pairs seen >= 5 times, PMI-scored
     "p42_collocations" -> ((s, d) => TextAnalysis.collocations(docs(s, d), "text")),
     // Gopher-style named rule gates with per-rule pass/fail flags
@@ -565,6 +573,27 @@ edges:
   /** p41's fixed query bag — terms present across the synthetic corpus at
     * different document frequencies, so idf variation is exercised. */
   private val bm25Terms = Seq("spark", "join", "window")
+
+  /** p52's second list — overlaps the corpus but not [[bm25Terms]], so
+    * the fusion sees single-list and both-list documents. */
+  private val rrfTermsB = Seq("hash", "filter", "merge")
+
+  /** Parameterized BM25 oracle CTE chain (prefix `p` isolates the two
+    * lists p52 fuses); final CTE `sc$p` is (doc_id, score). Generated
+    * from the term bag so the Scala and SQL sides cannot drift. */
+  private def bm25Ctes(p: String, terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"${p}dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      s"${p}lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM ${p}dw), " +
+      s"${p}stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM ${p}lens), " +
+      s"${p}tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM (SELECT doc_id, unnest(w) AS t FROM ${p}dw) " +
+      s"WHERE t IN ($inList) GROUP BY doc_id, t), " +
+      s"${p}dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ${p}tf GROUP BY term), " +
+      s"sc$p AS (SELECT tf.doc_id, round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * " +
+      "(tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 4) AS score " +
+      s"FROM ${p}tf tf JOIN ${p}lens l ON l.doc_id = tf.doc_id JOIN ${p}dfq d ON d.term = tf.term CROSS JOIN ${p}stats s " +
+      "GROUP BY tf.doc_id)"
+  }
 
   /** Shared SQL fragments for the document-shingle oracles. */
   private val shingleCtes =
@@ -1186,16 +1215,15 @@ edges:
     // BM25 with the same plus-one idf and (k1, b) = (1.2, 0.75); the
     // score expression mirrors the Column form operation-for-operation so
     // the IEEE double arithmetic matches before the final round(4)
-    "p41_bm25" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
-      "lens AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM dw), " +
-      "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens), " +
-      "tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM (SELECT doc_id, unnest(w) AS t FROM dw) " +
-      "WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t), " +
-      "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term) " +
-      "SELECT tf.doc_id, round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * " +
-      "(tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 4) AS score " +
-      "FROM tf JOIN lens l ON l.doc_id = tf.doc_id JOIN dfq d ON d.term = tf.term CROSS JOIN stats s " +
-      "GROUP BY tf.doc_id"),
+    "p41_bm25" -> (s"WITH ${bm25Ctes("", bm25Terms)} SELECT doc_id, score FROM sc"),
+    // two keyword lists ranked then fused 1/(60+rank); ranks derive from
+    // the 4-decimal-rounded scores p41 already pins, so they replay
+    // identically on both engines
+    "p52_rrf" -> (s"WITH ${bm25Ctes("a", bm25Terms)}, ${bm25Ctes("b", rrfTermsB)}, " +
+      "ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sca), " +
+      "rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM scb) " +
+      "SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf, count(*) AS n_lists " +
+      "FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY doc_id"),
     // PMI over integer counts with one ratio+ln at the end, mirrored
     // operation-for-operation; DuckDB zips the two equal-length unnests
     "p42_collocations" -> ("WITH dw AS (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents), " +

@@ -61,4 +61,30 @@ object Search {
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 4).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of scored retrieval
+    * lists — the standard hybrid-search combiner (e.g. BM25 keyword hits
+    * fused with embedding-kNN hits, or several query reformulations):
+    * each list is ranked internally (score desc, id asc — deterministic),
+    * and fused(d) = Σ_lists 1/(k0 + rank_list(d)); documents absent from
+    * a list contribute nothing there. k0 = 60 is the paper's constant.
+    * Output: (id, rrf rounded to 6, n_lists = how many lists hit).
+    *
+    * Scale note: inputs are query RESULT lists (top-N bounded), not
+    * corpora, so the per-list global ranking window is a bounded
+    * single-partition sort — same class as the paging operators. The
+    * fusion itself is one hash-aggregate on the id. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+              k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    lists.map { l =>
+      l.select(col(idCol), col(scoreCol))
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(scoreCol).desc, col(idCol).asc)))
+        .select(col(idCol), (lit(1.0) / (col("__r") + lit(k0))).as("__c"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__c")), 6).as("rrf"), count(lit(1)).as("n_lists"))
+  }
 }

@@ -26,4 +26,62 @@ object CurationStreaming {
         TextAnalysis.wsTokens(col(textCol)).as("ws_tokens"))
       .filter(col("quality") >= minQuality &&
         col("ws_tokens").between(minTokens, maxTokens))
+
+  /** Pruned bigram LM frozen from the reference corpus for streaming
+    * perplexity scoring: the `maxModel` most frequent bigrams' −ln P
+    * (P = (c+1)/(c(w₁)+V), matching
+    * [[graft.pipeline.TextAnalysis.bigramLogLoss]]), the `maxVocab` most
+    * frequent unigram counts for unseen-bigram backoff, and the vocab
+    * size. Pruning is how production perplexity filters ship their LM
+    * (KenLM models are pruned the same way); within the caps the stream
+    * score equals the batch op exactly. */
+  case class BigramLm(nl: Map[String, Double], cu: Map[String, Long], v: Long)
+
+  def bigramLmStats(corpus: DataFrame, textCol: String,
+                    maxModel: Int = 100000, maxVocab: Int = 100000): BigramLm = {
+    val w = split(lower(trim(col(textCol))), " ")
+    val uni = corpus.select(explode(w).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = uni.count()
+      val cu = uni.orderBy(col("__cu").desc, col("__t").asc).limit(maxVocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bi = corpus.select(explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("__bg"))
+        .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+        .select(col("__bg"), col("__cb"),
+          element_at(split(col("__bg"), " "), 1).as("__w1"))
+        .join(uni.withColumnRenamed("__t", "__w1"), "__w1")
+        .select(col("__bg"),
+          (-log((col("__cb") + 1.0) / (col("__cu") + lit(v)))).as("__nl"),
+          col("__cb"))
+        .orderBy(col("__cb").desc, col("__bg").asc).limit(maxModel)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      BigramLm(bi, cu, v)
+    } finally uni.unpersist(false)
+  }
+
+  /** Score arrivals against the frozen LM — a pure per-row fold, no
+    * state store, no shuffle, append-safe. Unseen bigrams back off to
+    * the add-one floor −ln(1/(c(w₁)+V)) (c(w₁)=0 for out-of-vocab
+    * words), which is exactly what the batch model assigns a bigram it
+    * never counted. Output: (idCol, n_bigrams, nll) like the batch op;
+    * sub-2-word docs are dropped. */
+  def nllScoreStream(stream: DataFrame, idCol: String, textCol: String,
+                     lm: BigramLm): DataFrame = {
+    val nlLit = typedLit(lm.nl)
+    val cuLit = typedLit(lm.cu)
+    val w = split(lower(trim(col(textCol))), " ")
+    val bgs = zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val fallback = (bg: org.apache.spark.sql.Column) =>
+      -log(lit(1.0) / (coalesce(cuLit(element_at(split(bg, " "), 1)), lit(0L)) + lit(lm.v)))
+    val total = aggregate(bgs, lit(0.0d),
+      (acc, bg) => acc + coalesce(nlLit(bg), fallback(bg)))
+    stream.filter(size(w) >= 2)
+      .select(col(idCol), size(bgs).cast("long").as("n_bigrams"),
+        round(total / size(bgs), 4).as("nll"))
+  }
 }

@@ -780,6 +780,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.contains(2L))
   }
 
+  test("rrfFuse: hand-computed reciprocal ranks, single-list docs fuse with one term") {
+    val la = Seq((10L, 3.0), (11L, 2.0), (12L, 1.0)).toDF("doc_id", "score")
+    val lb = Seq((11L, 9.0), (13L, 8.0)).toDF("doc_id", "score")
+    val out = graft.pipeline.Search.rrfFuse(Seq(la, lb), "doc_id", "score")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ranks: la = 10:1, 11:2, 12:3; lb = 11:1, 13:2
+    assert(out(10L) == ((round6(1.0 / 61), 1L)))
+    assert(out(11L) == ((round6(1.0 / 62 + 1.0 / 61), 2L)))
+    assert(out(12L) == ((round6(1.0 / 63), 1L)))
+    assert(out(13L) == ((round6(1.0 / 62), 1L)))
+    // score ties rank deterministically by id: equal scores -> lower id first
+    val tied = Seq((5L, 1.0), (4L, 1.0)).toDF("doc_id", "score")
+    val t = graft.pipeline.Search.rrfFuse(Seq(tied), "doc_id", "score")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(t(4L) == round6(1.0 / 61) && t(5L) == round6(1.0 / 62))
+  }
+
   test("dsirWeights: target-like docs score positive, off-target negative, hand-checked ratio") {
     // target slice = docs containing "spark"; the pure-target doc must
     // score positive, the pure-background doc negative

@@ -319,6 +319,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bigram-LM NLL equals the batch scorer within the model caps") {
+    import spark.implicits._
+    import graft.streaming.{CurationStreaming, DedupStreaming}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "a b a b"), (1L, "a c"), (2L, "b c a b")).toDF("doc_id", "text")
+    val lm = CurationStreaming.bigramLmStats(corpus, "text")
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = CurationStreaming.nllScoreStream(input.toDF(), "doc_id", "text", lm)
+      .writeStream.format("memory").queryName("slm_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(0, "a b a b", ts(1000)),
+        DedupStreaming.Doc(1, "a c", ts(1001)),
+        DedupStreaming.Doc(7, "solo", ts(1002)),          // < 2 words: dropped
+        DedupStreaming.Doc(8, "zz qq", ts(1003)))         // fully out-of-model
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, nll FROM slm_out")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = graft.pipeline.TextAnalysis.bigramLogLoss(corpus, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(0L) == batch(0L) && got(1L) == batch(1L), s"$got vs $batch")
+      assert(!got.contains(7L))
+      // unseen bigram of unseen words: −ln(1/V) with V=3 vocab words (a,b,c)
+      def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(8L) == ((1L, round4(-math.log(1.0 / 3)))), got.toString)
+    } finally q.stop()
+  }
+
   test("quality rule gates run unchanged on a stream (stateless conjunction)") {
     import spark.implicits._
     import graft.pipeline.Curation
