@@ -95,10 +95,13 @@ def main(port, fixture_dir):
     # vertex data round-trip through the point-read route
     check("getVertex", G.getVertex("Planet:1")["data"]["name"], "Tatooine")
 
-    # ot_labels via the label listing route
+    # ot_labels via the label listing route (both halves of the response)
     labels = G.listLabels()
     check("vertexLabels", sorted(labels["vertexLabels"]),
           ["Character", "Film", "Planet", "Species", "Starship", "Vehicle"])
+    check("edgeLabels", sorted(labels["edgeLabels"]),
+          ["characters", "films", "homeworld", "people", "pilots",
+           "planets", "residents", "species", "starships", "vehicles"])
 
     # ot_index pattern: advisory index add + listing through the client
     G.addIndex("Character", "eye_color")
