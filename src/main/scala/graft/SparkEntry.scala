@@ -306,6 +306,10 @@ edges:
     // corpus-trained bigram-LM perplexity filter (CCNet-style): mean
     // per-bigram negative log-likelihood under add-one smoothing
     "p50_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogLoss(docs(s, d), "doc_id", "text")),
+    // one-row corpus report card: counts, token mass + exact percentiles,
+    // mean quality, English share — the before/after log line of a
+    // curation run
+    "p53_corpus_report" -> ((s, d) => Curation.corpusReport(docs(s, d), "doc_id", "text")),
     "p05_sim_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, "vec_id", "embedding", e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -369,6 +373,8 @@ edges:
       TextAnalysis.reTokens(col("text")).cast("long").as("re_tokens"))),
     "p10_fingerprint" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
     "p11_events_hourly" -> ((s, d) => Events.hourly(events(s, d))),
+    // hourly volume z-scores per event type (ops anomaly detection)
+    "p54_event_anomaly" -> ((s, d) => Events.anomaly(events(s, d))),
     "p12_events_sessions" -> ((s, d) => Events.sessionize(events(s, d))),
     "p13_events_topk" -> ((s, d) => Events.topKByValue(events(s, d), 3)
       .withColumn("rank", col("rank").cast("long"))),
@@ -546,6 +552,10 @@ edges:
       graft.model.GraphAlgos.modularity(g, "region",
         graft.model.GraphAlgos.labelPropagation(g, "region", maxIters = 2))
     }),
+    // degree assortativity of the near-dup graph: do template hubs link
+    // to hubs or to leaves?
+    "q77_assortativity" -> ((s, d) =>
+      graft.model.GraphAlgos.assortativity(dedupGraph(s, d), "near_dup")),
     // 2-round mean neighbor aggregation (GraphSAGE-style smoothing) of
     // per-doc token counts over the near-dup graph
     "q76_nbr_mean" -> ((s, d) => {
@@ -668,6 +678,27 @@ edges:
       |rk AS (SELECT cl.id AS id, row_number() OVER (PARTITION BY cluster_id ORDER BY qual DESC, cl.id ASC) AS rn
       |  FROM cl JOIN q ON q.doc_id = cl.id)
       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+  }
+
+  /** Corpus-report oracle: the p07/p08/p09 signal fragments composed into
+    * one summary row; quantile_cont mirrors Spark's interpolated exact
+    * `percentile` (the q41 pairing). */
+  private def corpusReportSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w, text FROM documents),
+       |h AS (SELECT doc_id,
+       |  $langHits,
+       |  cast(len(w) AS double) AS n,
+       |  cast(len(list_filter(w, x -> list_contains($en, x))) AS double) AS s,
+       |  cast(len(string_split(text, ' ')) AS bigint) AS ws FROM t),
+       |x AS (SELECT ws,
+       |  round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS q,
+       |  CASE WHEN ($langCase) = 'en' THEN 1 ELSE 0 END AS en FROM h)
+       |SELECT count(*) AS n_docs, sum(ws) AS total_tokens, round(avg(ws), 4) AS mean_tokens,
+       |  round(quantile_cont(ws, 0.5), 4) AS p50_tokens,
+       |  round(quantile_cont(ws, 0.9), 4) AS p90_tokens,
+       |  round(quantile_cont(ws, 0.99), 4) AS p99_tokens,
+       |  round(avg(q), 4) AS mean_quality, round(avg(en), 4) AS en_share FROM x""".stripMargin
   }
 
   /** Bigram-LM oracle: identical add-one-smoothed model built in SQL. */
@@ -1019,6 +1050,19 @@ edges:
       "SELECT contained_id, container_id FROM cp WHERE c >= 0.6"),
     "p49_quality_dedup" -> qualityDedupSql,
     "p50_bigram_lm" -> bigramLmSql,
+    "p53_corpus_report" -> corpusReportSql,
+    // exact integer moment sums over the doubled near-dup edge list; the
+    // one division happens at the end on both sides
+    "q77_assortativity" -> (s"WITH $shingleCtes,\n" +
+      "pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "bi AS (SELECT a_id AS u, b_id AS v FROM pr UNION ALL SELECT b_id, a_id FROM pr), " +
+      "deg AS (SELECT u AS x, count(*) AS d FROM bi GROUP BY u), " +
+      "ed AS (SELECT du.d AS dx, dv.d AS dy FROM bi JOIN deg du ON du.x = bi.u JOIN deg dv ON dv.x = bi.v), " +
+      "sums AS (SELECT count(*) AS m, sum(dx*dy) AS sxy, sum(dx) AS sx, sum(dy) AS sy, " +
+      "sum(dx*dx) AS sxx, sum(dy*dy) AS syy FROM ed) " +
+      "SELECT cast(m / 2 AS bigint) AS n_edges, " +
+      "round((m * sxy - sx * sy) / sqrt(cast(m * sxx - sx * sx AS double) * cast(m * syy - sy * sy AS double)), 6) AS r " +
+      "FROM sums"),
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +
@@ -1101,6 +1145,13 @@ edges:
       "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"),
     "p11_events_hourly" -> ("SELECT event_type, cast(floor(floor(epoch(ts)) / 3600) * 3600 AS bigint) AS hour_start, " +
       "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+    // p11's hourly counts + per-type mean/sample-stddev z-scores
+    "p54_event_anomaly" -> ("WITH h AS (SELECT event_type, " +
+      "cast(floor(floor(epoch(ts)) / 3600) * 3600 AS bigint) AS hour_start, count(*) AS n " +
+      "FROM events GROUP BY 1, 2), " +
+      "st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM h GROUP BY event_type) " +
+      "SELECT h.event_type, hour_start, n, round((n - mu) / sd, 4) AS z " +
+      "FROM h JOIN st ON st.event_type = h.event_type WHERE sd > 0"),
     "p12_events_sessions" -> ("WITH e AS (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS es FROM events), " +
       "l AS (SELECT user_id, es, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev FROM e) " +
       "SELECT user_id, cast(sum(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END) AS bigint) AS n_sessions, " +

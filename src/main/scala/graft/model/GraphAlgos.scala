@@ -520,6 +520,48 @@ object GraphAlgos {
           pow(col("deg_sum") / (lit(2.0) * col("__m")), 2), 6).as("q"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of the
+    * degrees at the two ends of every undirected edge — positive when
+    * hubs link to hubs (social graphs), negative when hubs link to
+    * leaves (web/biology); on a near-dup graph it distinguishes "a few
+    * giant template families" (negative) from "chains of small
+    * clusters". Both orientations of each canonical edge enter the sums
+    * (the standard undirected convention), so all six moments are exact
+    * integers and the single division happens once, rounded to 6.
+    * Output: one row (n_edges, r); r is null for degree-regular graphs
+    * (zero variance).
+    *
+    * Scale shape: canonical edges → one degree aggregate → two
+    * vertex-keyed joins to attach endpoint degrees → one scalar
+    * aggregate. Nothing pairwise beyond the edge list itself. */
+  def assortativity(g: GraphFrame, edgeLabel: String): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val bi = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = bi.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+    val ed = bi
+      .join(deg.select(col("x").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("__dv")), "v")
+    ed.agg(
+        count(lit(1)).as("__m"),
+        sum(col("__du") * col("__dv")).as("__sxy"),
+        sum(col("__du")).as("__sx"), sum(col("__dv")).as("__sy"),
+        sum(col("__du") * col("__du")).as("__sxx"),
+        sum(col("__dv") * col("__dv")).as("__syy"))
+      .select((col("__m") / 2).cast("long").as("n_edges"), {
+        val varx = (col("__m") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+        val vary = (col("__m") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+        // degree-regular graphs have zero variance: r undefined -> null
+        // (explicit guard — ANSI mode makes the bare division an error)
+        round(when(varx > 0 && vary > 0,
+          (col("__m") * col("__sxy") - col("__sx") * col("__sy")) / sqrt(varx * vary)), 6)
+          .as("r")
+      })
+  }
+
   /** Iterated mean neighbor aggregation — GNN-style message passing
     * without the learned weights (the GraphSAGE mean aggregator, Hamilton
     * et al. 2017): h₀ = the given per-vertex feature,

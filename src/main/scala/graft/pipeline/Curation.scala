@@ -59,6 +59,35 @@ object Curation {
         col("ok_words") && col("ok_word_len") && col("ok_dup") && col("ok_stop"))
   }
 
+  /** One-scan corpus report card — the summary row every curation run
+    * should log before and after its gates: document count, token mass,
+    * exact token-count percentiles (interpolated, the `percentile`
+    * aggregate — sortable within a corpus scan, unlike a sketch it
+    * hash-matches an external oracle), mean quality, and the English
+    * share by the stopword language id. Output: one row
+    * (n_docs, total_tokens, mean_tokens, p50/p90/p99_tokens,
+    * mean_quality, en_share), floats rounded to 4.
+    *
+    * Scale note: a single aggregation over per-row column expressions —
+    * the exact percentile is the one sort-bearing term; swap in
+    * percentile_approx when the corpus outgrows it and bit-exact
+    * reporting stops mattering. */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = df.select(
+      TextAnalysis.wsTokens(col(textCol)).as("__t"),
+      TextAnalysis.qualityScore(col(textCol)).as("__q"),
+      (TextAnalysis.langId(col(textCol)) === "en").cast("int").as("__en"))
+    sig.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__t")).as("total_tokens"),
+      round(avg(col("__t")), 4).as("mean_tokens"),
+      round(expr("percentile(__t, 0.5)"), 4).as("p50_tokens"),
+      round(expr("percentile(__t, 0.9)"), 4).as("p90_tokens"),
+      round(expr("percentile(__t, 0.99)"), 4).as("p99_tokens"),
+      round(avg(col("__q")), 4).as("mean_quality"),
+      round(avg(col("__en")), 4).as("en_share"))
+  }
+
   /** Cumulative fraction boundaries as fixed-width lowercase hex strings;
     * 8 hex digits of md5 give 2^32 buckets, so fraction resolution is
     * ~2.3e-10. Fixed width + lowercase hex makes lexicographic comparison

@@ -40,6 +40,27 @@ object Events {
       .agg(sum(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Hourly volume anomaly detection per event type: z-score of each
+    * (type, hour) event count against that type's own hourly mean and
+    * sample standard deviation — the ops-dashboard question ("which hour
+    * is off-profile for this event type?") as one operator. Output:
+    * (event_type, hour_start, n, z rounded to 4); types whose volume
+    * never varies (sd = 0 or a single hour) emit nothing. Filter |z| at
+    * the call site for an alert threshold.
+    *
+    * Scale shape: the hourly aggregate is the only corpus-wide shuffle
+    * ([[hourly]]'s one hash-agg); the per-type stats frame is
+    * types-sized and broadcasts back. */
+  def anomaly(events: DataFrame): DataFrame = {
+    val h = hourly(events).select(col("event_type"), col("hour_start"), col("n"))
+    val stats = h.groupBy("event_type")
+      .agg(avg(col("n")).as("__mu"), stddev_samp(col("n")).as("__sd"))
+    h.join(broadcast(stats), "event_type")
+      .filter(col("__sd") > 0)
+      .select(col("event_type"), col("hour_start"), col("n"),
+        round((col("n") - col("__mu")) / col("__sd"), 4).as("z"))
+  }
+
   /** Top-k events per user by value (deterministic tie-break on event_id). */
   def topKByValue(events: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)

@@ -307,6 +307,21 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum > 0.3)
   }
 
+  test("assortativity: star is exactly -1, regular graph has undefined (null) r") {
+    val v = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val star = Seq(("e1", "link", "c", "a", "{}"), ("e2", "link", "c", "b", "{}"),
+      ("e3", "link", "c", "d", "{}")).toDF("gid", "label", "from", "to", "data")
+    val out = GraphAlgos.assortativity(GraphFrame(v, star), "link").collect()(0)
+    assert(out.getAs[Long]("n_edges") == 3)
+    assert(out.getAs[Double]("r") == -1.0)
+    // triangle: every degree 2 -> zero variance -> r is null, edges still counted
+    val tri = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "link", "c", "a", "{}")).toDF("gid", "label", "from", "to", "data")
+    val t = GraphAlgos.assortativity(GraphFrame(v, tri), "link").collect()(0)
+    assert(t.getAs[Long]("n_edges") == 3)
+    assert(t.isNullAt(t.fieldIndex("r")))
+  }
+
   test("neighborhood mean aggregation: two rounds hand-traced, isolated keeps value") {
     // path a-b-c with features 0, 6, 12; isolated z = 99
     // r1: a = 6, b = (0+12)/2 = 6, c = 6, z = 99

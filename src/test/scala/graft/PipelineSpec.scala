@@ -217,6 +217,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(2L) == ((1L, 1L)))
   }
 
+  test("anomaly: hand-computed hourly z-scores; constant-volume types emit nothing") {
+    def ev(id: Long, hour: Long, idx: Long, typ: String) =
+      (id, (hour * 3600 + idx) * 1000000000L, 1L, typ, 1.0, "{}")
+    // type a: hourly counts [1, 1, 4] -> mu=2, sd=sqrt(3); type b: one hour
+    val e = (Seq(ev(1, 0, 0, "a"), ev(2, 1, 0, "a")) ++
+      (0 until 4).map(i => ev(10 + i, 2, i, "a")) ++
+      Seq(ev(20, 0, 0, "b")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.anomaly(e).as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = math.sqrt(3.0)
+    assert(out == Map(("a", 0L) -> round4(-1 / sd), ("a", 3600L) -> round4(-1 / sd),
+      ("a", 7200L) -> round4(2 / sd)), out.toString)
+  }
+
+  test("corpusReport: one-row summary with hand-computed interpolated percentiles") {
+    val d = Seq(
+      (0L, "the"), (1L, "the fox"), (2L, "the quick brown"),
+      (3L, "der und ist echt")).toDF("doc_id", "text")
+    val r = Curation.corpusReport(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("total_tokens") == 10)
+    assert(r.getAs[Double]("mean_tokens") == 2.5)
+    // sorted token counts [1,2,3,4]: p50 = 2.5, p90 = 3.7, p99 = 3.97
+    assert(r.getAs[Double]("p50_tokens") == 2.5)
+    assert(r.getAs[Double]("p90_tokens") == 3.7)
+    assert(r.getAs[Double]("p99_tokens") == 3.97)
+    // 3 of 4 docs lead with English stopwords
+    assert(r.getAs[Double]("en_share") == 0.75)
+  }
+
   test("asOf: latest right at-or-before each left, per key, deterministic on ties") {
     // user 1: views at 10, 20, 20 (ids 2, 3, 4 -> tie keeps max id 4);
     // purchases at 5 (no prior -> null), 15 (view 2), 20 (at-or-before -> 4)
