@@ -556,6 +556,9 @@ edges:
     // to hubs or to leaves?
     "q77_assortativity" -> ((s, d) =>
       graft.model.GraphAlgos.assortativity(dedupGraph(s, d), "near_dup")),
+    // per-edge triangle support (k-truss building block) on the same graph
+    "q78_truss_support" -> ((s, d) =>
+      graft.model.GraphAlgos.trussSupport(dedupGraph(s, d), "near_dup")),
     // 2-round mean neighbor aggregation (GraphSAGE-style smoothing) of
     // per-doc token counts over the near-dup graph
     "q76_nbr_mean" -> ((s, d) => {
@@ -1063,6 +1066,15 @@ edges:
       "SELECT cast(m / 2 AS bigint) AS n_edges, " +
       "round((m * sxy - sx * sy) / sqrt(cast(m * sxx - sx * sx AS double) * cast(m * syy - sy * sy AS double)), 6) AS r " +
       "FROM sums"),
+    // common-neighbor count per canonical edge; support is orientation-
+    // invariant so the string-canonical pairs match the Spark side
+    "q78_truss_support" -> (s"WITH $shingleCtes,\n" +
+      "pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "ce AS (SELECT least('d:' || a_id, 'd:' || b_id) AS u, greatest('d:' || a_id, 'd:' || b_id) AS v FROM pr), " +
+      "bi AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce), " +
+      "sup AS (SELECT ce.u, ce.v, count(*) AS s FROM ce " +
+      "JOIN bi n1 ON n1.u = ce.u JOIN bi n2 ON n2.u = ce.v AND n2.v = n1.v GROUP BY ce.u, ce.v) " +
+      "SELECT ce.u, ce.v, coalesce(s, 0) AS support FROM ce LEFT JOIN sup ON sup.u = ce.u AND sup.v = ce.v"),
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +

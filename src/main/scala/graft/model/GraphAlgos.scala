@@ -520,6 +520,33 @@ object GraphAlgos {
           pow(col("deg_sum") / (lit(2.0) * col("__m")), 2), 6).as("q"))
   }
 
+  /** Per-edge triangle support — |N(u) ∩ N(v)| for every undirected edge
+    * {u, v} — the k-truss building block (an edge is in the k-truss iff
+    * support ≥ k−2) and the "is this link corroborated by a shared
+    * neighborhood?" signal link-cleaning passes cut on. Output:
+    * (u, v, support) for every canonical edge, support 0 included.
+    *
+    * Scale shape: common neighbors arrive through two joins pivoting on
+    * the shared endpoint (the same wedge family as [[triangleCount]] /
+    * [[linkPredictJaccard]]) — candidates only ever form through
+    * adjacent vertices, never all-pairs; the zero-support edges return
+    * via one left join of the edge list against the aggregated counts. */
+  def trussSupport(g: GraphFrame, edgeLabel: String): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val bi = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+    val sup = canon.alias("e")
+      .join(bi.alias("n1"), col("n1.u") === col("e.u"))
+      .join(bi.alias("n2"), col("n2.u") === col("e.v") && col("n2.v") === col("n1.v"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("__s"))
+    canon.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("__s"), lit(0L)).as("support"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of the
     * degrees at the two ends of every undirected edge — positive when
     * hubs link to hubs (social graphs), negative when hubs link to

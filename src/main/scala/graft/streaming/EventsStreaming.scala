@@ -25,6 +25,32 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Frozen per-type hourly volume profile for streaming anomaly
+    * scoring: (mean, sample stddev) of the reference window's hourly
+    * counts per event type, collected to the driver (types-sized — a
+    * bounded driver decision like the LM/BM25 stats). Types with no
+    * variance are excluded, matching the batch op. */
+  def anomalyStats(events: DataFrame): Map[String, (Double, Double)] =
+    graft.pipeline.Events.hourly(events)
+      .groupBy("event_type")
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      .filter(col("sd") > 0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+  /** Score finalized [[hourlyStream]] windows against the frozen profile
+    * — a stateless projection over the windowed aggregate, so the only
+    * state is the watermarked window store hourlyStream already keeps.
+    * Unknown or constant-volume types are dropped (no profile). Output:
+    * (event_type, hour_start, n, z) append stream, z rounded to 4 like
+    * the batch [[graft.pipeline.Events.anomaly]]. */
+  def anomalyScoreStream(hourly: DataFrame, stats: Map[String, (Double, Double)]): DataFrame = {
+    val muLit = typedLit(stats.view.mapValues(_._1).toMap)
+    val sdLit = typedLit(stats.view.mapValues(_._2).toMap)
+    hourly.filter(muLit(col("event_type")).isNotNull)
+      .select(col("event_type"), col("hour_start"), col("n"),
+        round((col("n") - muLit(col("event_type"))) / sdLit(col("event_type")), 4).as("z"))
+  }
+
   case class FunnelState(stage: Int, anchorMs: Long)
   case class FunnelProgress(user_id: Long, stages_completed: Int)
 

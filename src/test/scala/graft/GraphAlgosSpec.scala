@@ -307,6 +307,19 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum > 0.3)
   }
 
+  test("trussSupport: K4 edges support 2, bridge supports 0, pendant edge 0") {
+    // K4 on a,b,c,d plus a pendant edge d-z: every K4 edge closes 2
+    // triangles; the pendant closes none
+    val v = Seq("a", "b", "c", "d", "z").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "z"))
+    val ed = k4.zipWithIndex.map { case ((u, w), i) => (s"e$i", "link", u, w, "{}") }
+      .toDF("gid", "label", "from", "to", "data")
+    val out = GraphAlgos.trussSupport(GraphFrame(v, ed), "link")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("a", "d") -> 2L,
+      ("b", "c") -> 2L, ("b", "d") -> 2L, ("c", "d") -> 2L, ("d", "z") -> 0L), out.toString)
+  }
+
   test("assortativity: star is exactly -1, regular graph has undefined (null) r") {
     val v = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
     val star = Seq(("e1", "link", "c", "a", "{}"), ("e2", "link", "c", "b", "{}"),

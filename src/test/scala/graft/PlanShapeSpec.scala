@@ -114,4 +114,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"bigram counting must map-side combine before its exchange:\n$p")
   }
+
+  test("bigramLogLoss: model joins on the bigram key, never cartesian, partial aggs") {
+    val p = plan(TextAnalysis.bigramLogLoss(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"model counting must map-side combine:\n$p")
+  }
+
+  // (containmentPairs' single-pass direction split can't be plan-pinned
+  // here: withShingles eagerly localCheckpoints the result, so the
+  // returned frame's executedPlan is just the checkpoint scan. The
+  // explode-not-union shape lives in Dedup.containmentPairs with the
+  // rationale; PipelineSpec pins the output.)
+
+  test("corpusReport: single aggregation pass, no joins at all") {
+    val p = plan(Curation.corpusReport(docs, "doc_id", "text"))
+    assert(!p.contains("Join"), s"the report is one scan + one aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anomaly: per-type stats broadcast back onto the hourly frame") {
+    val ev = (0L until 200L).map(i =>
+      (i, (i % 50) * 3600L * 1000000000L, i % 7, s"t${i % 3}", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = plan(Events.anomaly(ev))
+    assert(p.contains("BroadcastHashJoin"),
+      s"types-sized stats must broadcast, not shuffle the hourly frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a_id", "b_id")
+    val p = plan(Dedup.survivorsBy(docs, "doc_id",
+      org.apache.spark.sql.functions.length($"text").cast("double"), pairs))
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"loser set must anti-join by broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -36,6 +36,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly z-scores finalized windows against a frozen profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference profile: type a hourly counts [1, 1, 4] -> mu=2, sd=sqrt(3)
+    val ref = (Seq((1L, 0L, "a"), (2L, 3600L, "a")) ++
+      (0 until 4).map(i => (10L + i, 7200L + i, "a")))
+      .map { case (id, sec, t) => (id, sec * 1000000000L, 1L, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stats = EventsStreaming.anomalyStats(ref)
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.anomalyScoreStream(
+        EventsStreaming.hourlyStream(input.toDF(), "10 minutes"), stats)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // an hour with 3 'a' events, plus an unknown type, then advance the
+      // watermark far enough to finalize the first hour
+      input.addData(Event(1, ts(100), 1, "a", 1.0), Event(2, ts(200), 1, "a", 1.0),
+        Event(3, ts(300), 1, "a", 1.0), Event(4, ts(400), 1, "zz", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(50000), 1, "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_type, n, z FROM anom_out")
+        .as[(String, Long, Double)].collect().toSet
+      def round4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == Set(("a", 3L, round4(1 / math.sqrt(3)))), got.toString)
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization closes sessions on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
