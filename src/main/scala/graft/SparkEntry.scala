@@ -297,6 +297,16 @@ edges:
     // asymmetric containment |A∩B|/|A| >= 0.6 — catches docs embedded in
     // larger containers that symmetric Jaccard misses
     "p48_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text")),
+    // incremental exact dedup: the even half of the corpus is the signed
+    // reference; planted re-identified copies of it (id+1e6) plus the
+    // odd half probe the index — exactly the copies flag
+    "p55_dedup_exact_cross" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ref = dd.filter(col("doc_id") % 2 === 0)
+      val probe = ref.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")))
+      Dedup.probeExactIndex(Dedup.buildExactIndex(ref, "text"), probe, "doc_id", "text")
+    }),
     // near-dup survivorship by QUALITY (max qualityScore, tie min id)
     // instead of min-id — "keep the best copy of each duplicate cluster"
     "p49_quality_dedup" -> ((s, d) =>
@@ -1053,6 +1063,11 @@ edges:
       "SELECT contained_id, container_id FROM cp WHERE c >= 0.6"),
     "p49_quality_dedup" -> qualityDedupSql,
     "p50_bigram_lm" -> bigramLmSql,
+    "p55_dedup_exact_cross" -> ("SELECT p.doc_id FROM (" +
+      "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0 " +
+      "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) p " +
+      "WHERE EXISTS (SELECT 1 FROM documents r WHERE r.doc_id % 2 = 0 " +
+      "AND lower(trim(r.text)) = lower(trim(p.text)))"),
     "p53_corpus_report" -> corpusReportSql,
     // exact integer moment sums over the doubled near-dup edge list; the
     // one division happens at the end on both sides

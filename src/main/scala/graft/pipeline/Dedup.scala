@@ -898,6 +898,37 @@ object Dedup {
     } finally shA.unpersist(false)
   }
 
+  /** Incremental EXACT dedup against a persisted reference corpus — the
+    * identity-case mirror of the MinHash band index: sign the reference
+    * once as a distinct set of normalized-text hashes (8 bytes/doc, no
+    * text retained), then flag every later crawl's exact repeats with
+    * one semi-join. The first gate of an incremental ingest pipeline:
+    * cheap enough to run on every batch before the near-dup machinery.
+    * Same xxhash64 identity argument as [[exact]] (~1e-15 collision
+    * odds across a trillion-doc corpus pair). */
+  def buildExactIndex(ref: DataFrame, refTextCol: String): DataFrame =
+    ref.select(xxhash64(normalize(col(refTextCol))).as("__h")).distinct()
+
+  def saveExactIndex(index: DataFrame, dir: String): Unit =
+    index.write.mode("overwrite").parquet(dir)
+
+  def loadExactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Rows of `newDf` whose normalized text already occurs in the
+    * reference index. Output: (idCol) of the exact repeats — anti-join
+    * the result to keep only novel documents.
+    *
+    * Scale shape: one narrow semi-join on an 8-byte key; the index side
+    * is pre-distinct so stats-driven broadcast applies while it fits,
+    * and past that it is a plain hash join — the probe side never
+    * carries text through the shuffle. */
+  def probeExactIndex(index: DataFrame, newDf: DataFrame,
+                      idCol: String, textCol: String): DataFrame =
+    newDf.select(col(idCol), xxhash64(normalize(col(textCol))).as("__h"))
+      .join(index, Seq("__h"), "left_semi")
+      .select(col(idCol))
+
   /** Boilerplate detection: word n-gram passages appearing in at least
     * `minDf` distinct documents, with their document frequency — the
     * corpus-health report behind the n-gram index's df-cap (headers,

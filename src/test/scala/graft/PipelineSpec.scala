@@ -786,6 +786,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.nearDupNgram(d, "doc_id", "text", threshold = 0.6).count() == 0)
   }
 
+  test("exact index: probe flags only normalized repeats, persists exactly") {
+    val ref = Seq((0L, "Hello World"), (1L, "unique reference text here")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "hello world"),             // case-normalized repeat of 0
+      (11L, "HELLO WORLD  "),           // trim+lower normalizes to the same
+      (12L, "novel arrival")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildExactIndex(ref, "text")
+    val flagged = Dedup.probeExactIndex(idx, probe, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(flagged == Set(10L, 11L))
+    // persistence round-trip returns the identical flag set
+    val dir = java.nio.file.Files.createTempDirectory("exidx").toString
+    Dedup.saveExactIndex(idx, dir)
+    val again = Dedup.probeExactIndex(Dedup.loadExactIndex(spark, dir), probe, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(again == flagged)
+  }
+
   test("survivorsBy keeps the max-score member per cluster, min id on ties") {
     val d = Seq(
       (0L, 0.2), (1L, 0.9), (2L, 0.9),   // cluster {0,1,2}: 1 wins (0.9, tie beats 2 on id)
