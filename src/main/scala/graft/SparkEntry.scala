@@ -297,6 +297,13 @@ edges:
     // asymmetric containment |A∩B|/|A| >= 0.6 — catches docs embedded in
     // larger containers that symmetric Jaccard misses
     "p48_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text")),
+    // per-source quality-score calibration: percentile rank within source
+    "p56_pct_rank" -> ((s, d) =>
+      Curation.percentileRank(docs(s, d), "doc_id", "source",
+        TextAnalysis.qualityScore(col("text")))),
+    // cross-source shingle-overlap matrix: where to aim cross-corpus dedup
+    "p57_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(docs(s, d), "text", "source")),
     // incremental exact dedup: the even half of the corpus is the signed
     // reference; planted re-identified copies of it (id+1e6) plus the
     // odd half probe the index — exactly the copies flag
@@ -1063,6 +1070,26 @@ edges:
       "SELECT contained_id, container_id FROM cp WHERE c >= 0.6"),
     "p49_quality_dedup" -> qualityDedupSql,
     "p50_bigram_lm" -> bigramLmSql,
+    // percent_rank over the 4-decimal-rounded quality both engines pin
+    "p56_pct_rank" -> {
+      val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      "WITH t AS (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "q AS (SELECT doc_id, source, round(least(1.0, cast(len(w) AS double) / 100.0) * 0.5 + " +
+      s"least(1.0, cast(len(list_filter(w, x -> list_contains($en, x))) AS double) / cast(len(w) AS double) * 5.0) * 0.5, 4) AS score FROM t) " +
+      "SELECT doc_id, source, score, round(percent_rank() OVER (PARTITION BY source ORDER BY score ASC), 6) AS pct FROM q"
+    },
+    "p57_source_overlap" ->
+      """WITH dw AS (SELECT source, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        |sh0 AS (SELECT source, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
+        |gs AS (SELECT DISTINCT source AS g, x AS s FROM (SELECT source, unnest(s) AS x FROM sh0)),
+        |sz AS (SELECT g, count(*) AS n FROM gs GROUP BY g),
+        |it AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_common
+        |  FROM gs a JOIN gs b ON a.s = b.s AND a.g < b.g GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, za.n AS n_a, zb.n AS n_b,
+        |  round(n_common * 1.0 / (za.n + zb.n - n_common), 6) AS jaccard
+        |FROM it JOIN sz za ON za.g = source_a JOIN sz zb ON zb.g = source_b""".stripMargin,
     "p55_dedup_exact_cross" -> ("SELECT p.doc_id FROM (" +
       "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0 " +
       "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) p " +

@@ -88,6 +88,26 @@ object Curation {
       round(avg(col("__en")), 4).as("en_share"))
   }
 
+  /** Percentile-rank normalization of a score within each group — the
+    * calibration step before mixing heterogeneous sources: a quality
+    * score's raw scale differs per source (different boilerplate, length
+    * profiles), so curation thresholds are applied to the per-source
+    * RANK of the score, not its value. pct = (rank−1)/(n−1) (percent_rank
+    * semantics: 0 for the group minimum, 1 for the maximum; 0 for a
+    * single-row group), ties share the lowest rank. Output: input rows'
+    * (idCol, groupCol) plus score and pct rounded to 6.
+    *
+    * Scale shape: one window partitioned by the group — the shuffle is
+    * on the group key, and training-corpus sources are few and large,
+    * so each partition is a per-source sort (the same cost class as the
+    * per-source sampling ops). */
+  def percentileRank(df: DataFrame, idCol: String, groupCol: String,
+                     score: Column): DataFrame =
+    df.select(col(idCol), col(groupCol), score.as("score"))
+      .withColumn("pct", round(percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("score").asc)), 6))
+
   /** Cumulative fraction boundaries as fixed-width lowercase hex strings;
     * 8 hex digits of md5 give 2^32 buckets, so fraction resolution is
     * ~2.3e-10. Fixed width + lowercase hex makes lexicographic comparison

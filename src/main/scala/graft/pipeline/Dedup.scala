@@ -898,6 +898,44 @@ object Dedup {
     } finally shA.unpersist(false)
   }
 
+  /** Cross-source shingle-overlap matrix: for every pair of corpus
+    * sources (crawl snapshots, site buckets, dataset shards), the
+    * distinct-shingle intersection size and Jaccard — the planning
+    * signal for WHERE to spend cross-corpus dedup effort before running
+    * it ("src3 is 40% src1; dedup them against each other first").
+    * Output: (source_a, source_b, n_common, n_a, n_b, jaccard rounded
+    * to 6) for source pairs (a < b) sharing at least one shingle.
+    *
+    * Scale shape: per-source distinct shingle sets (one hash-aggregate
+    * on the 8-byte shingle hash), then a self-join on the shingle key
+    * whose fan-out per shingle is bounded by the SOURCE count — sources
+    * are few and large by definition, so the join output is ≤ |groups|²
+    * rows per distinct shingle, and the matrix itself is tiny. */
+  def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val gs = df.select(col(groupCol).as("__g"),
+        explode(graft.functions.VectorExprs.hashArray(
+          shingles(col(textCol), shingleN))).as("__s"))
+      .distinct()
+    val sizes = gs.groupBy("__g").agg(count(lit(1)).as("__n"))
+    // renamed projections instead of l/r aliases: the pair condition and
+    // grouping then reference unambiguous column names
+    val a = gs.select(col("__g").as("source_a"), col("__s"))
+    val b = gs.select(col("__g").as("source_b"), col("__s"))
+    val inter = a.join(b, Seq("__s"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__g").as("source_a"), col("__n").as("n_a")), "source_a")
+      .join(sizes.select(col("__g").as("source_b"), col("__n").as("n_b")), "source_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 6))
+      // USING joins lead with their key — restore the documented order
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Incremental EXACT dedup against a persisted reference corpus — the
     * identity-case mirror of the MinHash band index: sign the reference
     * once as a distinct set of normalized-text hashes (8 bytes/doc, no

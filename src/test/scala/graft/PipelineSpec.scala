@@ -786,6 +786,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.nearDupNgram(d, "doc_id", "text", threshold = 0.6).count() == 0)
   }
 
+  test("percentileRank: per-group percent_rank, ties share the lower rank") {
+    val d = Seq((0L, "a", 1.0), (1L, "a", 3.0), (2L, "a", 3.0), (3L, "a", 9.0),
+      (4L, "b", 5.0), (5L, "c", 7.0)).toDF("doc_id", "source", "s")
+    val out = Curation.percentileRank(d, "doc_id", "source", col("s"))
+      .as[(Long, String, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // group a (n=4): ranks 1,2,2,4 -> pct 0, 1/3, 1/3, 1
+    assert(out == Map(0L -> 0.0, 1L -> r6(1.0 / 3), 2L -> r6(1.0 / 3), 3L -> 1.0,
+      4L -> 0.0, 5L -> 0.0), out.toString)
+  }
+
+  test("sourceOverlap: hand-computed shingle intersections between sources") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "s1"),   // shingles: ab g, b g d
+      (1L, "alpha beta gamma other", "s2"),   // shares 'alpha beta gamma' with s1
+      (2L, "totally different text here", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, "text", "source")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // s1 and s2 each have 2 shingles, share exactly 1; s3 disjoint
+    assert(out == Map(("s1", "s2") -> ((1L, 2L, 2L, r6(1.0 / 3)))), out.toString)
+  }
+
   test("exact index: probe flags only normalized repeats, persists exactly") {
     val ref = Seq((0L, "Hello World"), (1L, "unique reference text here")).toDF("doc_id", "text")
     val probe = Seq(
