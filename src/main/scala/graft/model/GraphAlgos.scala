@@ -609,14 +609,17 @@ object GraphAlgos {
       .select(col("from").as("u"), col("to").as("v"))
     val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
              else base).repartition(col("v")).localCheckpoint(true)
-    var h = features.select(col("gid"), col("f").cast("double").as("h")).localCheckpoint(true)
+    var h = features.select(col("gid"), col("f").cast("double").as("h"))
     var r = 0
     while (r < rounds) {
       val nb = e.join(h.withColumnRenamed("gid", "v"), "v")
         .groupBy(col("u").as("gid")).agg(avg(col("h")).as("__nh"))
       h = h.join(nb, Seq("gid"), "left")
         .select(col("gid"), coalesce(col("__nh"), col("h")).as("h"))
-        .localCheckpoint(true)
+      // checkpoint to bound lineage only every third round — an eager
+      // materialization per round is pure scheduler overhead on the
+      // short horizons smoothing actually uses (2-3 rounds)
+      if ((r + 1) % 3 == 0 && r + 1 < rounds) h = h.localCheckpoint(true)
       r += 1
     }
     h.select(col("gid"), round(col("h"), 4).as("h"))

@@ -300,7 +300,7 @@ object Similarity {
     * scan. */
   def buildPqCodebook(corpus: DataFrame, vecCol: String, dim: Int,
                       m: Int = 4, ksub: Int = 16, seed: Long = 42L,
-                      iters: Int = 5): PqCodebook = {
+                      iters: Int = 3): PqCodebook = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val baseV = corpus.select(toDouble(col(vecCol)).as("__v"))
