@@ -297,6 +297,18 @@ edges:
     // asymmetric containment |A∩B|/|A| >= 0.6 — catches docs embedded in
     // larger containers that symmetric Jaccard misses
     "p48_containment" -> ((s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text")),
+    // the one-call incremental-ingest gate: odd docs + planted copies of
+    // every %10==0 doc probe the even half as the existing corpus;
+    // benchmark = the %20==0 slice (as p24); every flag family fires
+    "p58_ingest" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ref = dd.filter(col("doc_id") % 2 === 0)
+      val newb = dd.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .unionByName(ref.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.ingestGate(ref, newb, "doc_id", "text",
+        dd.filter(col("doc_id") % 20 === 0), "text")
+    }),
     // per-source quality-score calibration: percentile rank within source
     "p56_pct_rank" -> ((s, d) =>
       Curation.percentileRank(docs(s, d), "doc_id", "source",
@@ -721,6 +733,39 @@ edges:
        |  round(avg(q), 4) AS mean_quality, round(avg(en), 4) AS en_share FROM x""".stripMargin
   }
 
+  /** Ingest-gate oracle: the exact/near/contamination/quality fragments
+    * composed over the odd+planted batch vs the even reference. */
+  private def ingestSql: String = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    val tri = "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [array_to_string(w, ' ')] END"
+    val quad = "CASE WHEN len(w) >= 4 THEN list_distinct(list_transform(generate_series(1, len(w)-3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) ELSE [array_to_string(w, ' ')] END"
+    s"""WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+       |refs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |nw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w, text FROM newb),
+       |rw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM refs),
+       |nsh AS (SELECT doc_id, $tri AS s FROM nw),
+       |rsh AS (SELECT doc_id, $tri AS s FROM rw),
+       |n4 AS (SELECT doc_id, $quad AS s FROM nw),
+       |b4 AS (SELECT DISTINCT unnest(s) AS bs FROM (
+       |  SELECT $quad AS s FROM (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents WHERE doc_id % 20 = 0))),
+       |ex AS (SELECT n.doc_id FROM newb n WHERE EXISTS (
+       |  SELECT 1 FROM refs r WHERE lower(trim(r.text)) = lower(trim(n.text)))),
+       |nd AS (SELECT DISTINCT a.doc_id FROM nsh a JOIN rsh b ON
+       |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |ct AS (SELECT DISTINCT u.doc_id FROM (SELECT doc_id, unnest(s) AS x FROM n4) u JOIN b4 ON u.x = b4.bs),
+       |qual AS (SELECT doc_id, round(least(1.0, cast(len(w) AS double) / 100.0) * 0.5 +
+       |  least(1.0, cast(len(list_filter(w, x -> list_contains($en, x))) AS double) / cast(len(w) AS double) * 5.0) * 0.5, 4) AS quality FROM nw)
+       |SELECT q.doc_id,
+       |  q.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       |  q.doc_id IN (SELECT doc_id FROM nd) AS near_dup,
+       |  q.doc_id IN (SELECT doc_id FROM ct) AS contaminated,
+       |  q.quality,
+       |  (q.doc_id NOT IN (SELECT doc_id FROM ex) AND q.doc_id NOT IN (SELECT doc_id FROM nd)
+       |   AND q.doc_id NOT IN (SELECT doc_id FROM ct) AND q.quality >= 0.5) AS keep
+       |FROM qual q""".stripMargin
+  }
+
   /** Bigram-LM oracle: identical add-one-smoothed model built in SQL. */
   private val bigramLmSql =
     """WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
@@ -1090,6 +1135,7 @@ edges:
         |SELECT source_a, source_b, n_common, za.n AS n_a, zb.n AS n_b,
         |  round(n_common * 1.0 / (za.n + zb.n - n_common), 6) AS jaccard
         |FROM it JOIN sz za ON za.g = source_a JOIN sz zb ON zb.g = source_b""".stripMargin,
+    "p58_ingest" -> ingestSql,
     "p55_dedup_exact_cross" -> ("SELECT p.doc_id FROM (" +
       "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0 " +
       "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) p " +

@@ -88,6 +88,51 @@ object Curation {
       round(avg(col("__en")), 4).as("en_share"))
   }
 
+  /** One-call incremental-ingest gate — the decision pass a crawl batch
+    * runs against an EXISTING corpus before admission, composing the
+    * index family: exact repeats ([[graft.pipeline.Dedup.probeExactIndex]]
+    * — the cheap first gate), cross-corpus near-dups
+    * ([[graft.pipeline.Dedup.nearDupCross]] — banded MinHash candidates
+    * form only ACROSS the sides), benchmark contamination
+    * ([[graft.pipeline.Dedup.decontaminate]] — broadcast 4-gram
+    * semi-join), and the quality score. Output: one row per NEW
+    * document — (idCol, exact_dup, near_dup, contaminated, quality,
+    * keep), keep = no flag AND quality ≥ minQuality. Long-lived systems
+    * should build the exact/minhash indexes once and probe per batch;
+    * this composition is the per-batch semantics.
+    *
+    * Scale shape: each flag frame is (new-batch)-sized or smaller and
+    * returns to the batch by left broadcast joins; the reference corpus
+    * is touched only through the index builds, never joined row-wise
+    * against the batch. */
+  def ingestGate(ref: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
+                 bench: DataFrame, benchTextCol: String,
+                 shingleN: Int = 3, threshold: Double = 0.5,
+                 benchShingleN: Int = 4, minQuality: Double = 0.5): DataFrame = {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val batch = newDf.select(col(idCol), col(textCol))
+    val ex = Dedup.probeExactIndex(Dedup.buildExactIndex(ref, textCol), batch, idCol, textCol)
+      .withColumn("__ex", lit(true))
+    val nd = Dedup.nearDupCross(batch, idCol, textCol, ref, idCol, textCol,
+        shingleN = shingleN, threshold = threshold)
+      .select(col("a_id").as(idCol)).distinct()
+      .withColumn("__nd", lit(true))
+    val ct = Dedup.decontaminate(batch, idCol, textCol, bench, benchTextCol,
+        shingleN = benchShingleN)
+      .select(col(idCol)).withColumn("__ct", lit(true))
+    batch.select(col(idCol), TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .join(ex, Seq(idCol), "left")
+      .join(nd, Seq(idCol), "left")
+      .join(ct, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ex"), lit(false)).as("exact_dup"),
+        coalesce(col("__nd"), lit(false)).as("near_dup"),
+        coalesce(col("__ct"), lit(false)).as("contaminated"),
+        col("quality"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup") &&
+        !col("contaminated") && col("quality") >= minQuality)
+  }
+
   /** Percentile-rank normalization of a score within each group — the
     * calibration step before mixing heterogeneous sources: a quality
     * score's raw scale differs per source (different boilerplate, length

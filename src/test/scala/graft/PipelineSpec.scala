@@ -811,6 +811,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Map(("s1", "s2") -> ((1L, 2L, 2L, r6(1.0 / 3)))), out.toString)
   }
 
+  test("ingestGate: each flag fires on its planted case, keep is the conjunction") {
+    val filler = "the of and a to in is on for with here now then also more text body words going on and on"
+    val ref = Seq(
+      (0L, s"reference document one $filler"),
+      (1L, s"reference document two quite different $filler wording")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "secret benchmark question four grams")).toDF("doc_id", "text")
+    val newb = Seq(
+      (10L, s"REFERENCE DOCUMENT ONE $filler"),                  // exact (case) dup -> also near
+      (11L, s"reference document two quite different $filler rewording"), // near-dup only
+      (12L, "the of and a to in is on for with secret benchmark question four grams plus plenty own distinct tail"), // contaminated
+      (13L, "the of and a to in is on for with fresh novel acceptable content entirely standalone topic matter"),    // keep
+      (14L, "short junk")                                         // low quality only
+    ).toDF("doc_id", "text")
+    val out = Curation.ingestGate(ref, newb, "doc_id", "text", bench, "text")
+      .as[(Long, Boolean, Boolean, Boolean, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._6))).toMap
+    assert(out(10L) == ((true, true, false, false)), out.toString)
+    assert(out(11L) == ((false, true, false, false)), out.toString)
+    assert(out(12L) == ((false, false, true, false)), out.toString)
+    assert(out(13L) == ((false, false, false, true)), out.toString)
+    assert(out(14L) == ((false, false, false, false)), out.toString)
+  }
+
   test("exact index: probe flags only normalized repeats, persists exactly") {
     val ref = Seq((0L, "Hello World"), (1L, "unique reference text here")).toDF("doc_id", "text")
     val probe = Seq(
