@@ -86,6 +86,41 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPrefix == brute force on random corpora at several thresholds") {
+    // the prefix filter must lose NOTHING vs plain brute-force Jaccard —
+    // no capped-recall class exists for this variant
+    for (seed <- Seq(5L, 17L, 37L); threshold <- Seq(0.4, 0.6, 0.8)) {
+      val texts = sample(genDoc, 24, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.pipeline.Dedup
+        .nearDupPrefix(docs.toDF("doc_id", "text"), "doc_id", "text", threshold = threshold)
+        .as[(Long, Long)].collect().toSet
+      val want = model(docs, threshold, Long.MaxValue)
+      assert(got == want,
+        s"seed $seed t=$threshold: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+  }
+
+  test("containmentPairs == brute-force directional containment model") {
+    for (seed <- Seq(13L, 31L)) {
+      val texts = sample(genDoc, 24, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val ids = docs.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a != b
+        i = sh(a).intersect(sh(b)).size
+        if i > 0 && i.toDouble / sh(a).size >= 0.6
+      } yield (a, b)).toSet
+      val got = graft.pipeline.Dedup
+        .containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6,
+          maxDf = 1000000L)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"seed $seed: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+  }
+
   test("decontaminate == brute-force shingle intersection on random corpora") {
     for (seed <- Seq(11L, 29L)) {
       val texts = sample(genDoc, 30, seed)
