@@ -27,6 +27,40 @@ object CurationStreaming {
       .filter(col("quality") >= minQuality &&
         col("ws_tokens").between(minTokens, maxTokens))
 
+  /** Streaming twin of [[graft.pipeline.Curation.ingestGate]] for its
+    * STATELESS gates: each arrival is scored against a static exact-hash
+    * index ([[graft.pipeline.Dedup.buildExactIndex]] — stream-static
+    * left join on the 8-byte key), the benchmark Bloom bitmap
+    * ([[graft.pipeline.Dedup.benchmarkBloom]] — join-free bit
+    * arithmetic, no false negatives), and the quality score — one output
+    * row per arrival inside the watermark horizon. The near-dup flag is
+    * deliberately NOT folded in: its candidate verify is inherently
+    * per-(arrival, corpus-doc) and streams separately as
+    * [[DedupStreaming.nearDupAgainstCorpus]]; the nightly batch
+    * [[graft.pipeline.Curation.ingestGate]] is the exact
+    * reconciliation, the same contract as the other twins. Output:
+    * (idCol, tsCol, exact_dup, contaminated, quality, keep). */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String, tsCol: String,
+                   exactIndex: DataFrame, bloom: graft.pipeline.Dedup.BloomIndex,
+                   benchShingleN: Int = 4, minQuality: Double = 0.5,
+                   horizon: String = "1 hour"): DataFrame = {
+    import graft.pipeline.Dedup
+    val contaminated = exists(
+      graft.functions.VectorExprs.hashArray(Dedup.shingles(col(textCol), benchShingleN)),
+      h => graft.functions.VectorExprs.bloomContains(h, bloom.words, bloom.m, bloom.k))
+    stream
+      .withColumn("__h", xxhash64(Dedup.normalize(col(textCol))))
+      .join(exactIndex.select(col("__h"), lit(true).as("__ex")), Seq("__h"), "left")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol),
+        coalesce(col("__ex"), lit(false)).as("exact_dup"),
+        contaminated.as("contaminated"),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .withColumn("keep", !col("exact_dup") && !col("contaminated") &&
+        col("quality") >= minQuality)
+  }
+
   /** Pruned bigram LM frozen from the reference corpus for streaming
     * perplexity scoring: the `maxModel` most frequent bigrams' −ln P
     * (P = (c+1)/(c(w₁)+V), matching

@@ -348,6 +348,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest gate: exact/contamination/quality flags match the batch gate") {
+    import spark.implicits._
+    import graft.streaming.{CurationStreaming, DedupStreaming}
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val filler = "the of and a to in is on for with more body text going here now again and again still"
+    val ref = Seq((0L, s"reference document alpha $filler")).toDF("doc_id", "text")
+    val bench = Seq((9L, "secret benchmark question four grams")).toDF("doc_id", "text")
+    val exIdx = Dedup.buildExactIndex(ref, "text")
+    val bloom = Dedup.benchmarkBloom(bench, "text")
+    val input = MemoryStream[DedupStreaming.Doc]
+    val q = CurationStreaming.ingestStream(input.toDF(), "doc_id", "text", "ts", exIdx, bloom)
+      .writeStream.format("memory").queryName("ing_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupStreaming.Doc(10, s"REFERENCE document alpha $filler", ts(1000)),  // exact dup
+        DedupStreaming.Doc(11, s"the of and a to in is on for with secret benchmark question four grams own tail", ts(1001)), // contaminated
+        DedupStreaming.Doc(12, s"the of and a to in is on for with fresh novel standalone topic matter entirely", ts(1002)), // keep
+        DedupStreaming.Doc(13, "short junk", ts(1003)))                          // low quality
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, exact_dup, contaminated, keep FROM ing_out")
+        .as[(Long, Boolean, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(10L) == ((true, false, false)), got.toString)
+      assert(got(11L) == ((false, true, false)), got.toString)
+      assert(got(12L) == ((false, false, true)), got.toString)
+      assert(got(13L) == ((false, false, false)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming bigram-LM NLL equals the batch scorer within the model caps") {
     import spark.implicits._
     import graft.streaming.{CurationStreaming, DedupStreaming}
