@@ -588,6 +588,13 @@ edges:
     // per-edge triangle support (k-truss building block) on the same graph
     "q78_truss_support" -> ((s, d) =>
       graft.model.GraphAlgos.trussSupport(dedupGraph(s, d), "near_dup")),
+    // similarity-weighted PageRank: rank flows ∝ 1/(1+symmetric-difference)
+    // along near-dup edges; 2 rounds unrolled in the oracle
+    "q79_pagerank_w" -> ((s, d) =>
+      graft.model.GraphAlgos.pageRankWeighted(dedupGraph(s, d), "near_dup",
+        lit(1.0) / (lit(1.0) + get_json_object(col("data"), "$.w").cast("double")),
+        iters = 2, undirected = true)
+        .select(col("gid"), round(col("rank"), 7).as("prw"))),
     // 2-round mean neighbor aggregation (GraphSAGE-style smoothing) of
     // per-doc token counts over the near-dup graph
     "q76_nbr_mean" -> ((s, d) => {
@@ -1154,6 +1161,28 @@ edges:
       "SELECT cast(m / 2 AS bigint) AS n_edges, " +
       "round((m * sxy - sx * sy) / sqrt(cast(m * sxx - sx * sx AS double) * cast(m * syy - sy * sy AS double)), 6) AS r " +
       "FROM sums"),
+    // 2 unrolled weighted-PageRank rounds: contributions scale by
+    // w/Σw(u); isolated docs are dangling and feed the uniform term
+    "q79_pagerank_w" ->
+      s"""WITH $shingleCtes,
+         |pw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |prw AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
+         |  1.0 / (1 + na + nb - 2*i) AS w
+         |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
+         |e AS (SELECT a AS u, b AS v, w FROM prw UNION ALL SELECT b, a, w FROM prw),
+         |verts AS (SELECT 'd:' || doc_id AS gid FROM documents),
+         |ow AS (SELECT u, sum(w) AS ow FROM e GROUP BY u),
+         |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |pr0 AS (SELECT gid, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS r FROM verts),
+         |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr0 WHERE gid NOT IN (SELECT u FROM ow)),
+         |c0 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr0 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
+         |pr1 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d0) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c0 c ON v.gid = c.gid),
+         |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr1 WHERE gid NOT IN (SELECT u FROM ow)),
+         |c1 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr1 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
+         |pr2 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d1) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c1 c ON v.gid = c.gid)
+         |SELECT gid, round(r, 7) AS prw FROM pr2""".stripMargin,
     // common-neighbor count per canonical edge; support is orientation-
     // invariant so the string-canonical pairs match the Spark side
     "q78_truss_support" -> (s"WITH $shingleCtes,\n" +

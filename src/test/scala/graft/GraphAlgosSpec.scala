@@ -307,6 +307,25 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum > 0.3)
   }
 
+  test("weighted pagerank: one hand-traced round, weight shares and dangling mass") {
+    // a->b (w=3), a->c (w=1); b, c dangling. r0 = 1/3 each; W(a) = 4.
+    // r1(b) = .15/3 + .85*((1/3)(3/4) + (2/3)/3), r1(c) analog with 1/4
+    val v = Seq("a", "b", "c").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val ed = Seq(("e1", "link", "a", "b", """{"w":3}"""),
+      ("e2", "link", "a", "c", """{"w":1}"""))
+      .toDF("gid", "label", "from", "to", "data")
+    val out = GraphAlgos.pageRankWeighted(GraphFrame(v, ed), "link",
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("data"), "$.w").cast("double"),
+        iters = 1)
+      .as[(String, Double)].collect().toMap
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(close(out("a"), 0.05 + 0.85 * (2.0 / 9)), out.toString)
+    assert(close(out("b"), 0.05 + 0.85 * (0.25 + 2.0 / 9)), out.toString)
+    assert(close(out("c"), 0.05 + 0.85 * (1.0 / 12 + 2.0 / 9)), out.toString)
+    assert(close(out.values.sum, 1.0), out.toString)
+  }
+
   test("trussSupport: K4 edges support 2, bridge supports 0, pendant edge 0") {
     // K4 on a,b,c,d plus a pendant edge d-z: every K4 edge closes 2
     // triangles; the pendant closes none
