@@ -174,7 +174,13 @@ object Bench {
     // window again, the total survives at the window's end — with the
     // 1/5/15-min loadavg straddling the run so a contention-poisoned
     // artifact is identifiable as such from the recorded JSON alone
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)}}""")
+    // self-classify contention: a 5-min loadavg above 1.0 at start means
+    // another workload's residue inflates the totals (same-binary runs
+    // measured 107 vs 129 s purely on this) — the flag makes a poisoned
+    // artifact machine-detectable instead of requiring a human to read
+    // the loadavg fields
+    val settled = loadBefore.split(",")(1).toDouble <= 1.0
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)},"settled":$settled}""")
     spark.stop()
   }
 }
