@@ -1163,17 +1163,20 @@ edges:
       "FROM sums"),
     // 2 unrolled weighted-PageRank rounds: contributions scale by
     // w/Σw(u); isolated docs are dangling and feed the uniform term
+    // the quadratic pair CTE is referenced through four downstream CTEs
+    // (ow, d0/d1, c0/c1) — MATERIALIZED stops DuckDB re-evaluating the
+    // 12.5M-pair intersect per reference (measured runaway without it)
     "q79_pagerank_w" ->
       s"""WITH $shingleCtes,
-         |pw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |pw AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-         |prw AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
+         |prw AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
          |  1.0 / (1 + na + nb - 2*i) AS w
          |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
-         |e AS (SELECT a AS u, b AS v, w FROM prw UNION ALL SELECT b, a, w FROM prw),
+         |e AS MATERIALIZED (SELECT a AS u, b AS v, w FROM prw UNION ALL SELECT b, a, w FROM prw),
          |verts AS (SELECT 'd:' || doc_id AS gid FROM documents),
-         |ow AS (SELECT u, sum(w) AS ow FROM e GROUP BY u),
+         |ow AS MATERIALIZED (SELECT u, sum(w) AS ow FROM e GROUP BY u),
          |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
          |pr0 AS (SELECT gid, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS r FROM verts),
          |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr0 WHERE gid NOT IN (SELECT u FROM ow)),
