@@ -335,6 +335,8 @@ edges:
     // corpus-trained bigram-LM perplexity filter (CCNet-style): mean
     // per-bigram negative log-likelihood under add-one smoothing
     "p50_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogLoss(docs(s, d), "doc_id", "text")),
+    // per-doc n-gram novelty: fraction of shingles unique to the doc
+    "p59_novelty" -> ((s, d) => TextAnalysis.novelty(docs(s, d), "doc_id", "text")),
     // one-row corpus report card: counts, token mass + exact percentiles,
     // mean quality, English share — the before/after log line of a
     // curation run
@@ -1149,6 +1151,16 @@ edges:
       "WHERE EXISTS (SELECT 1 FROM documents r WHERE r.doc_id % 2 = 0 " +
       "AND lower(trim(r.text)) = lower(trim(p.text)))"),
     "p53_corpus_report" -> corpusReportSql,
+    "p59_novelty" ->
+      """WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
+        |ex AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |dfq AS (SELECT x, count(*) AS df FROM ex GROUP BY x)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
+        |FROM ex JOIN dfq ON dfq.x = ex.x GROUP BY doc_id""".stripMargin,
     // exact integer moment sums over the doubled near-dup edge list; the
     // one division happens at the end on both sides
     "q77_assortativity" -> (s"WITH $shingleCtes,\n" +

@@ -231,6 +231,30 @@ object TextAnalysis {
       .agg(round(sum(col("__tf") * col("__r")), 4).as("weight"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * shingles occurring NOWHERE else in the corpus — the inverse of a
+    * boilerplate ratio, and the cheap "how much unique content does
+    * this doc actually add" curation signal (near-1 = fresh material,
+    * near-0 = assembled from corpus-common fragments). Output:
+    * (id, n_shingles, novelty rounded to 4).
+    *
+    * Scale shape: one shingle explode → document-frequency
+    * hash-aggregate on the 8-byte shingle hash → one join back on the
+    * same key → per-doc aggregate. Same bound as [[corpusRarity]];
+    * nothing pairwise. */
+  def novelty(df: DataFrame, idCol: String, textCol: String,
+              shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(graft.functions.VectorExprs.hashArray(
+        graft.pipeline.Dedup.shingles(col(textCol), shingleN))).as("__s"))
+    val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "__s")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("__df") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("novelty"))
+  }
+
   /** Per-document negative log-likelihood under a corpus-trained bigram
     * language model with add-one smoothing — the CCNet/KenLM-style
     * "perplexity filter" reduced to a self-trained bigram model:

@@ -786,6 +786,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.nearDupNgram(d, "doc_id", "text", threshold = 0.6).count() == 0)
   }
 
+  test("novelty: unique-shingle fraction hand-computed, shared shingles count once") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),   // shingles: "a b g", "b g d"
+      (1L, "alpha beta gamma other"),   // shares "a b g" with 0
+      (2L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // docs 0 and 1: 2 shingles each, one shared (df=2) -> novelty 0.5
+    assert(out == Map(0L -> ((2L, 0.5)), 1L -> ((2L, 0.5)), 2L -> ((2L, 1.0))), out.toString)
+  }
+
   test("percentileRank: per-group percent_rank, ties share the lower rank") {
     val d = Seq((0L, "a", 1.0), (1L, "a", 3.0), (2L, "a", 3.0), (3L, "a", 9.0),
       (4L, "b", 5.0), (5L, "c", 7.0)).toDF("doc_id", "source", "s")
