@@ -590,6 +590,9 @@ edges:
     // per-edge triangle support (k-truss building block) on the same graph
     "q78_truss_support" -> ((s, d) =>
       graft.model.GraphAlgos.trussSupport(dedupGraph(s, d), "near_dup")),
+    // per-vertex local clustering (ego-network density) on the same graph
+    "q80_local_clustering" -> ((s, d) =>
+      graft.model.GraphAlgos.localClustering(dedupGraph(s, d), "near_dup")),
     // similarity-weighted PageRank: rank flows ∝ 1/(1+symmetric-difference)
     // along near-dup edges; 2 rounds unrolled in the oracle
     "q79_pagerank_w" -> ((s, d) =>
@@ -1016,8 +1019,8 @@ edges:
     // 2 unrolled mean-aggregation rounds over the exact-Jaccard pair
     // graph; vertices without neighbors keep their own value each round
     "q76_nbr_mean" -> (s"WITH $shingleCtes,\n" +
-      """pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5),
-        |e AS (SELECT 'd:' || a_id AS u, 'd:' || b_id AS v FROM pr UNION ALL SELECT 'd:' || b_id, 'd:' || a_id FROM pr),
+      """pr AS MATERIALIZED (SELECT a_id, b_id FROM p WHERE j >= 0.5),
+        |e AS MATERIALIZED (SELECT 'd:' || a_id AS u, 'd:' || b_id AS v FROM pr UNION ALL SELECT 'd:' || b_id, 'd:' || a_id FROM pr),
         |f0 AS (SELECT 'd:' || doc_id AS gid, cast(len(string_split(lower(trim(text)), ' ')) AS double) AS h FROM documents),
         |a1 AS (SELECT e.u AS gid, avg(f0.h) AS h FROM e JOIN f0 ON f0.gid = e.v GROUP BY e.u),
         |f1 AS (SELECT f0.gid, coalesce(a1.h, f0.h) AS h FROM f0 LEFT JOIN a1 ON a1.gid = f0.gid),
@@ -1164,8 +1167,8 @@ edges:
     // exact integer moment sums over the doubled near-dup edge list; the
     // one division happens at the end on both sides
     "q77_assortativity" -> (s"WITH $shingleCtes,\n" +
-      "pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
-      "bi AS (SELECT a_id AS u, b_id AS v FROM pr UNION ALL SELECT b_id, a_id FROM pr), " +
+      "pr AS MATERIALIZED (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "bi AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pr UNION ALL SELECT b_id, a_id FROM pr), " +
       "deg AS (SELECT u AS x, count(*) AS d FROM bi GROUP BY u), " +
       "ed AS (SELECT du.d AS dx, dv.d AS dy FROM bi JOIN deg du ON du.x = bi.u JOIN deg dv ON dv.x = bi.v), " +
       "sums AS (SELECT count(*) AS m, sum(dx*dy) AS sxy, sum(dx) AS sx, sum(dy) AS sy, " +
@@ -1198,12 +1201,27 @@ edges:
          |c1 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr1 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
          |pr2 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d1) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c1 c ON v.gid = c.gid)
          |SELECT gid, round(r, 7) AS prw FROM pr2""".stripMargin,
+    // per-vertex triangle credits from the closed-wedge join + degrees;
+    // string-canonical orientation (least/greatest on 'd:' gids) matches
+    // the Spark side, and corner credits are orientation-invariant anyway
+    "q80_local_clustering" -> (s"WITH $shingleCtes,\n" +
+      // ce is referenced five times downstream — MATERIALIZED stops
+      // DuckDB re-running the quadratic pair join per reference
+      "pr AS MATERIALIZED (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "ce AS MATERIALIZED (SELECT least('d:' || a_id, 'd:' || b_id) AS u, greatest('d:' || a_id, 'd:' || b_id) AS v FROM pr), " +
+      "deg AS (SELECT gid, count(*) AS deg FROM (SELECT u AS gid FROM ce UNION ALL SELECT v FROM ce) GROUP BY gid), " +
+      "tc AS (SELECT gid, count(*) AS n_tri FROM (" +
+      "SELECT unnest([e1.u, e1.v, e2.v]) AS gid FROM ce e1 " +
+      "JOIN ce e2 ON e2.u = e1.v JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v) GROUP BY gid) " +
+      "SELECT deg.gid, deg.deg, coalesce(n_tri, 0) AS n_tri, " +
+      "CASE WHEN deg.deg > 1 THEN round(coalesce(n_tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)), 6) ELSE 0.0 END AS coefficient " +
+      "FROM deg LEFT JOIN tc ON tc.gid = deg.gid"),
     // common-neighbor count per canonical edge; support is orientation-
     // invariant so the string-canonical pairs match the Spark side
     "q78_truss_support" -> (s"WITH $shingleCtes,\n" +
-      "pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
-      "ce AS (SELECT least('d:' || a_id, 'd:' || b_id) AS u, greatest('d:' || a_id, 'd:' || b_id) AS v FROM pr), " +
-      "bi AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce), " +
+      "pr AS MATERIALIZED (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "ce AS MATERIALIZED (SELECT least('d:' || a_id, 'd:' || b_id) AS u, greatest('d:' || a_id, 'd:' || b_id) AS v FROM pr), " +
+      "bi AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce), " +
       "sup AS (SELECT ce.u, ce.v, count(*) AS s FROM ce " +
       "JOIN bi n1 ON n1.u = ce.u JOIN bi n2 ON n2.u = ce.v AND n2.v = n1.v GROUP BY ce.u, ce.v) " +
       "SELECT ce.u, ce.v, coalesce(s, 0) AS support FROM ce LEFT JOIN sup ON sup.u = ce.u AND sup.v = ce.v"),

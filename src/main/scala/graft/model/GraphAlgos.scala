@@ -532,6 +532,41 @@ object GraphAlgos {
         .as("coefficient"))
   }
 
+  /** Per-vertex LOCAL clustering coefficient: triangles through each
+    * vertex over its wedge count d(d−1)/2 — the per-node counterpart of
+    * [[clusteringCoefficient]]'s global ratio, and the classic
+    * ego-network-density signal (spam/bot detection: organic neighbors
+    * know each other, farmed ones don't). Output: (gid, deg, n_tri,
+    * coefficient rounded to 6) for every vertex with at least one
+    * qualifying edge; degree-1 vertices score 0.
+    *
+    * Scale shape: the same two-join wedge closure as [[triangleCount]]
+    * (candidates only through shared vertices); each closed triangle
+    * credits its three corners via one explode, then a per-vertex
+    * aggregate joins the degree frame. */
+  def localClustering(g: GraphFrame, edgeLabel: String): DataFrame = {
+    val canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("gid")).union(canon.select(col("v").as("gid")))
+      .groupBy("gid").agg(count(lit(1)).as("deg"))
+    // wedges a<b<c closed by the third canonical edge; credit all corners
+    val tri = canon.alias("e1")
+      .join(canon.alias("e2"), col("e2.u") === col("e1.v"))
+      .join(canon.alias("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("gid"))
+      .groupBy("gid").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("gid"), "left")
+      .select(col("gid"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") > 1,
+          round(coalesce(col("n_tri"), lit(0L)) * 2.0 / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("coefficient"))
+  }
+
   /** Newman modularity of a community assignment, per community:
     * q_c = L_c/m − (D_c/2m)², where m = |edges of `edgeLabel`| treated
     * as undirected, L_c = intra-community edge count and D_c = the sum

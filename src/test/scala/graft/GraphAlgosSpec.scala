@@ -307,6 +307,21 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum > 0.3)
   }
 
+  test("localClustering: K4 corners are 1.0, pendant zero, bridge dilutes") {
+    // K4 on a,b,c,d plus pendant d-z: a,b,c have deg 3 and 3 triangles
+    // of their possible 3 -> 1.0; d has deg 4, 3 triangles of 6 wedges
+    // -> 0.5; z deg 1 -> 0
+    val v = Seq("a", "b", "c", "d", "z").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val ed = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "z"))
+      .zipWithIndex.map { case ((u, w), i) => (s"e$i", "link", u, w, "{}") }
+      .toDF("gid", "label", "from", "to", "data")
+    val out = GraphAlgos.localClustering(GraphFrame(v, ed), "link")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map("a" -> ((3L, 3L, 1.0)), "b" -> ((3L, 3L, 1.0)), "c" -> ((3L, 3L, 1.0)),
+      "d" -> ((4L, 3L, 0.5)), "z" -> ((1L, 0L, 0.0))), out.toString)
+  }
+
   test("weighted pagerank: one hand-traced round, weight shares and dangling mass") {
     // a->b (w=3), a->c (w=1); b, c dangling. r0 = 1/3 each; W(a) = 4.
     // r1(b) = .15/3 + .85*((1/3)(3/4) + (2/3)/3), r1(c) analog with 1/4
