@@ -5,6 +5,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bounded idle-wait before anything is timed: this box's 5-min loadavg
+    // decays slowly after oracle/JVM workloads, and same-binary totals
+    // measured 107 s settled vs 129 s under residue. Rather than ship a
+    // settled:false artifact, poll until the 5-min loadavg drops under 1.0
+    // or the budget (default 420 s, SPARK_GRAFT_SETTLE_SEC=0 to skip) runs
+    // out — the wait costs driver wall-clock once, a poisoned artifact
+    // costs a whole round's perf signal.
+    val settleBudget = sys.env.get("SPARK_GRAFT_SETTLE_SEC").flatMap(s =>
+      scala.util.Try(s.toInt).toOption).getOrElse(420)
+    def load5: Double =
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(1).toDouble).getOrElse(0.0)
+    val settleDeadline = System.nanoTime() + settleBudget * 1000000000L
+    while (load5 > 1.0 && System.nanoTime() < settleDeadline) {
+      System.err.println(f"[bench] waiting for box to settle: 5-min loadavg ${load5}%.2f")
+      Thread.sleep(15000)
+    }
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -179,7 +196,9 @@ object Bench {
     // measured 107 vs 129 s purely on this) — the flag makes a poisoned
     // artifact machine-detectable instead of requiring a human to read
     // the loadavg fields
-    val settled = loadBefore.split(",")(1).toDouble <= 1.0
+    // Try-guarded: loadavg() returns "" when /proc/loadavg is unreadable,
+    // and an exception here would lose the total line it annotates
+    val settled = scala.util.Try(loadBefore.split(",")(1).toDouble <= 1.0).getOrElse(false)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)},"settled":$settled}""")
     spark.stop()
   }

@@ -738,7 +738,7 @@ edges:
        |x AS (SELECT ws,
        |  round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS q,
        |  CASE WHEN ($langCase) = 'en' THEN 1 ELSE 0 END AS en FROM h)
-       |SELECT count(*) AS n_docs, sum(ws) AS total_tokens, round(avg(ws), 4) AS mean_tokens,
+       |SELECT count(*) AS n_docs, cast(sum(ws) AS BIGINT) AS total_tokens, round(avg(ws), 4) AS mean_tokens,
        |  round(quantile_cont(ws, 0.5), 4) AS p50_tokens,
        |  round(quantile_cont(ws, 0.9), 4) AS p90_tokens,
        |  round(quantile_cont(ws, 0.99), 4) AS p99_tokens,

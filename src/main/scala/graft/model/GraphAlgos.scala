@@ -91,8 +91,16 @@ object GraphAlgos {
     * meet it; per-round contributions pre-aggregate map-side before the
     * destination shuffle; each round's ranks are checkpointed so the plan
     * never re-derives prior rounds (same frontier hygiene as [[bfs]]).
-    * The dangling mass is one scalar aggregate per round — driver-held by
-    * design, like the loop-control counts in the traversal jump loop. */
+    * The dangling mass is a 1-row aggregate over the same rank⋈outdeg
+    * join (never touching the edge list) fused into the round's single
+    * action as a broadcast scalar frame — the join's shuffle output is
+    * shared with the contribution branch via exchange reuse, and no
+    * driver-synchronous `.first()` blocks between rounds. (A tempting
+    * alternative — riding the dangling mass through the message
+    * aggregate as a null-destination group — re-executes the full EDGE
+    * join in the scalar branch because the pushed-down null filters make
+    * the two aggregate plans non-identical; measured on the plan, not
+    * guessed.) */
   def pageRank(g: GraphFrame, edgeLabel: String, iters: Int = 20,
                damping: Double = 0.85, undirected: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
@@ -109,16 +117,17 @@ object GraphAlgos {
     var i = 0
     while (i < iters) {
       val withDeg = ranks.join(outdeg, Seq("gid"), "left")
-      val dangling = withDeg.filter(col("__outdeg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val dang = withDeg.filter(col("__outdeg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contribs = withDeg.filter(col("__outdeg").isNotNull)
         .join(e, col("gid") === col("u"))
         .select(col("v"), (col("rank") / col("__outdeg")).as("__c"))
         .groupBy(col("v").as("gid")).agg(sum("__c").as("__c"))
       ranks = verts.join(contribs, Seq("gid"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("gid"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dang") / lit(n))).as("rank"))
         .localCheckpoint(true)
       i += 1
     }
@@ -136,7 +145,8 @@ object GraphAlgos {
     *
     * Scale shape identical to [[pageRank]]: weighted edge list
     * repartitioned by source once + checkpointed, per round one narrow
-    * rank-frame shuffle and one scalar dangling aggregate. */
+    * rank-frame shuffle with the dangling scalar fused into the round's
+    * single action as a broadcast 1-row frame. */
   def pageRankWeighted(g: GraphFrame, edgeLabel: String, weight: Column,
                        iters: Int = 20, damping: Double = 0.85,
                        undirected: Boolean = false): DataFrame = {
@@ -154,17 +164,20 @@ object GraphAlgos {
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var i = 0
     while (i < iters) {
+      // same single-action fuse as [[pageRank]]: the dangling scalar is a
+      // broadcast 1-row frame over rank⋈outweight, not a driver .first()
       val withW = ranks.join(outw, Seq("gid"), "left")
-      val dangling = withW.filter(col("__ow").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val dang = withW.filter(col("__ow").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contribs = withW.filter(col("__ow").isNotNull)
         .join(e, col("gid") === col("u"))
         .select(col("v"), (col("rank") * col("__w") / col("__ow")).as("__c"))
         .groupBy(col("v").as("gid")).agg(sum("__c").as("__c"))
       ranks = verts.join(contribs, Seq("gid"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("gid"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dang") / lit(n))).as("rank"))
         .localCheckpoint(true)
       i += 1
     }
@@ -179,9 +192,12 @@ object GraphAlgos {
     * (gid, hub, authority), unrounded.
     *
     * Scale shape mirrors [[pageRank]]: edge list repartitioned by source
-    * once + checkpointed; each half step is one aggregate keyed on the
-    * receiving endpoint; the L2 norm is one scalar agg per half step
-    * (the same legitimate driver-scalar class as the dangling mass). */
+    * once + checkpointed; each half step is ONE aggregate keyed on the
+    * receiving endpoint, with its L2 norm computed from the same
+    * aggregate output (vertices absent from it score 0, contributing
+    * nothing to the sum of squares) and broadcast back as a 1-row frame
+    * off the reused exchange — one checkpointed action per half step,
+    * no separate norm scan. */
   def hits(g: GraphFrame, edgeLabel: String, iters: Int = 20): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val verts = g.vertices.select(col("gid")).distinct().localCheckpoint(true)
@@ -193,21 +209,23 @@ object GraphAlgos {
     var i = 0
     while (i < iters) {
       val aRaw = e.join(hub, col("u") === col("gid"))
-        .groupBy(col("v").as("gid")).agg(sum("h").as("__s"))
-      val aJoined = verts.join(aRaw, Seq("gid"), "left")
-        .select(col("gid"), coalesce(col("__s"), lit(0.0)).as("__s"))
+        .groupBy(col("v")).agg(sum("h").as("__s"))
+      val an = aRaw.agg(sqrt(coalesce(sum(col("__s") * col("__s")), lit(0.0))).as("__n"))
+      auth = verts.join(aRaw, col("gid") === col("v"), "left")
+        .crossJoin(broadcast(an))
+        .select(col("gid"),
+          when(col("__n") > 0, coalesce(col("__s"), lit(0.0)) / col("__n"))
+            .otherwise(lit(0.0)).as("a"))
         .localCheckpoint(true)
-      val an = math.sqrt(aJoined.agg(sum(col("__s") * col("__s"))).first().getDouble(0))
-      auth = aJoined.select(col("gid"),
-        (if (an > 0) col("__s") / lit(an) else lit(0.0)).as("a")).localCheckpoint(true)
       val hRaw = e.join(auth, col("v") === col("gid"))
-        .groupBy(col("u").as("gid")).agg(sum("a").as("__s"))
-      val hJoined = verts.join(hRaw, Seq("gid"), "left")
-        .select(col("gid"), coalesce(col("__s"), lit(0.0)).as("__s"))
+        .groupBy(col("u")).agg(sum("a").as("__s"))
+      val hn = hRaw.agg(sqrt(coalesce(sum(col("__s") * col("__s")), lit(0.0))).as("__n"))
+      hub = verts.join(hRaw, col("gid") === col("u"), "left")
+        .crossJoin(broadcast(hn))
+        .select(col("gid"),
+          when(col("__n") > 0, coalesce(col("__s"), lit(0.0)) / col("__n"))
+            .otherwise(lit(0.0)).as("h"))
         .localCheckpoint(true)
-      val hn = math.sqrt(hJoined.agg(sum(col("__s") * col("__s"))).first().getDouble(0))
-      hub = hJoined.select(col("gid"),
-        (if (hn > 0) col("__s") / lit(hn) else lit(0.0)).as("h")).localCheckpoint(true)
       i += 1
     }
     hub.join(auth, "gid").select(col("gid"), col("h").as("hub"), col("a").as("authority"))
@@ -222,9 +240,9 @@ object GraphAlgos {
     *
     * Scale shape identical to [[pageRank]]: edge list repartitioned by
     * source once + checkpointed, one narrow rank frame shuffles per
-    * round, dangling mass is one scalar agg per round; the preference
-    * vector rides along as a checkpointed (gid, p) frame instead of the
-    * uniform constant. */
+    * round, dangling scalar fused into the round's single action as a
+    * broadcast 1-row frame; the preference vector rides along as a
+    * checkpointed (gid, p) frame instead of the uniform constant. */
   def personalizedPageRank(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
                            iters: Int = 20, damping: Double = 0.85,
                            undirected: Boolean = false): DataFrame = {
@@ -246,18 +264,20 @@ object GraphAlgos {
     var ranks = pref.select(col("gid"), col("__p").as("rank")).localCheckpoint(true)
     var i = 0
     while (i < iters) {
+      // same single-action fuse as [[pageRank]]
       val withDeg = ranks.join(outdeg, Seq("gid"), "left")
-      val dangling = withDeg.filter(col("__outdeg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val dang = withDeg.filter(col("__outdeg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contribs = withDeg.filter(col("__outdeg").isNotNull)
         .join(e, col("gid") === col("u"))
         .select(col("v"), (col("rank") / col("__outdeg")).as("__c"))
         .groupBy(col("v").as("gid")).agg(sum("__c").as("__c"))
       ranks = pref.join(contribs, Seq("gid"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("gid"),
           (lit(1.0 - damping) * col("__p") +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              lit(dangling) * col("__p"))).as("rank"))
+              col("__dang") * col("__p"))).as("rank"))
         .localCheckpoint(true)
       i += 1
     }
@@ -568,9 +588,14 @@ object GraphAlgos {
   }
 
   /** Newman modularity of a community assignment, per community:
-    * q_c = L_c/m − (D_c/2m)², where m = |edges of `edgeLabel`| treated
-    * as undirected, L_c = intra-community edge count and D_c = the sum
-    * of member degrees — total modularity is Σ q_c. The quality metric
+    * q_c = L_c/m − (D_c/2m)², where m = |edges of `edgeLabel` whose BOTH
+    * endpoints appear in `communities`| treated as undirected, L_c =
+    * intra-community edge count and D_c = the sum of member degrees —
+    * total modularity is Σ q_c. `communities` must therefore cover every
+    * edge endpoint for textbook m; with a partial assignment the metric
+    * is modularity of the INDUCED subgraph (edges touching unassigned
+    * vertices drop from m, L_c and D_c alike — consistent, but not
+    * comparable across assignments with different coverage). The quality metric
     * every community-detection pass ([[labelPropagation]], the clusters
     * family) should be scored by before its output drives curation
     * decisions. Output: (community, n_intra, deg_sum, q) with q rounded

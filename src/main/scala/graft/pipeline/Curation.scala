@@ -101,6 +101,14 @@ object Curation {
     * should build the exact/minhash indexes once and probe per batch;
     * this composition is the per-batch semantics.
     *
+    * Recall note: the near_dup flag is banded-MinHash (probabilistic
+    * recall ≈ 1−(1−t^r)^b — about 1e-4 miss per pair at J≈0.5 with the
+    * default banding), while an exact cross n-gram join would be
+    * deterministic. For fixed data and the fixed hash seeds the outcome
+    * is deterministic either way (the p58 oracle pairing relies on this);
+    * production batches with many borderline-J pairs should expect the
+    * documented banding recall, not exactness.
+    *
     * Scale shape: each flag frame is (new-batch)-sized or smaller and
     * returns to the batch by left broadcast joins; the reference corpus
     * is touched only through the index builds, never joined row-wise

@@ -290,7 +290,17 @@ object Dedup {
     * One inverted-index pass serves both directions: the symmetric
     * (a, b, i, na, nb) counts yield containment a→b as i/na and b→a as
     * i/nb, so the candidate join runs ONCE and the direction split is a
-    * pure projection (union of two filters, no second shuffle). */
+    * pure projection (union of two filters, no second shuffle).
+    *
+    * Recall caveat (inherited from the `maxDf` cap in the shared-count
+    * pass, and WORSE here than for symmetric Jaccard): a pair is visible
+    * only if it shares at least one shingle with df ≤ `maxDf`. The
+    * typical containment target — a short document embedded in
+    * boilerplate — is exactly the case where EVERY shared shingle can be
+    * corpus-common and exceed the cap, making the pair invisible. When
+    * the contained side is small or the corpus is boilerplate-heavy,
+    * raise `maxDf` (or pass Long.MaxValue to disable the cap) and absorb
+    * the larger candidate join instead. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.6,
                        maxDf: Long = 1000L): DataFrame =

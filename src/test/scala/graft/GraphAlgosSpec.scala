@@ -386,4 +386,37 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(r1 == Map("a" -> 4.0, "b" -> 6.0, "c" -> 4.0, "z" -> 1.0), r1.toString)
   }
+
+  test("pageRank rounds stay job-lean: fused dangling mass, no per-round driver scalar") {
+    // the dangling scalar is a broadcast 1-row frame inside the round's
+    // single checkpoint action, so adding iterations must add only that
+    // action's own jobs (AQE submits one job per materialized stage:
+    // measured 8/iteration fused vs 9 plus a driver-sync barrier for the
+    // separate-.first() shape this replaced) — a reintroduced per-round
+    // driver scalar pushes the count back up and breaks the pin
+    val v = (1 to 40).map(i => (s"v$i", "n", "{}")).toDF("gid", "label", "data")
+    val e = (1 to 39).map(i => (s"e$i", "link", s"v$i", s"v${i + 1}", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    def jobsFor(iters: Int): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        GraphAlgos.pageRank(g, "link", iters = iters).count()
+        // listener bus is async; give it a moment to drain
+        Thread.sleep(1500)
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val base = jobsFor(2)
+    val more = jobsFor(6)
+    val perIter = (more - base) / 4.0
+    info(f"jobs: iters=2 -> $base, iters=6 -> $more, per-iteration $perIter%.2f")
+    assert(perIter <= 8.5,
+      f"per-iteration job count $perIter%.2f suggests a driver-synchronous scalar crept back in")
+  }
 }

@@ -16,6 +16,11 @@ def canon(rows):
     return sorted((tuple(norm(v) for v in r) for r in rows),
                   key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r))
 
+def dtypes(con, query):
+    """{col: duckdb_type_name} for a query's output columns."""
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,11 +48,24 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = {"ok": False, "error": f"oracle failed: {e}"}
             continue
+        # Output-dtype parity: the driver's hash distinguishes DuckDB's
+        # HUGEINT/DECIMAL from Spark's BIGINT/DOUBLE even when every value
+        # prints identically (p30 in r5, p53 in r7). canon() rounds floats,
+        # so value comparison alone normalizes the difference away — compare
+        # the declared output types of both sides explicitly.
+        got_t = dtypes(con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        exp_t = dtypes(con, f"({oracle[name]})")
+        dt_diff = {c: [got_t.get(c), exp_t.get(c)] for c in set(got_t) | set(exp_t)
+                   if got_t.get(c) != exp_t.get(c)}
         ok_cols = got_cols == exp_cols
         ok_rows = len(got_rows) == len(exp_rows)
         ok_hash = got_rows == exp_rows
+        ok_types = not dt_diff
         results[name] = {"cols": ok_cols, "nrows": ok_rows, "hash": ok_hash,
-                         "ok": ok_cols and ok_rows and ok_hash}
+                         "types": ok_types,
+                         "ok": ok_cols and ok_rows and ok_hash and ok_types}
+        if dt_diff:
+            results[name]["dtype_diff"] = dt_diff
         if not results[name]["ok"]:
             results[name]["got_cols"] = got_cols
             results[name]["exp_cols"] = exp_cols
