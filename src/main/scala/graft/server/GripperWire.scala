@@ -1,0 +1,468 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import io.netty.bootstrap.{Bootstrap, ServerBootstrap}
+import io.netty.buffer.Unpooled
+import io.netty.channel._
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
+import io.netty.handler.codec.http2._
+import io.netty.util.ReferenceCountUtil
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Gripper
+
+import java.net.InetSocketAddress
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+/** The GRIPPER plugin wire protocol — `gripper.proto`'s `GRIPSource`
+  * service (reference: gripper/gripper.proto:45-56, client wrapper
+  * gripper/client.go, table-server fixture gripper/test-graph) — spoken
+  * over the same netty h2c + [[Pbuf]] machinery as [[GrpcServer]]. Three
+  * pieces:
+  *
+  *  - [[GripperProto]]: the six message schemas, field numbers matching
+  *    the proto exactly.
+  *  - [[GripperTableServer]]: serves any [[Gripper.SourceProvider]]'s
+  *    collections as a GRIPSource plugin (the Spark twin of the
+  *    reference's example table server) — rows stream via
+  *    `toLocalIterator`, so serving a large collection never
+  *    materializes it server-side.
+  *  - [[GripperClient]] + [[Gripper.SourceProvider]] facade
+  *    [[GripperWire.grpcSource]]: consumes a remote GRIPSource as
+  *    mapping-ready DataFrames, which is what a real federated
+  *    deployment points [[Gripper.graph]] at.
+  *
+  * Scale note, stated honestly: the plugin protocol itself is a single
+  * row stream per collection (the reference's LoadRows channel is the
+  * same shape, gripper/client.go:104-137), so a wire-fed collection
+  * materializes driver-side before Spark parallelizes it. That is the
+  * protocol's nature — plugin sources are dimension-table-sized. A
+  * 100 TB fact table belongs behind a DataSource V2 connector (JDBC,
+  * Delta, Iceberg) plugged in as a [[Gripper.SourceProvider]] directly;
+  * the mapping layer is identical either way. */
+object GripperProto {
+  import Pbuf._
+  val registry: Registry = Seq(
+    MsgDef("Empty"),
+    MsgDef("Collection", FieldDef(1, "name", TString)),
+    MsgDef("RowID", FieldDef(1, "id", TString)),
+    MsgDef("RowRequest",
+      FieldDef(1, "collection", TString),
+      FieldDef(2, "id", TString),
+      FieldDef(3, "requestID", TUInt)),
+    MsgDef("FieldRequest",
+      FieldDef(1, "collection", TString),
+      FieldDef(2, "field", TString),
+      FieldDef(3, "value", TString)),
+    MsgDef("Row",
+      FieldDef(1, "id", TString),
+      FieldDef(2, "data", TStruct),
+      FieldDef(3, "requestID", TUInt)),
+    MsgDef("CollectionInfo",
+      FieldDef(1, "search_fields", TString, repeated = true),
+      FieldDef(2, "link_map", TMap(TString)))
+  ).map(m => m.name -> m).toMap
+}
+
+/** Serve a [[Gripper.SourceProvider]] over `gripper.proto` (h2c gRPC).
+  * Collections stream row-by-row off `toLocalIterator` with HTTP/2
+  * writability backpressure, mirroring [[GrpcServer]]'s streaming
+  * hygiene. `idCol` names the column used as Row.id (cast to string);
+  * every row's data payload is the full row document, id included —
+  * exactly what the reference's table server emits. */
+final class GripperTableServer(provider: Gripper.SourceProvider, port: Int,
+                               idCol: String = "id") {
+  private val mapper = new ObjectMapper()
+  private val reg = GripperProto.registry
+  private val boss = new NioEventLoopGroup(1)
+  private val workers = new NioEventLoopGroup(2)
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-gripper-dispatch"); t.setDaemon(true); t
+  })
+  private var channel: Channel = _
+
+  def start(): Unit = {
+    val b = new ServerBootstrap()
+      .group(boss, workers)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+          ch.pipeline().addLast(new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(stream: Channel): Unit =
+              stream.pipeline().addLast(new StreamHandler)
+          }))
+        }
+      })
+    channel = b.bind(new InetSocketAddress(port)).sync().channel()
+  }
+
+  def boundPort: Int = channel.localAddress().asInstanceOf[InetSocketAddress].getPort
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    boss.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
+    workers.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
+    pool.shutdown()
+  }
+
+  /** One call = one stream; frames collect until END_STREAM (the only
+    * client-streaming method, GetRowsByID, is request-bounded by nature —
+    * the reference half-closes after its request channel drains too),
+    * then dispatch runs off-loop and streams Row frames back. */
+  private final class StreamHandler extends ChannelInboundHandlerAdapter {
+    private var path: String = ""
+    private val pending = Unpooled.compositeBuffer()
+    private val frames = Vector.newBuilder[Array[Byte]]
+    private var failure: Throwable = null
+    private val writability = new Object
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        path = String.valueOf(h.headers().path())
+        if (h.isEndStream) finish(ctx)
+      case d: Http2DataFrame =>
+        val consumed = d.initialFlowControlledBytes()
+        pending.addComponent(true, d.content())
+        try drain()
+        catch { case e: Throwable if failure == null => failure = e }
+        if (consumed > 0 && !d.isEndStream)
+          ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+        if (d.isEndStream) finish(ctx)
+      case other => ReferenceCountUtil.release(other)
+    }
+
+    private def drain(): Unit = {
+      var more = true
+      while (more && failure == null) {
+        if (pending.readableBytes() < 5) more = false
+        else {
+          pending.markReaderIndex()
+          val flag = pending.readByte()
+          require(flag == 0, "compressed gRPC frames unsupported")
+          val len = pending.readInt()
+          require(len >= 0, "negative gRPC frame length")
+          if (pending.readableBytes() < len) { pending.resetReaderIndex(); more = false }
+          else {
+            val arr = new Array[Byte](len)
+            pending.readBytes(arr)
+            frames += arr
+          }
+        }
+      }
+      pending.discardReadComponents()
+    }
+
+    override def channelWritabilityChanged(ctx: ChannelHandlerContext): Unit = {
+      writability.synchronized(writability.notifyAll())
+      ctx.fireChannelWritabilityChanged()
+    }
+
+    private def awaitWritable(ch: Channel): Unit =
+      while (!ch.isWritable && ch.isActive)
+        writability.synchronized(writability.wait(100))
+
+    override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit = {
+      ReferenceCountUtil.release(pending)
+      ctx.close()
+    }
+
+    private def finish(ctx: ChannelHandlerContext): Unit = {
+      ReferenceCountUtil.release(pending)
+      val messages = frames.result()
+      val err = failure
+      pool.execute(() => respond(ctx, this, path, messages, Option(err)))
+    }
+
+    private def respond(ctx: ChannelHandlerContext, handler: StreamHandler, path: String,
+                        messages: Vector[Array[Byte]], readFailure: Option[Throwable]): Unit = {
+      var headersSent = false
+      def sendHeaders(): Unit = {
+        val h = new DefaultHttp2Headers().status("200")
+        h.set("content-type", "application/grpc")
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h))
+        headersSent = true
+      }
+      def sendTrailers(code: Int, msg: String): Unit = {
+        val t = new DefaultHttp2Headers()
+        if (!headersSent) { t.status("200"); t.set("content-type", "application/grpc") }
+        t.set("grpc-status", code.toString)
+        if (msg != null) t.set("grpc-message", msg.replace('\n', ' '))
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+      }
+      try {
+        readFailure.foreach(e => throw e)
+        val out = dispatch(path, messages)
+        sendHeaders()
+        out.foreach { m =>
+          awaitWritable(ctx.channel())
+          val b = ctx.alloc().buffer(5 + m.length)
+          b.writeByte(0); b.writeInt(m.length); b.writeBytes(m)
+          ctx.writeAndFlush(new DefaultHttp2DataFrame(b))
+        }
+        sendTrailers(0, null)
+      } catch {
+        case e: IllegalArgumentException => sendTrailers(3, String.valueOf(e.getMessage))
+        case e: Throwable => sendTrailers(2, String.valueOf(e.getMessage))
+      }
+    }
+  }
+
+  private def collectionOrFail(name: String): DataFrame = {
+    if (!provider.collections.contains(name))
+      throw new IllegalArgumentException(s"unknown collection: $name")
+    provider.collection(name)
+  }
+
+  /** (id, full-row JSON) iterator for a collection — the Row stream body. */
+  private def rowIter(name: String): Iterator[(String, String)] = {
+    val t = collectionOrFail(name)
+    val proj = t.select(col(idCol).cast("string").as("__id"),
+      to_json(struct(t.columns.map(col).toIndexedSeq: _*)).as("__doc"))
+    import scala.jdk.CollectionConverters._
+    proj.toLocalIterator().asScala.map(r => (r.getString(0), r.getString(1)))
+  }
+
+  private def rowBytes(id: String, doc: String, requestId: Option[String]): Array[Byte] = {
+    val o = mapper.createObjectNode()
+    o.put("id", id)
+    o.set[ObjectNode]("data", mapper.readTree(doc).asInstanceOf[ObjectNode])
+    requestId.foreach(r => o.put("requestID", new java.math.BigInteger(r)))
+    Pbuf.encode(reg, "Row", o)
+  }
+
+  private def text(n: com.fasterxml.jackson.databind.JsonNode, k: String): String = {
+    val v = n.get(k)
+    if (v == null || v.isNull) "" else v.asText()
+  }
+
+  private def dispatch(path: String, msgs: Vector[Array[Byte]]): Iterator[Array[Byte]] = path match {
+    case "/gripper.GRIPSource/GetCollections" =>
+      provider.collections.iterator.map { n =>
+        val o = mapper.createObjectNode(); o.put("name", n)
+        Pbuf.encode(reg, "Collection", o)
+      }
+    case "/gripper.GRIPSource/GetCollectionInfo" =>
+      val name = text(Pbuf.decode(reg, "Collection", msgs.head), "name")
+      val t = collectionOrFail(name)
+      val o = mapper.createObjectNode()
+      val sf = o.putArray("search_fields")
+      t.columns.foreach(c => sf.add(s"$$.$c"))
+      o.putObject("link_map")
+      Iterator.single(Pbuf.encode(reg, "CollectionInfo", o))
+    case "/gripper.GRIPSource/GetIDs" =>
+      val name = text(Pbuf.decode(reg, "Collection", msgs.head), "name")
+      rowIter(name).map { case (id, _) =>
+        val o = mapper.createObjectNode(); o.put("id", id)
+        Pbuf.encode(reg, "RowID", o)
+      }
+    case "/gripper.GRIPSource/GetRows" =>
+      val name = text(Pbuf.decode(reg, "Collection", msgs.head), "name")
+      rowIter(name).map { case (id, doc) => rowBytes(id, doc, None) }
+    case "/gripper.GRIPSource/GetRowsByID" =>
+      // requests may span collections; resolve per collection with one
+      // pushed-down isin filter each, answering in request order and
+      // echoing requestID (missing ids yield no Row, as the reference's
+      // table server behaves)
+      val reqs = msgs.map(Pbuf.decode(reg, "RowRequest", _))
+        .map(n => (text(n, "collection"), text(n, "id"), text(n, "requestID")))
+      val byColl = reqs.groupBy(_._1).map { case (cname, rs) =>
+        val ids = rs.map(_._2).distinct
+        val t = collectionOrFail(cname)
+        val found = t.filter(col(idCol).cast("string").isin(ids: _*))
+          .select(col(idCol).cast("string"),
+            to_json(struct(t.columns.map(col).toIndexedSeq: _*)))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        cname -> found
+      }
+      reqs.iterator.flatMap { case (cname, id, reqId) =>
+        byColl(cname).get(id).map(doc =>
+          rowBytes(id, doc, Some(if (reqId.isEmpty) "0" else reqId)))
+      }
+    case "/gripper.GRIPSource/GetRowsByField" =>
+      val n = Pbuf.decode(reg, "FieldRequest", msgs.head)
+      // the reference's clients send the search_fields form "$.field"
+      val field = text(n, "field").stripPrefix("$.")
+      val value = text(n, "value")
+      val t = collectionOrFail(text(n, "collection"))
+      require(t.columns.contains(field), s"field not indexed: $field")
+      val proj = t.filter(col(field).cast("string") === value)
+        .select(col(idCol).cast("string").as("__id"),
+          to_json(struct(t.columns.map(col).toIndexedSeq: _*)).as("__doc"))
+      import scala.jdk.CollectionConverters._
+      proj.toLocalIterator().asScala.map(r => rowBytes(r.getString(0), r.getString(1), None))
+    case other =>
+      throw new IllegalArgumentException(s"unknown method: $other")
+  }
+}
+
+/** h2c prior-knowledge gRPC client for `gripper.proto` — one connection,
+  * one HTTP/2 stream per call, manual window updates for large row
+  * streams (the same protocol subset [[GrpcServer]] serves). */
+final class GripperClient(host: String, port: Int) extends AutoCloseable {
+  private val mapper = new ObjectMapper()
+  private val reg = GripperProto.registry
+  private val group = new NioEventLoopGroup(1)
+  private val ch: Channel = new Bootstrap()
+    .group(group)
+    .channel(classOf[NioSocketChannel])
+    .handler(new ChannelInitializer[SocketChannel] {
+      override def initChannel(c: SocketChannel): Unit = {
+        c.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+        c.pipeline().addLast(new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+          override def initChannel(s: Channel): Unit = ()
+        }))
+      }
+    })
+    .connect(host, port).sync().channel()
+
+  final case class Resp(grpcStatus: Int, message: String, payloads: Vector[Array[Byte]])
+
+  def call(path: String, reqs: Seq[Array[Byte]]): Resp = {
+    val done = new CompletableFuture[Resp]()
+    val bs = new Http2StreamChannelBootstrap(ch)
+    bs.handler(new ChannelInitializer[Channel] {
+      override def initChannel(s: Channel): Unit =
+        s.pipeline().addLast(new ChannelInboundHandlerAdapter {
+          private val buf = Unpooled.compositeBuffer()
+          private var status = -1
+          private var msg = ""
+          override def channelRead(ctx: ChannelHandlerContext, m: AnyRef): Unit = m match {
+            case h: Http2HeadersFrame =>
+              val gs = h.headers().get("grpc-status")
+              if (gs != null) {
+                status = gs.toString.toInt
+                val gm = h.headers().get("grpc-message")
+                if (gm != null) msg = gm.toString
+              }
+              if (h.isEndStream) complete()
+            case d: Http2DataFrame =>
+              val consumed = d.initialFlowControlledBytes()
+              buf.addComponent(true, d.content())
+              if (consumed > 0 && !d.isEndStream)
+                ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+              if (d.isEndStream) complete()
+            case other => ReferenceCountUtil.release(other)
+          }
+          override def exceptionCaught(ctx: ChannelHandlerContext, e: Throwable): Unit =
+            done.completeExceptionally(e)
+          private def complete(): Unit = {
+            val out = Vector.newBuilder[Array[Byte]]
+            while (buf.readableBytes() >= 5) {
+              buf.readByte()
+              val len = buf.readInt()
+              val a = new Array[Byte](len)
+              buf.readBytes(a)
+              out += a
+            }
+            ReferenceCountUtil.release(buf)
+            done.complete(Resp(status, msg, out.result()))
+          }
+        })
+    })
+    val stream = bs.open().sync().get()
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http").path(path).authority(s"$host:$port")
+    headers.set("content-type", "application/grpc")
+    headers.set("te", "trailers")
+    stream.write(new DefaultHttp2HeadersFrame(headers))
+    val body = Unpooled.buffer()
+    reqs.foreach { r => body.writeByte(0); body.writeInt(r.length); body.writeBytes(r) }
+    stream.writeAndFlush(new DefaultHttp2DataFrame(body, true))
+    done.get(120, TimeUnit.SECONDS)
+  }
+
+  private def checked(path: String, reqs: Seq[Array[Byte]]): Vector[Array[Byte]] = {
+    val r = call(path, reqs)
+    if (r.grpcStatus != 0)
+      throw new IllegalArgumentException(s"$path failed (${r.grpcStatus}): ${r.message}")
+    r.payloads
+  }
+
+  private def enc(msg: String, kv: (String, String)*): Array[Byte] = {
+    val o = mapper.createObjectNode()
+    kv.foreach { case (k, v) => o.put(k, v) }
+    Pbuf.encode(reg, msg, o)
+  }
+
+  def collections(): Seq[String] =
+    checked("/gripper.GRIPSource/GetCollections", Seq(enc("Empty")))
+      .map(b => Pbuf.decode(reg, "Collection", b).get("name").asText())
+
+  def collectionInfo(name: String): (Seq[String], Map[String, String]) = {
+    val n = Pbuf.decode(reg, "CollectionInfo",
+      checked("/gripper.GRIPSource/GetCollectionInfo",
+        Seq(enc("Collection", "name" -> name))).head)
+    import scala.jdk.CollectionConverters._
+    val sf = Option(n.get("search_fields")).map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Nil)
+    val lm = Option(n.get("link_map")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+    (sf, lm)
+  }
+
+  def ids(name: String): Seq[String] =
+    checked("/gripper.GRIPSource/GetIDs", Seq(enc("Collection", "name" -> name)))
+      .map(b => Pbuf.decode(reg, "RowID", b).get("id").asText())
+
+  /** (id, data-JSON) rows of a full-collection stream. */
+  def rows(name: String): Seq[(String, String)] =
+    checked("/gripper.GRIPSource/GetRows",
+      Seq(enc("Collection", "name" -> name))).map(decodeRow)
+
+  /** Point lookups over the client-streaming RPC; missing ids are absent. */
+  def rowsById(name: String, idList: Seq[String]): Seq[(String, String)] = {
+    val reqs = idList.zipWithIndex.map { case (id, i) =>
+      val o = mapper.createObjectNode()
+      o.put("collection", name); o.put("id", id); o.put("requestID", i.toLong)
+      Pbuf.encode(reg, "RowRequest", o)
+    }
+    checked("/gripper.GRIPSource/GetRowsByID", reqs).map(decodeRow)
+  }
+
+  def rowsByField(name: String, field: String, value: String): Seq[(String, String)] =
+    checked("/gripper.GRIPSource/GetRowsByField",
+      Seq(enc("FieldRequest", "collection" -> name, "field" -> field,
+        "value" -> value))).map(decodeRow)
+
+  private def decodeRow(b: Array[Byte]): (String, String) = {
+    val n = Pbuf.decode(reg, "Row", b)
+    val data = Option(n.get("data")).filterNot(_.isNull)
+      .getOrElse(mapper.createObjectNode())
+    (n.get("id").asText(), mapper.writeValueAsString(data))
+  }
+
+  override def close(): Unit = {
+    ch.close().sync()
+    group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
+  }
+}
+
+object GripperWire {
+  /** A [[Gripper.SourceProvider]] over a live GRIPSource plugin: the
+    * federated-source contract [[Gripper.graph]] consumes, resolved
+    * through the wire. Each collection is fetched ONCE (memoized) as a
+    * whole-stream read and becomes a DataFrame via schema-inferring JSON
+    * parse, with the Row.id merged in as the `id` column the mapping
+    * contract requires. */
+  def grpcSource(spark: SparkSession, client: GripperClient): Gripper.SourceProvider =
+    new Gripper.SourceProvider {
+      private val mapper = new ObjectMapper()
+      private val cache = scala.collection.mutable.HashMap.empty[String, DataFrame]
+      def collections: Seq[String] = client.collections()
+      def collection(name: String): DataFrame = synchronized {
+        cache.getOrElseUpdate(name, {
+          val docs = client.rows(name).map { case (id, doc) =>
+            val o = mapper.readTree(doc).asInstanceOf[ObjectNode]
+            if (!o.has("id")) o.put("id", id)
+            mapper.writeValueAsString(o)
+          }
+          import spark.implicits._
+          spark.read.json(spark.createDataset(docs))
+        })
+      }
+    }
+}
