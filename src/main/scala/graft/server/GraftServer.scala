@@ -569,7 +569,12 @@ object GraftServer {
     * either side. Operations: query, read, write, exec. */
   case class Credential(user: String, password: String)
   case class Policy(user: String, graph: String, actions: Set[String])
-  case class Auth(credentials: Seq[Credential], policies: Seq[Policy]) {
+  /** `access`, when set, replaces the flat `policies` list with a
+    * [[Casbin]] enforcer — the reference's AccessConfig{Null|Casbin}
+    * choice (accounts/interface.go:69-72): same (user, graph, operation)
+    * request triple, model-driven decision. */
+  case class Auth(credentials: Seq[Credential], policies: Seq[Policy],
+                  access: Option[Casbin.Enforcer] = None) {
     // compare fixed-length digests with MessageDigest.isEqual so a probe
     // can't time how many leading characters of the password matched
     private def sha(s: String): Array[Byte] =
@@ -602,10 +607,12 @@ object GraftServer {
         }
       }
     }
-    def enforce(user: String, graph: String, op: String): Boolean =
-      policies.exists(p => (p.user == user || p.user == "*") &&
+    def enforce(user: String, graph: String, op: String): Boolean = access match {
+      case Some(e) => e.enforce(user, graph, op)
+      case None => policies.exists(p => (p.user == user || p.user == "*") &&
         (p.graph == graph || p.graph == "*") &&
         (p.actions.contains(op) || p.actions.contains("*")))
+    }
   }
 
   /** Route → operation, mirroring the reference's MethodMap
