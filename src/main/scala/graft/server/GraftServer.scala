@@ -461,9 +461,22 @@ class GraftServer(spark: SparkSession, port: Int,
         val qNode = body.get("query")
         if (qNode == null || !qNode.isTextual) err(ex, 400, "missing 'query' text")
         else {
-          val result = GraphQL.run(spark, mg.graph, qNode.asText(), Some(mg.derivedTopology))
-          streamNdjson(ex, result.toLocalIterator().asScala.map(_.getString(0)))
+          // __schema/__type introspection answers from the sampled type
+          // system (reference: graphqlv2 publishes the schema as GraphQL
+          // types); everything else compiles to one traversal plan
+          val q = qNode.asText()
+          GraphQL.introspection(graphqlTypes(g, mg), q) match {
+            case Some(json) => send(ex, 200, json)
+            case None =>
+              val result = GraphQL.run(spark, mg.graph, q, Some(mg.derivedTopology))
+              streamNdjson(ex, result.toLocalIterator().asScala.map(_.getString(0)))
+          }
         }
+      }
+
+      // SDL view of the same type system (GET — tooling convenience)
+      case ("GET", g :: "graphql" :: Nil) => withGraph(ex, g) { mg =>
+        send(ex, 200, GraphQL.sdl(graphqlTypes(g, mg)))
       }
 
       case ("POST", g :: "vertex" :: Nil) => withGraph(ex, g) { mg =>
@@ -542,6 +555,24 @@ class GraftServer(spark: SparkSession, port: Int,
     if (from != null) node.put("from", from).put("to", to)
     node.set("data", if (data == null || data.isEmpty) mapper.createObjectNode() else mapper.readTree(data))
     node.toString
+  }
+
+  /** GraphQL type system per graph, cached against the graph's current
+    * frame identity (same invalidation rule as derivedTopology): sampling
+    * scans the vertex set, so an introspection-heavy client must not pay
+    * it per request. */
+  private val gqlTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (GraphFrame, Seq[GraphQL.GqlType])]()
+  private def graphqlTypes(g: String, mg: graft.model.MutableGraph): Seq[GraphQL.GqlType] = {
+    val cur = mg.graph
+    val cached = gqlTypeCache.get(g)
+    if (cached != null && (cached._1.vertices eq cur.vertices) &&
+        (cached._1.edges eq cur.edges)) cached._2
+    else {
+      val ts = GraphQL.typeSystem(graft.model.SchemaSampler.sampleSchema(spark, cur))
+      gqlTypeCache.put(g, (cur, ts))
+      ts
+    }
   }
 
   /** One Graph-message JSON object for a (small) schema graph — the

@@ -66,7 +66,8 @@ object GraphQL {
       val gid = if (peek == '(') {
         eat('(')
         val k = name()
-        if (k != "gid") err(s"only the gid argument is supported, got '$k'")
+        if (k != "gid" && k != "name")
+          err(s"only the gid/name arguments are supported, got '$k'")
         eat(':'); val v = str(); eat(')')
         Some(v)
       } else None
@@ -101,6 +102,198 @@ object GraphQL {
   /** (from-label, edge-label, to-label) triples observed in the graph —
     * used when no topology/schema is declared; one small distinct query. */
   def deriveTriples(g: GraphFrame): Seq[EdgeType] = GraphFrame.deriveTriples(g)
+
+  // ---- type system from the sampled schema (reference:
+  // endpoints/graphqlv2/builder.go buildObjectMap/buildObject — sampled
+  // FieldType names become GraphQL scalars, edge triples become list
+  // fields, colliding (from, label) pairs disambiguate as label_to_To)
+
+  /** `tpe` is a scalar name (String/Float/Boolean/JSON) or an object type
+    * name; `list` wraps it in a GraphQL list. */
+  final case class GqlField(name: String, tpe: String, list: Boolean)
+  final case class GqlType(name: String, fields: Seq[GqlField])
+
+  private val scalarNames = Set("String", "Float", "Boolean", "Int", "JSON")
+
+  /** FieldType name → GraphQL scalar (builder.go:70-82; MAP/ARRAY/UNKNOWN
+    * ride the endpoint's JSON catch-all scalar, ARRAY as a list of it). */
+  private def scalarOf(t: String): (String, Boolean) = t match {
+    case "STRING" => ("String", false)
+    case "NUMERIC" => ("Float", false)
+    case "BOOL" => ("Boolean", false)
+    case "ARRAY" => ("JSON", true)
+    case _ => ("JSON", false)
+  }
+
+  /** Build the GraphQL object types for a SAMPLED SCHEMA graph (the
+    * [[graft.model.SchemaSampler]] layout: one vertex per label with
+    * data = field→FieldType JSON; one edge per (from, label, to) triple).
+    * Schema graphs are label-count-sized, so the collects are bounded. */
+  def typeSystem(schema: GraphFrame): Seq[GqlType] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vRows = schema.vertices.select(col("label"), col("data")).collect()
+    val labels = vRows.map(_.getString(0)).toSet
+    val triples = schema.edges.select(col("from"), col("label"), col("to"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filter(t => labels.contains(t._1) && labels.contains(t._3))
+      .distinct.sortBy(t => (t._1, t._2, t._3)).toSeq
+    vRows.sortBy(_.getString(0)).toSeq.map { r =>
+      val label = r.getString(0)
+      val props = Option(r.getString(1)).filter(_.nonEmpty).map(mapper.readTree).toSeq
+        .flatMap { n =>
+          import scala.jdk.CollectionConverters._
+          n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq
+        }.sortBy(_._1)
+      val scalarFields = GqlField("id", "String", list = false) +:
+        props.filter(_._1 != "id").map { case (f, t) =>
+          val (s, l) = scalarOf(t); GqlField(f, s, l)
+        }
+      val mine = triples.filter(_._1 == label)
+      val edgeFields = mine.map { case (_, el, to) =>
+        // a label leaving this vertex toward 2+ targets splits per-target
+        val fname = if (mine.count(_._2 == el) > 1) s"${el}_to_$to" else el
+        GqlField(fname, to, list = true)
+      }
+      GqlType(label, scalarFields ++ edgeFields)
+    }
+  }
+
+  /** SDL rendering of the type system — `scalar JSON`, one object type per
+    * label, and the Query root the reference's endpoint exposes (args
+    * id/ids/first/offset/filter per label, builder.go:15-20). */
+  def sdl(types: Seq[GqlType]): String = {
+    val sb = new StringBuilder("scalar JSON\n\n")
+    types.foreach { t =>
+      sb.append(s"type ${t.name} {\n")
+      t.fields.foreach { f =>
+        val tn = if (f.list) s"[${f.tpe}]" else f.tpe
+        sb.append(s"  ${f.name}: $tn\n")
+      }
+      sb.append("}\n\n")
+    }
+    sb.append("type Query {\n")
+    types.foreach(t => sb.append(
+      s"  ${t.name}(id: String, ids: [String], first: Int, offset: Int, filter: JSON): [${t.name}]\n"))
+    sb.append("}\n")
+    sb.toString
+  }
+
+  /** Answer `__schema` / `__type` introspection queries from the type
+    * system; None when `query`'s root is not an introspection field (run
+    * it as a data query instead). The response honors the request's
+    * selection sets (no fragments — the fluent subset this endpoint
+    * parses). */
+  def introspection(types: Seq[GqlType], query: String): Option[String] = {
+    val root = parse(query)
+    if (root.name != "__schema" && root.name != "__type") return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+    def scalarRef(name: String): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("kind", "SCALAR"); o.put("name", name); o.putNull("ofType"); o
+    }
+    def objectRef(name: String): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("kind", "OBJECT"); o.put("name", name); o.putNull("ofType"); o
+    }
+    def listOf(inner: ObjectNode): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("kind", "LIST"); o.putNull("name"); o.set[ObjectNode]("ofType", inner); o
+    }
+    def ref(f: GqlField): ObjectNode = {
+      val inner = if (scalarNames.contains(f.tpe)) scalarRef(f.tpe) else objectRef(f.tpe)
+      if (f.list) listOf(inner) else inner
+    }
+    def fieldNode(name: String, tpe: ObjectNode, args: Seq[(String, ObjectNode)]): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("name", name); o.putNull("description")
+      val argArr = o.putArray("args")
+      args.foreach { case (an, at) =>
+        val a = mapper.createObjectNode()
+        a.put("name", an); a.putNull("description")
+        a.set[ObjectNode]("type", at); a.putNull("defaultValue")
+        argArr.add(a)
+      }
+      o.set[ObjectNode]("type", tpe)
+      o.put("isDeprecated", false); o.putNull("deprecationReason")
+      o
+    }
+    def typeNode(t: GqlType): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("kind", "OBJECT"); o.put("name", t.name); o.putNull("description")
+      val fs = o.putArray("fields")
+      t.fields.foreach(f => fs.add(fieldNode(f.name, ref(f), Nil)))
+      o.putNull("inputFields"); o.putArray("interfaces")
+      o.putNull("enumValues"); o.putNull("possibleTypes")
+      o
+    }
+    def scalarTypeNode(name: String): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("kind", "SCALAR"); o.put("name", name); o.putNull("description")
+      o.putNull("fields"); o.putNull("inputFields"); o.putArray("interfaces")
+      o.putNull("enumValues"); o.putNull("possibleTypes")
+      o
+    }
+    val queryArgs = Seq(
+      "id" -> scalarRef("String"), "ids" -> listOf(scalarRef("String")),
+      "first" -> scalarRef("Int"), "offset" -> scalarRef("Int"),
+      "filter" -> scalarRef("JSON"))
+    val queryType: ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("kind", "OBJECT"); o.put("name", "Query"); o.putNull("description")
+      val fs = o.putArray("fields")
+      types.foreach(t => fs.add(fieldNode(t.name, listOf(objectRef(t.name)), queryArgs)))
+      o.putNull("inputFields"); o.putArray("interfaces")
+      o.putNull("enumValues"); o.putNull("possibleTypes")
+      o
+    }
+    val allTypes: Seq[ObjectNode] = (queryType +: types.map(typeNode)) ++
+      scalarNames.toSeq.sorted.map(scalarTypeNode)
+
+    /** Keep only the selected keys; recurse into sub-selections (arrays
+      * prune element-wise; selecting into a null leaves the null). */
+    def prune(node: JsonNode, sels: Seq[Sel]): JsonNode =
+      if (sels.isEmpty || node == null || node.isNull) node
+      else node match {
+        case arr: ArrayNode =>
+          val out = mapper.createArrayNode()
+          arr.forEach(e => { out.add(prune(e, sels)); () })
+          out
+        case obj: ObjectNode =>
+          val out = mapper.createObjectNode()
+          sels.foreach { s =>
+            if (!obj.has(s.name))
+              throw new IllegalArgumentException(
+                s"unknown introspection field '${s.name}'")
+            out.set[JsonNode](s.name, prune(obj.get(s.name), s.subs))
+          }
+          out
+        case other => other
+      }
+
+    val value: JsonNode = root.name match {
+      case "__schema" =>
+        val o = mapper.createObjectNode()
+        o.set[ObjectNode]("queryType", {
+          val q = mapper.createObjectNode(); q.put("name", "Query"); q
+        })
+        o.putNull("mutationType"); o.putNull("subscriptionType")
+        val ts = o.putArray("types"); allTypes.foreach(ts.add)
+        o.putArray("directives")
+        prune(o, root.subs)
+      case "__type" =>
+        val wanted = root.gid.getOrElse(
+          throw new IllegalArgumentException("__type needs a name argument"))
+        allTypes.find(_.get("name").asText() == wanted)
+          .map(prune(_, root.subs))
+          .getOrElse(mapper.nullNode())
+    }
+    val resp = mapper.createObjectNode()
+    resp.putObject("data").set[JsonNode](root.name, value)
+    Some(mapper.writeValueAsString(resp))
+  }
 
   /** Rows of `label` vertices with one column per selection: scalars from
     * the data document, edge fields as sorted arrays of child structs. */

@@ -49,6 +49,57 @@ class GraphQLSpec extends AnyFunSuite {
     assert(rows.forall(_.get("residents").isArray))
   }
 
+  test("typeSystem builds object types + edge list fields from the sampled schema") {
+    val schema = graft.model.SchemaSampler.sampleSchema(spark, g)
+    val types = GraphQL.typeSystem(schema)
+    val byName = types.map(t => t.name -> t).toMap
+    assert(byName.contains("Character") && byName.contains("Planet") && byName.contains("Film"))
+    val ch = byName("Character")
+    // id is always first; sampled scalars map STRING→String, NUMERIC→Float
+    assert(ch.fields.head == GraphQL.GqlField("id", "String", list = false))
+    assert(ch.fields.exists(f => f.name == "name" && f.tpe == "String" && !f.list))
+    assert(ch.fields.exists(f => f.name == "height" && f.tpe == "Float"))
+    // edge triples become object-list fields
+    assert(ch.fields.exists(f => f.name == "homeworld" && f.tpe == "Planet" && f.list))
+    assert(byName("Film").fields.exists(f => f.name == "characters" && f.tpe == "Character" && f.list))
+    // SDL renders every type plus the Query root with the standard args
+    val sdl = GraphQL.sdl(types)
+    assert(sdl.contains("scalar JSON"))
+    assert(sdl.contains("type Character {"))
+    assert(sdl.contains("homeworld: [Planet]"))
+    assert(sdl.contains(
+      "Character(id: String, ids: [String], first: Int, offset: Int, filter: JSON): [Character]"))
+  }
+
+  test("__schema and __type introspection answer from the type system") {
+    val types = GraphQL.typeSystem(graft.model.SchemaSampler.sampleSchema(spark, g))
+    // a data query is not introspection
+    assert(GraphQL.introspection(types, "{ Planet { gid } }").isEmpty)
+    val schemaResp = om.readTree(GraphQL.introspection(types,
+      "{ __schema { queryType { name } types { name kind } } }").get)
+    val sch = schemaResp.get("data").get("__schema")
+    assert(sch.get("queryType").get("name").asText() == "Query")
+    val names = (0 until sch.get("types").size()).map(sch.get("types").get(_).get("name").asText())
+    assert(names.contains("Query") && names.contains("Character") && names.contains("JSON"))
+    // the selection is honored: only name+kind were asked for
+    assert(!sch.get("types").get(0).has("fields"))
+    // __type drills into one object with field types
+    val t = om.readTree(GraphQL.introspection(types,
+      """{ __type(name: "Character") { name fields { name type { kind name ofType { name } } } } }""").get)
+      .get("data").get("__type")
+    assert(t.get("name").asText() == "Character")
+    val fields = (0 until t.get("fields").size()).map(t.get("fields").get)
+    val hw = fields.find(_.get("name").asText() == "homeworld").get
+    assert(hw.get("type").get("kind").asText() == "LIST")
+    assert(hw.get("type").get("ofType").get("name").asText() == "Planet")
+    // unknown type name → null result; unknown field → loud error
+    assert(om.readTree(GraphQL.introspection(types,
+      """{ __type(name: "Midichlorian") { name } }""").get).get("data").get("__type").isNull)
+    val e = intercept[IllegalArgumentException](
+      GraphQL.introspection(types, "{ __schema { bogus } }"))
+    assert(e.getMessage.contains("unknown introspection field"))
+  }
+
   test("errors: unknown edge selection, malformed text") {
     val e1 = intercept[IllegalArgumentException](run("""{ Character { bogus { name } } }"""))
     assert(e1.getMessage.contains("not an edge label"))

@@ -71,6 +71,19 @@ class ServerSpec extends AnyFunSuite {
       assert(gq.body().linesIterator.toSeq.map(_.trim).sorted ==
         Seq("""{"name":"marko"}""", """{"name":"vadas"}"""))
 
+      // GraphQL introspection: __schema types from the sampled schema,
+      // SDL on GET (graphqlv2's published-type-system behavior)
+      val intro = req(c, p, "POST", "/v1/graph/test/graphql",
+        """{"query": "{ __schema { queryType { name } types { name } } }"}""")
+      assert(intro.statusCode() == 200)
+      assert(intro.body().contains("\"Query\"") && intro.body().contains("\"Person\""))
+      val tq = req(c, p, "POST", "/v1/graph/test/graphql",
+        """{"query": "{ __type(name: \"Person\") { name fields { name } } }"}""")
+      assert(tq.statusCode() == 200 && tq.body().contains("\"knows\""))
+      val sdl = req(c, p, "GET", "/v1/graph/test/graphql")
+      assert(sdl.statusCode() == 200 && sdl.body().contains("type Person {") &&
+        sdl.body().contains("knows: [Person]"))
+
       // Cypher route: pattern + WHERE + projection over the same graph
       val cy = req(c, p, "POST", "/v1/graph/test/cypher",
         """{"query": "MATCH (a:Person)-[:knows]->(b) WHERE a.age > 21 RETURN b.name AS friend"}""")
