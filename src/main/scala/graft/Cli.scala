@@ -106,7 +106,12 @@ object Cli {
       if (!rest.contains("--vertices")) printNdjson(gf.edges)
 
     case "query" :: g :: q :: Nil =>
-      val pq = Parser.parse(q)
+      // the reference CLI evaluates the query text as JavaScript
+      // (cmd/query/main.go:29-62); a plain fluent chain is valid JS, so
+      // JsQuery handles both — the fluent parser stays as the fallback
+      // for any form the JS subset doesn't cover
+      val pq = try graft.gripql.JsQuery.eval(q)
+        catch { case _: IllegalArgumentException => Parser.parse(q) }
       printLines(graft.server.Wire.lines(
         Traversal.run(spark, catalog.graph(g), pq), pq.stmts.lastOption))
 
