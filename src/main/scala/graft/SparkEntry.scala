@@ -593,6 +593,17 @@ edges:
     // per-vertex local clustering (ego-network density) on the same graph
     "q80_local_clustering" -> ((s, d) =>
       graft.model.GraphAlgos.localClustering(dedupGraph(s, d), "near_dup")),
+    // closeness + harmonic centrality from the 3 string-min near-dup
+    // endpoints — one labeled multi-source BFS (4-hop horizon, matching
+    // q64's oracle recursion bound), one per-seed aggregate
+    "q81_closeness" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val e = g.edges.filter(col("label") === "near_dup")
+      val seeds = e.select(col("from").as("gid"))
+        .union(e.select(col("to").as("gid")))
+        .distinct().orderBy("gid").limit(3)
+      graft.model.GraphAlgos.closenessCentrality(g, "near_dup", seeds, maxHops = 4)
+    }),
     // similarity-weighted PageRank: rank flows ∝ 1/(1+symmetric-difference)
     // along near-dup edges; 2 rounds unrolled in the oracle
     "q79_pagerank_w" -> ((s, d) =>
@@ -1225,6 +1236,29 @@ edges:
       "sup AS (SELECT ce.u, ce.v, count(*) AS s FROM ce " +
       "JOIN bi n1 ON n1.u = ce.u JOIN bi n2 ON n2.u = ce.v AND n2.v = n1.v GROUP BY ce.u, ce.v) " +
       "SELECT ce.u, ce.v, coalesce(s, 0) AS support FROM ce LEFT JOIN sup ON sup.u = ce.u AND sup.v = ce.v"),
+    // q64's recursive BFS generalized to 3 seeds; min-dist per (seed, id),
+    // then the closeness/harmonic aggregates. DOUBLE casts keep DuckDB's
+    // decimal division away from Spark's IEEE doubles; sums cast BIGINT
+    // (the p30/p53 HUGEINT lesson)
+    "q81_closeness" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |pr AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),
+         |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+         |src AS MATERIALIZED (SELECT gid AS s FROM (SELECT a AS gid FROM pr UNION SELECT b FROM pr) ORDER BY gid LIMIT 3),
+         |walk(seed, id, d) AS (
+         |  SELECT s, s, 0 FROM src
+         |  UNION
+         |  SELECT walk.seed, e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < 4),
+         |md AS (SELECT seed, id, min(d) AS d FROM walk GROUP BY seed, id),
+         |agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(d) AS BIGINT) AS total_dist,
+         |  round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness,
+         |  round(sum(CAST(1.0 AS DOUBLE) / d), 6) AS harmonic
+         |  FROM md WHERE d > 0 GROUP BY seed)
+         |SELECT src.s AS gid, coalesce(n_reached, CAST(0 AS BIGINT)) AS n_reached,
+         |  coalesce(total_dist, CAST(0 AS BIGINT)) AS total_dist,
+         |  coalesce(closeness, 0.0) AS closeness, coalesce(harmonic, 0.0) AS harmonic
+         |FROM src LEFT JOIN agg ON agg.seed = src.s""".stripMargin,
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +

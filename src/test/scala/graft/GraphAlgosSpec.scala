@@ -47,6 +47,27 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(cut == Map("a" -> 0L, "b" -> 1L))
   }
 
+  test("closeness: per-seed distances, isolated seed zeros, hop cutoff") {
+    // chain a-b-c-d plus branch b-e; f isolated
+    val v = Seq("a", "b", "c", "d", "e", "f").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "c", "b", "{}"),
+      ("e3", "link", "c", "d", "{}"), ("e4", "link", "b", "e", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val g = GraphFrame(v, e)
+    val out = GraphAlgos.closenessCentrality(g, "link", Seq("a", "b", "f").toDF("gid"))
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // from a: b=1, c=2, e=2, d=3 → n=4, T=8, closeness=0.5, harmonic=1+0.5+0.5+1.0/3
+    assert(out("a") == (("a", 4L, 8L, 0.5, math.rint((1.0 + 0.5 + 0.5 + 1.0 / 3) * 1e6) / 1e6)))
+    // from b: a=1, c=1, e=1, d=2 → n=4, T=5
+    assert(out("b") == (("b", 4L, 5L, 0.8, 3.5)))
+    // isolated seed: zero row, not a dropped row
+    assert(out("f") == (("f", 0L, 0L, 0.0, 0.0)))
+    // hop cutoff: from a with maxHops=2, d is out of range → n=3, T=5
+    val cut = GraphAlgos.closenessCentrality(g, "link", Seq("a").toDF("gid"), maxHops = 2)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(cut == (("a", 3L, 5L, 0.6, 2.0)))
+  }
+
   test("connected components: string min representative, singletons included") {
     // chain x10-x2-x9 must key on the STRING min "x10" (not numeric 2);
     // y1-y2 a second component; z is isolated -> its own component;
