@@ -337,6 +337,14 @@ edges:
     "p50_bigram_lm" -> ((s, d) => TextAnalysis.bigramLogLoss(docs(s, d), "doc_id", "text")),
     // per-doc n-gram novelty: fraction of shingles unique to the doc
     "p59_novelty" -> ((s, d) => TextAnalysis.novelty(docs(s, d), "doc_id", "text")),
+    // vocabulary richness: type-token ratio, hapax fraction, mean word
+    // length — the anti-boilerplate signals adjacent-repetition misses
+    "p60_lexical" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(docs(s, d), "doc_id", "text")),
+    // embedding-space label hygiene: cosine to the own-label centroid,
+    // outlier = (rounded) cosine below 0 — points away from its class
+    "p61_centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(emb(s, d), "vec_id", "embedding", "label")),
     // one-row corpus report card: counts, token mass + exact percentiles,
     // mean quality, English share — the before/after log line of a
     // curation run
@@ -1175,6 +1183,27 @@ edges:
         |SELECT doc_id, count(*) AS n_shingles,
         |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
         |FROM ex JOIN dfq ON dfq.x = ex.x GROUP BY doc_id""".stripMargin,
+    // (doc, token) counts → per-doc diversity aggregates; DOUBLE casts
+    // keep DuckDB's integer/HUGEINT division away from Spark's doubles
+    "p60_lexical" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_frac,
+        |  round(CAST(sum(length(tok) * c) AS DOUBLE) / sum(c), 6) AS mean_word_len
+        |FROM c GROUP BY doc_id""".stripMargin,
+    // parallel unnest zips (index, value) so the per-label per-dim mean
+    // is one aggregate; the outlier flag compares the ROUNDED cosine on
+    // both sides
+    "p61_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, cast(embedding AS double[]) AS v FROM embeddings),
+        |d AS (SELECT label, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e),
+        |m AS (SELECT label, i, avg(x) AS m FROM d GROUP BY label, i),
+        |c AS (SELECT label, list(m ORDER BY i) AS c FROM m GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label, round(list_cosine_similarity(e.v, c.c), 4) AS cos_centroid
+        |  FROM e JOIN c ON c.label = e.label)
+        |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS outlier FROM s""".stripMargin,
     // exact integer moment sums over the doubled near-dup edge list; the
     // one division happens at the end on both sides
     "q77_assortativity" -> (s"WITH $shingleCtes,\n" +

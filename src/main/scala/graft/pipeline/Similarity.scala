@@ -151,6 +151,34 @@ object Similarity {
     * Σ |cell|² rather than |corpus|² — the paper's exact trick. Systems
     * deduping a growing corpus should build the index once
     * ([[buildIvf]]/[[saveIvf]]) and pass it here per batch. */
+  /** Per-label centroid outliers: each vector's cosine to its OWN label's
+    * centroid (per-dimension mean), flagged when the (rounded) cosine
+    * falls below `tau` — the embedding-space mislabeled/noise pruning
+    * step of a curated training set (the centroid-distance filter of the
+    * SemDeDup/CLIP-filtering family, aimed at labels instead of
+    * duplicates). Output: (id, label, cos_centroid rounded to 4, outlier).
+    *
+    * Scale shape: centroids come from ONE posexplode + (label, dim)
+    * hash-aggregate — dims × rows narrow rows with map-side partial
+    * means, no per-label collect. The centroid table is |labels| × dim
+    * and broadcast back, so scoring is a map-only pass over the corpus.
+    * The flag compares the ROUNDED cosine so an engine-replay (oracle,
+    * backfill) can reproduce it bit-for-bit. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, tau: Double = 0.0): DataFrame = {
+    val v = df.select(col(idCol), col(labelCol), toDouble(col(vecCol)).as("__v"))
+    val cents = v.select(col(labelCol), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col(labelCol), col("__i")).agg(avg("__x").as("__m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+        s => s.getField("__m")).as("__c"))
+    v.join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(dot(col("__v"), col("__c")) / (norm(col("__v")) * norm(col("__c"))), 4)
+          .as("cos_centroid"))
+      .withColumn("outlier", col("cos_centroid") < tau)
+  }
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     tau: Double, nlist: Int = 16, seed: Long = 42L,
                     prebuilt: Option[IvfIndex] = None): DataFrame = {

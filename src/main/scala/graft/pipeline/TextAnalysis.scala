@@ -154,6 +154,28 @@ object TextAnalysis {
       .withColumn("mean_freq", round(col("freq_sum") * lit(1.0) / col("n_tokens"), 4))
   }
 
+  /** Per-document lexical diversity: type-token ratio, hapax-legomenon
+    * fraction, and mean word length — the vocabulary-richness signals
+    * that separate template/boilerplate text (low TTR, low hapax) from
+    * natural prose, complementing the repetition fractions
+    * ([[dupWordFrac]]) which catch only ADJACENT structure. Output:
+    * (id, n_tokens, n_types, ttr, hapax_frac, mean_word_len).
+    *
+    * Scale shape: explode → (doc, token) hash-aggregate → (doc)
+    * hash-aggregate; two shuffles on the natural keys with map-side
+    * partial aggregation, the same shape as [[corpusRarity]] — never a
+    * per-row quadratic fold. */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(idCol)).agg(
+      sum("__c").cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_types"),
+      round(count(lit(1)) / sum("__c"), 6).as("ttr"),
+      round(sum(when(col("__c") === 1, 1L).otherwise(0L)) / count(lit(1)), 6).as("hapax_frac"),
+      round(sum(length(col("__t")) * col("__c")) / sum("__c"), 6).as("mean_word_len"))
+  }
+
   /** Stable token→bucket feature hashing (Weinberger et al. 2009): the
     * first 8 hex chars of md5 mod `dim`. md5 because every engine renders
     * it identically (a SQL oracle replays the bucketing exactly), and

@@ -649,6 +649,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(0L -> (2L, 5L, 2.5), 1L -> (3L, 6L, 2.0), 2L -> (2L, 4L, 2.0)))
   }
 
+  test("lexicalDiversity: hand-computed TTR, hapax fraction, mean word length") {
+    // doc 0 "a a b": 3 tokens, 2 types, ttr 2/3, hapax {b}/2 types = 0.5, mwl 1.0
+    // doc 1 "x yy zzz": all distinct → ttr 1, hapax 1, mwl (1+2+3)/3 = 2.0
+    val rows = Seq((0L, "a a b"), (1L, "x yy zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(rows, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got(0L) == ((3L, 2L, 0.666667, 0.5, 1.0)))
+    assert(got(1L) == ((3L, 3L, 1.0, 1.0, 2.0)))
+  }
+
+  test("centroidOutliers flags vectors pointing away from their label centroid") {
+    // label 0: (1,0), (0,1), (-2,-1) → centroid (-1/3, 0)
+    //   cos((1,0))  = -1   → outlier
+    //   cos((0,1))  =  0   → not (< 0 is strict)
+    //   cos((-2,-1)) = 2/√5 ≈ 0.8944 → not
+    // label 1: single vector is its own centroid → cos 1
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0), (2L, Seq(-2f, -1f), 0),
+      (3L, Seq(5f, 5f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(rows, "vec_id", "embedding", "label")
+      .as[(Long, Int, Double, Boolean)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got(0L) == ((-1.0, true)))
+    assert(got(1L) == ((0.0, false)))
+    assert(got(2L) == ((0.8944, false)))
+    assert(got(3L) == ((1.0, false)))
+  }
+
   test("semanticDedup drops planted near-copies, keeps min id, matches exact form") {
     // two tight clusters in R^4 plus one near-copy inside each; distinct
     // members of a cluster are ~0.97 apart in cosine? no: crafted so

@@ -33,6 +33,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"vocabulary count must map-side combine before its exchange:\n$p")
   }
 
+  test("lexicalDiversity: token aggregates partial-combine, no joins at all") {
+    val p = plan(TextAnalysis.lexicalDiversity(docs, "doc_id", "text"))
+    assert(!p.contains("Join"), s"per-doc diversity needs no join:\n$p")
+    assert(p.contains("partial_count"),
+      s"(doc, token) counts must map-side combine before the exchange:\n$p")
+  }
+
+  test("centroidOutliers: centroid table broadcasts back, scoring never shuffles the corpus") {
+    val vecs = (0L until 50L)
+      .map(i => (i, (0 until 8).map(j => ((i * 31 + j) % 13).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val p = plan(Similarity.centroidOutliers(vecs, "vec_id", "embedding", "label"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |labels| x dim centroid table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must not shuffle the corpus against the centroids:\n$p")
+  }
+
   test("mix: pure narrow map — no Exchange in the plan at all") {
     val p = plan(Curation.mix(docs, "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.4)))
     assert(!p.contains("Exchange"), s"mixture upsampling must not shuffle:\n$p")
