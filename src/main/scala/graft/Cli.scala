@@ -27,7 +27,7 @@ import graft.compiler.Traversal
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
-      """usage: graft <create|drop|list|info|load|dump|query|schema|mapping|job|server> ...
+      """usage: graft <create|drop|list|info|load|dump|query|schema|mapping|gripper-serve|job|server> ...
         |see Cli.scala scaladoc for per-command arguments""".stripMargin)
     sys.exit(2)
   }
@@ -132,10 +132,35 @@ object Cli {
           case _ => usage()
         }
       }.toMap
-      val provider = Gripper.DirSource(spark, sources, idCols)
+      // sources is a parquet dir, or grpc://host:port for a live
+      // GRIPSource plugin (the reference's gripper deployment shape)
+      val provider: Gripper.SourceProvider = sources match {
+        case s if s.startsWith("grpc://") =>
+          val hp = s.stripPrefix("grpc://").split(":", 2)
+          graft.server.GripperWire.grpcSource(spark,
+            new graft.server.GripperClient(hp(0), hp(1).toInt))
+        case dir => Gripper.DirSource(spark, dir, idCols)
+      }
       catalog.createGraph(g,
-        Gripper.graph(cfg, srcNames.map(_ -> (provider: Gripper.SourceProvider)).toMap))
+        Gripper.graph(cfg, srcNames.map(_ -> provider).toMap))
       println(s"created $g from mapping $conf")
+
+    // serve a parquet dir as a gripper.proto GRIPSource plugin — the
+    // other side of the wire: any GRIP-compatible engine (including this
+    // one via grpc:// above) can federate over it
+    case "gripper-serve" :: dir :: rest =>
+      val port = opt(rest, "--port").map(_.toInt).getOrElse(8203)
+      val idCols = rest.sliding(2, 2).collect {
+        case Seq("--id", kv) => kv.split("=", 2) match {
+          case Array(c, k) => c -> k
+          case _ => usage()
+        }
+      }.toMap
+      val srv = new graft.server.GripperTableServer(
+        Gripper.DirSource(spark, dir, idCols), port)
+      srv.start()
+      println(s"gripper source serving $dir on :${srv.boundPort}")
+      Thread.currentThread().join()
 
     case "job" :: "submit" :: g :: q :: Nil =>
       println(Jobs.submit(spark, catalog.graph(g), Parser.parse(q), jobsDir(g)))

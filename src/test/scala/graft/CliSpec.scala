@@ -56,4 +56,42 @@ class CliSpec extends AnyFunSuite {
     assert(!run("list").linesIterator.toSeq.contains("sw"))
     } finally Cli.homeOverride = None // don't leak the scratch store to later suites
   }
+
+  test("mapping over a live grpc:// GRIPSource plugin") {
+    import org.apache.spark.sql.SparkSession
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    Cli.homeOverride = Some(java.nio.file.Files.createTempDirectory("graft-cli-grpc").toString)
+    val source = graft.model.Gripper.FrameSource(Map(
+      "Person" -> Seq(("p1", "ada"), ("p2", "lin")).toDF("id", "name"),
+      "knows" -> Seq(("k1", "p1", "p2")).toDF("id", "src", "dst")))
+    val srv = new graft.server.GripperTableServer(source, port = 0)
+    srv.start()
+    try {
+      val conf = java.nio.file.Files.createTempFile("wire-map", ".yaml")
+      java.nio.file.Files.writeString(conf,
+        """vertices:
+          |  - gid: "P:"
+          |    label: Person
+          |    data: {source: s, collection: Person}
+          |edges:
+          |  - gid: knows
+          |    from: "P:"
+          |    to: "P:"
+          |    label: knows
+          |    data:
+          |      source: s
+          |      collection: knows
+          |      fromField: src
+          |      toField: dst
+          |""".stripMargin)
+      assert(run("mapping", "wired", conf.toString,
+        s"grpc://127.0.0.1:${srv.boundPort}").contains("created wired"))
+      val q = run("query", "wired", "V('P:p1').out('knows').count()")
+      assert(q.trim == """{"count":1}""", q)
+    } finally {
+      srv.stop()
+      Cli.homeOverride = None
+    }
+  }
 }
