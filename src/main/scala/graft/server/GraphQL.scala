@@ -14,13 +14,36 @@ import graft.model.{EdgeType, GraphFrame}
   * not N+1 per-object resolver calls.
   *
   * Supported subset (the shape the reference's endpoint serves):
-  *   { Label (gid: "x")? { scalarField edgeLabel { ... } } }
-  * A field is an edge hop iff the graph's EdgeType topology has a triple
-  * (Label, field, _); otherwise it reads `data.field` (with `gid`/`label`
-  * reserved). Child lists are sorted by child gid — deterministic output.
+  *   { Label (gid: "x", ids: [...], first: N, offset: N, filter: {...},
+  *            field: value ...)? { scalarField edgeLabel { ... } } }
+  * Root arguments follow graphqlv2's resolver contract
+  * (builder.go:260-268 ARG_*, filter_build.go): `id`/`gid` point-select,
+  * `ids` multi-select, any scalar field name is an equality shorthand,
+  * `filter` is the {eq|gt|lt: {field: value}} object (id → gid), and
+  * `first`/`offset` page AFTER an explicit gid sort — deterministic
+  * pagination, where the reference pages in engine-arrival order. No
+  * default `first` cap: rows stream, they aren't materialized per
+  * resolver. A field is an edge hop iff the graph's EdgeType topology has
+  * a triple (Label, field, _); otherwise it reads `data.field` (with
+  * `gid`/`label` reserved). Child lists are sorted by child gid —
+  * deterministic output.
   */
 object GraphQL {
-  case class Sel(name: String, gid: Option[String], subs: Seq[Sel])
+  /** GraphQL argument value: string, number, boolean, list, or object. */
+  sealed trait Av
+  final case class AvStr(v: String) extends Av
+  final case class AvNum(v: Double) extends Av
+  final case class AvBool(v: Boolean) extends Av
+  final case class AvList(vs: Seq[Av]) extends Av
+  final case class AvObj(fields: Seq[(String, Av)]) extends Av
+
+  case class Sel(name: String, args: Seq[(String, Av)], subs: Seq[Sel]) {
+    /** Legacy point-select accessor (gid for data queries, name for
+      * __type introspection). */
+    def gid: Option[String] = args.collectFirst {
+      case (k, AvStr(v)) if k == "gid" || k == "name" || k == "id" => v
+    }
+  }
 
   // ---- tiny recursive-descent parser for the supported subset
   def parse(q: String): Sel = {
@@ -53,6 +76,33 @@ object GraphQL {
       if (i >= s.length) err("unterminated string"); i += 1
       sb.toString
     }
+    private def value(): Av = peek match {
+      case '"' => AvStr(str())
+      case '[' =>
+        eat('[')
+        val vs = Seq.newBuilder[Av]
+        while (peek != ']') vs += value()
+        eat(']')
+        AvList(vs.result())
+      case '{' =>
+        eat('{')
+        val fs = Seq.newBuilder[(String, Av)]
+        while (peek != '}') { val k = name(); eat(':'); fs += (k -> value()) }
+        eat('}')
+        AvObj(fs.result())
+      case c if c.isDigit || c == '-' =>
+        val start = i
+        if (peek == '-') i += 1
+        while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' ||
+          s(i) == 'E' || ((s(i) == '+' || s(i) == '-') &&
+            (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
+        AvNum(s.substring(start, i).toDouble)
+      case _ => name() match {
+        case "true" => AvBool(true)
+        case "false" => AvBool(false)
+        case other => err(s"unexpected argument value '$other'")
+      }
+    }
     def document(): Sel = {
       eat('{')
       val root = field()
@@ -63,14 +113,13 @@ object GraphQL {
     }
     private def field(): Sel = {
       val n = name()
-      val gid = if (peek == '(') {
+      val args = if (peek == '(') {
         eat('(')
-        val k = name()
-        if (k != "gid" && k != "name")
-          err(s"only the gid/name arguments are supported, got '$k'")
-        eat(':'); val v = str(); eat(')')
-        Some(v)
-      } else None
+        val as = Seq.newBuilder[(String, Av)]
+        while (peek != ')') { val k = name(); eat(':'); as += (k -> value()) }
+        eat(')')
+        as.result()
+      } else Nil
       val subs = if (peek == '{') {
         eat('{')
         val fs = Seq.newBuilder[Sel]
@@ -78,13 +127,53 @@ object GraphQL {
         eat('}')
         fs.result()
       } else Nil
-      Sel(n, gid, subs)
+      Sel(n, args, subs)
     }
   }
 
   // ---- compilation to one DataFrame plan
   def run(spark: SparkSession, g: GraphFrame, query: String): DataFrame =
     run(spark, g, query, None)
+
+  /** Root-argument predicate on the base vertex frame (columns gid/label/
+    * data) — pushed below the nested joins so a point lookup prunes the
+    * scan (reference: filter_build.go ExtendGrip, id → gid). */
+  private def argPredicate(args: Seq[(String, Av)]): Option[Column] = {
+    def fieldCol(f: String): Column =
+      if (f == "id" || f == "gid" || f == "_gid") col("gid")
+      else get_json_object(col("data"), "$." + f)
+    def cmp(f: String, v: Av, op: (Column, Column) => Column): Column = v match {
+      case AvStr(s) => op(fieldCol(f), lit(s))
+      case AvNum(n) => op(fieldCol(f).cast("double"), lit(n))
+      case AvBool(b) => op(fieldCol(f), lit(b.toString))
+      case other => throw new IllegalArgumentException(
+        s"unsupported filter value for '$f': $other")
+    }
+    val preds = args.flatMap {
+      case ("gid" | "id", AvStr(v)) => Seq(col("gid") === v)
+      case ("ids", AvList(vs)) =>
+        Seq(col("gid").isin(vs.collect { case AvStr(s) => s }: _*))
+      case ("first" | "offset", _) => Nil // paging, handled after compile
+      case ("filter", AvObj(ops)) => ops.map {
+        case ("eq" | "=" | "EQ", AvObj(kvs)) =>
+          kvs.map { case (f, v) => cmp(f, v, _ === _) }.reduce(_ && _)
+        case ("gt" | ">" | "GT", AvObj(kvs)) =>
+          kvs.map { case (f, v) => cmp(f, v, _ > _) }.reduce(_ && _)
+        case ("lt" | "<" | "LT", AvObj(kvs)) =>
+          kvs.map { case (f, v) => cmp(f, v, _ < _) }.reduce(_ && _)
+        case (op, _) => throw new IllegalArgumentException(
+          s"unsupported filter operator '$op' (eq/gt/lt)")
+      }
+      case (field, v @ (AvStr(_) | AvNum(_) | AvBool(_))) => // scalar shorthand
+        Seq(cmp(field, v, _ === _))
+      case (k, v) => throw new IllegalArgumentException(
+        s"unsupported argument $k: $v")
+    }
+    preds.reduceOption(_ && _)
+  }
+
+  private def intArg(args: Seq[(String, Av)], k: String): Option[Int] =
+    args.collectFirst { case (`k`, AvNum(n)) => n.toInt }
 
   /** `triplesOverride` lets a caller that already knows the topology (e.g.
     * the server, which caches per-graph derived triples across requests)
@@ -95,8 +184,17 @@ object GraphQL {
     require(root.subs.nonEmpty, s"root selection '${root.name}' needs a selection set")
     val triples: Seq[EdgeType] =
       triplesOverride.orElse(g.topology).getOrElse(deriveTriples(g))
-    val df = nodeDf(g, triples, root.name, root.gid, root.subs)
-    df.select(to_json(struct(root.subs.map(s => col(s.name)): _*)).as(root.name))
+    val df = nodeDf(g, triples, root.name, argPredicate(root.args), root.subs)
+    // first/offset page deterministically on the root gid; no paging args
+    // → no sort in the plan at all
+    val paged = (intArg(root.args, "first"), intArg(root.args, "offset")) match {
+      case (None, None) => df
+      case (first, offset) =>
+        val sorted = df.orderBy(col("__gid"))
+        val skipped = offset.fold(sorted)(sorted.offset)
+        first.fold(skipped)(skipped.limit)
+    }
+    paged.select(to_json(struct(root.subs.map(s => col(s.name)): _*)).as(root.name))
   }
 
   /** (from-label, edge-label, to-label) triples observed in the graph —
@@ -298,9 +396,9 @@ object GraphQL {
   /** Rows of `label` vertices with one column per selection: scalars from
     * the data document, edge fields as sorted arrays of child structs. */
   private def nodeDf(g: GraphFrame, triples: Seq[EdgeType], label: String,
-                     gid: Option[String], sels: Seq[Sel]): DataFrame = {
+                     baseFilter: Option[Column], sels: Seq[Sel]): DataFrame = {
     val base0 = g.vertices.filter(col("label") === label)
-    val base = gid.fold(base0)(id => base0.filter(col("gid") === id))
+    val base = baseFilter.fold(base0)(base0.filter)
     var out = base.select(col("gid").as("__gid"), col("data").as("__data"))
     for (s <- sels) {
       val triple = triples.find(t => t.from == label && t.label == s.name)

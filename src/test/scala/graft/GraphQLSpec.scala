@@ -49,6 +49,32 @@ class GraphQLSpec extends AnyFunSuite {
     assert(rows.forall(_.get("residents").isArray))
   }
 
+  test("root arguments: ids, scalar shorthand, filter object, first/offset paging") {
+    // ids multi-select
+    val two = run("""{ Planet(ids: ["Planet:1", "Planet:2"]) { gid } }""")
+    assert(two.map(_.get("gid").asText()).toSet == Set("Planet:1", "Planet:2"))
+    // id behaves like gid (graphqlv2's ARG_ID)
+    val one = run("""{ Planet(id: "Planet:1") { name } }""")
+    assert(one.map(_.get("name").asText()) == Seq("Tatooine"))
+    // scalar field shorthand arg → equality on the data document
+    val blue = run("""{ Character(eye_color: "blue") { name } }""")
+    assert(blue.map(_.get("name").asText()).toSet contains "Luke Skywalker")
+    assert(blue.forall(_.get("name").asText() != "C-3PO"))
+    // filter object: {gt: {...}} with numeric cast, {eq: {id: ...}} maps to gid
+    val tall = run("""{ Character(filter: {gt: {height: 200}}) { name height } }""")
+    assert(tall.nonEmpty && tall.forall(_.get("height").asText().toDouble > 200))
+    val byId = run("""{ Character(filter: {eq: {id: "Character:1"}}) { name } }""")
+    assert(byId.map(_.get("name").asText()) == Seq("Luke Skywalker"))
+    // first/offset page on the sorted root gid — deterministic
+    val all = run("""{ Planet { gid } }""").map(_.get("gid").asText()).sorted
+    val page = run("""{ Planet(first: 1, offset: 1) { gid } }""").map(_.get("gid").asText())
+    assert(page == all.slice(1, 2))
+    // unknown filter operator is loud
+    val e = intercept[IllegalArgumentException](
+      run("""{ Planet(filter: {regex: {name: "T.*"}}) { gid } }"""))
+    assert(e.getMessage.contains("unsupported filter operator"))
+  }
+
   test("typeSystem builds object types + edge list fields from the sampled schema") {
     val schema = graft.model.SchemaSampler.sampleSchema(spark, g)
     val types = GraphQL.typeSystem(schema)
