@@ -175,6 +175,60 @@ object GraphQL {
   private def intArg(args: Seq[(String, Av)], k: String): Option[Int] =
     args.collectFirst { case (`k`, AvNum(n)) => n.toInt }
 
+  /** `<Label>Aggregation` root fields (reference: builder.go:373-447
+    * buildAggregationField): `_totalCount` plus one term histogram per
+    * selected field, an optional `filter` argument, resolved through the
+    * SAME gripql aggregate compiler the query endpoints use — one scan,
+    * one shuffle for all selected fields. Buckets sort (count desc, key
+    * asc) for deterministic JSON. */
+  private def runAggregation(spark: SparkSession, g: GraphFrame, root: Sel): DataFrame = {
+    import graft.gripql.{Agg, P, Query => GQuery}
+    val label = root.name.stripSuffix("Aggregation")
+    var q = GQuery().V().hasLabel(label)
+    def av(v: Av): Any = v match {
+      case AvStr(s) => s
+      case AvNum(n) => n
+      case AvBool(b) => b
+      case other => throw new IllegalArgumentException(s"unsupported filter value: $other")
+    }
+    def fm(f: String) = if (f == "id") "_gid" else f
+    root.args.foreach {
+      case ("filter", AvObj(ops)) => ops.foreach {
+        case ("eq" | "=" | "EQ", AvObj(kvs)) =>
+          kvs.foreach { case (f, v) => q = q.has(P.eq_(fm(f), av(v))) }
+        case ("gt" | ">" | "GT", AvObj(kvs)) =>
+          kvs.foreach { case (f, v) => q = q.has(P.gt(fm(f), av(v))) }
+        case ("lt" | "<" | "LT", AvObj(kvs)) =>
+          kvs.foreach { case (f, v) => q = q.has(P.lt(fm(f), av(v))) }
+        case (op, _) => throw new IllegalArgumentException(
+          s"unsupported filter operator '$op' (eq/gt/lt)")
+      }
+      case (k, v) => throw new IllegalArgumentException(
+        s"unsupported aggregation argument $k: $v")
+    }
+    val termFields = root.subs.filter(_.name != "_totalCount").map(_.name)
+    q = q.aggregate(Agg.CountAgg("_totalCount") +:
+      termFields.map(f => Agg.Term(f, f)): _*)
+    // (name, key, value) buckets → one nested row, all 1-row broadcasts
+    val rows = graft.compiler.Traversal.run(spark, g, q)
+      .localCheckpoint(true) // one scan feeds every selected field
+    val parts: Seq[DataFrame] = root.subs.map { s =>
+      if (s.name == "_totalCount")
+        rows.filter(col("name") === "_totalCount")
+          .agg(coalesce(first(col("value")), lit(0.0)).cast("long").as("_totalCount"))
+      else
+        rows.filter(col("name") === s.name)
+          .select(struct((-col("value")).as("_s"), col("key"),
+            col("value").cast("long").as("count")).as("b"))
+          .agg(sort_array(collect_list(col("b"))).as("bs"))
+          .select(struct(transform(col("bs"), b =>
+            struct(b.getField("key").as("key"), b.getField("count").as("count")))
+            .as("histogram")).as(s.name))
+    }
+    val one = parts.reduce((a, b) => a.crossJoin(broadcast(b)))
+    one.select(to_json(struct(root.subs.map(s => col(s.name)): _*)).as(root.name))
+  }
+
   /** `triplesOverride` lets a caller that already knows the topology (e.g.
     * the server, which caches per-graph derived triples across requests)
     * skip the derive joins. */
@@ -182,6 +236,8 @@ object GraphQL {
           triplesOverride: Option[Seq[EdgeType]]): DataFrame = {
     val root = parse(query)
     require(root.subs.nonEmpty, s"root selection '${root.name}' needs a selection set")
+    if (root.name.endsWith("Aggregation") && root.name != "Aggregation")
+      return runAggregation(spark, g, root)
     val triples: Seq[EdgeType] =
       triplesOverride.orElse(g.topology).getOrElse(deriveTriples(g))
     val df = nodeDf(g, triples, root.name, argPredicate(root.args), root.subs)
@@ -256,12 +312,28 @@ object GraphQL {
     }
   }
 
+  /** The `<Label>Aggregation` companion types (builder.go:373-383:
+    * BucketsForString/Histogram plus one aggregation object per label —
+    * `_totalCount` and a term histogram per String-typed field). */
+  private def aggregationTypes(types: Seq[GqlType]): Seq[GqlType] =
+    Seq(
+      GqlType("BucketsForString", Seq(
+        GqlField("key", "String", list = false),
+        GqlField("count", "Int", list = false))),
+      GqlType("Histogram", Seq(
+        GqlField("histogram", "BucketsForString", list = true)))) ++
+      types.map(t => GqlType(t.name + "Aggregation",
+        GqlField("_totalCount", "Int", list = false) +:
+          t.fields.filter(f => f.tpe == "String" && !f.list)
+            .map(f => GqlField(f.name, "Histogram", list = false))))
+
   /** SDL rendering of the type system — `scalar JSON`, one object type per
-    * label, and the Query root the reference's endpoint exposes (args
-    * id/ids/first/offset/filter per label, builder.go:15-20). */
+    * label plus its Aggregation companion, and the Query root the
+    * reference's endpoint exposes (args id/ids/first/offset/filter per
+    * label, builder.go:15-20). */
   def sdl(types: Seq[GqlType]): String = {
     val sb = new StringBuilder("scalar JSON\n\n")
-    types.foreach { t =>
+    (types ++ aggregationTypes(types)).foreach { t =>
       sb.append(s"type ${t.name} {\n")
       t.fields.foreach { f =>
         val tn = if (f.list) s"[${f.tpe}]" else f.tpe
@@ -272,6 +344,8 @@ object GraphQL {
     sb.append("type Query {\n")
     types.foreach(t => sb.append(
       s"  ${t.name}(id: String, ids: [String], first: Int, offset: Int, filter: JSON): [${t.name}]\n"))
+    types.foreach(t => sb.append(
+      s"  ${t.name}Aggregation(filter: JSON): ${t.name}Aggregation\n"))
     sb.append("}\n")
     sb.toString
   }
@@ -343,12 +417,15 @@ object GraphQL {
       o.put("kind", "OBJECT"); o.put("name", "Query"); o.putNull("description")
       val fs = o.putArray("fields")
       types.foreach(t => fs.add(fieldNode(t.name, listOf(objectRef(t.name)), queryArgs)))
+      types.foreach(t => fs.add(fieldNode(t.name + "Aggregation",
+        objectRef(t.name + "Aggregation"), Seq("filter" -> scalarRef("JSON")))))
       o.putNull("inputFields"); o.putArray("interfaces")
       o.putNull("enumValues"); o.putNull("possibleTypes")
       o
     }
-    val allTypes: Seq[ObjectNode] = (queryType +: types.map(typeNode)) ++
-      scalarNames.toSeq.sorted.map(scalarTypeNode)
+    val allTypes: Seq[ObjectNode] =
+      (queryType +: (types ++ aggregationTypes(types)).map(typeNode)) ++
+        scalarNames.toSeq.sorted.map(scalarTypeNode)
 
     /** Keep only the selected keys; recurse into sub-selections (arrays
       * prune element-wise; selecting into a null leaves the null). */

@@ -75,6 +75,26 @@ class GraphQLSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported filter operator"))
   }
 
+  test("<Label>Aggregation: _totalCount + term histograms, filter arg, sorted buckets") {
+    val rows = run("""{ CharacterAggregation { _totalCount eye_color } }""")
+    assert(rows.size == 1)
+    val a = rows.head
+    val total = a.get("_totalCount").asLong()
+    assert(total == 18) // the fixture's Character vertices
+    val hist = a.get("eye_color").get("histogram")
+    assert(hist.isArray && hist.size() > 1)
+    // buckets sort count desc, then key asc
+    val counts = (0 until hist.size()).map(hist.get(_).get("count").asLong())
+    assert(counts == counts.sortBy(-_))
+    assert(counts.sum <= total) // docs without the field don't bucket
+    // filter narrows the stream before aggregation
+    val blue = run(
+      """{ CharacterAggregation(filter: {eq: {eye_color: "blue"}}) { _totalCount } }""").head
+    val blueTotal = blue.get("_totalCount").asLong()
+    assert(blueTotal > 0 && blueTotal < total)
+    assert(!blue.has("eye_color")) // only the selected fields appear
+  }
+
   test("typeSystem builds object types + edge list fields from the sampled schema") {
     val schema = graft.model.SchemaSampler.sampleSchema(spark, g)
     val types = GraphQL.typeSystem(schema)
@@ -95,6 +115,11 @@ class GraphQLSpec extends AnyFunSuite {
     assert(sdl.contains("homeworld: [Planet]"))
     assert(sdl.contains(
       "Character(id: String, ids: [String], first: Int, offset: Int, filter: JSON): [Character]"))
+    // aggregation companions: histogram plumbing + per-label objects
+    assert(sdl.contains("type BucketsForString {"))
+    assert(sdl.contains("type CharacterAggregation {"))
+    assert(sdl.contains("eye_color: Histogram"))
+    assert(sdl.contains("CharacterAggregation(filter: JSON): CharacterAggregation"))
   }
 
   test("__schema and __type introspection answer from the type system") {
