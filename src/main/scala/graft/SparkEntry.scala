@@ -407,6 +407,10 @@ edges:
       .groupBy("k").agg(count(lit(1)).as("n"))),
     "p07_lang_id" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "p08_quality" -> ((s, d) => docs(s, d).select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+    // per-source quality priors: group stats broadcast back as each doc's
+    // within-source z-score (quality is source-conditional in a crawl)
+    "p62_source_priors" -> ((s, d) =>
+      Curation.sourcePriors(docs(s, d), "doc_id", "text", "source")),
     "p09_tokens" -> ((s, d) => docs(s, d).select(col("doc_id"),
       TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
       TextAnalysis.reTokens(col("text")).cast("long").as("re_tokens"))),
@@ -1363,6 +1367,16 @@ edges:
       "h AS (SELECT doc_id, cast(len(w) AS double) AS n, " +
       "cast(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS double) AS s FROM t) " +
       "SELECT doc_id, round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS quality FROM h"),
+    // p08's quality feeding per-source group stats; z over the rounded
+    // quality, stddev_pop to match Spark's population variant
+    "p62_source_priors" -> ("WITH t AS (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "h AS (SELECT doc_id, source, cast(len(w) AS double) AS n, " +
+      "cast(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS double) AS s FROM t), " +
+      "q AS (SELECT doc_id, source, round(least(1.0, n / 100.0) * 0.5 + least(1.0, s / n * 5.0) * 0.5, 4) AS quality FROM h), " +
+      "st AS (SELECT source, CAST(count(*) AS BIGINT) AS src_n, avg(quality) AS m, stddev_pop(quality) AS sd FROM q GROUP BY source) " +
+      "SELECT q.doc_id, q.source, q.quality, st.src_n, round(st.m, 6) AS src_mean, " +
+      "CASE WHEN st.sd = 0 THEN 0.0 ELSE round((q.quality - st.m) / st.sd, 4) END AS src_z " +
+      "FROM q JOIN st ON st.source = q.source"),
     "p09_tokens" -> ("SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS ws_tokens, " +
       "cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS re_tokens FROM documents"),
     "p10_fingerprint" -> ("SELECT doc_id, list_reduce(list_prepend(cast(7 AS bigint), " +

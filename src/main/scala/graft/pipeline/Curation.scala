@@ -59,6 +59,34 @@ object Curation {
         col("ok_words") && col("ok_word_len") && col("ok_dup") && col("ok_stop"))
   }
 
+  /** Per-source quality priors (the CCNet/RefinedWeb per-domain pass):
+    * group statistics of the quality score by origin — doc count, mean,
+    * population std — joined back so every document carries its
+    * within-source z-score. A crawl's quality distribution is
+    * source-conditional; the z-score separates "bad for its site" from
+    * "bad site", which a global threshold conflates. Output: (id, group,
+    * quality, src_n, src_mean, src_z); z is 0.0 for constant-quality
+    * sources. All stats computed over the ROUNDED (4-place) quality so an
+    * external replay agrees bit-for-bit.
+    *
+    * Scale shape: one hash-aggregate on the source key (sources ≪ docs),
+    * stats broadcast back onto the corpus — the doc frame never shuffles.
+    */
+  def sourcePriors(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val q = df.select(col(idCol), col(groupCol),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val stats = q.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("src_n"),
+      avg("quality").as("__m"),
+      stddev_pop(col("quality")).as("__sd"))
+    q.join(broadcast(stats), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("quality"), col("src_n"),
+        round(col("__m"), 6).as("src_mean"),
+        when(col("__sd") === 0.0, lit(0.0))
+          .otherwise(round((col("quality") - col("__m")) / col("__sd"), 4)).as("src_z"))
+  }
+
   /** One-scan corpus report card — the summary row every curation run
     * should log before and after its gates: document count, token mass,
     * exact token-count percentiles (interpolated, the `percentile`

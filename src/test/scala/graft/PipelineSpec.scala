@@ -649,6 +649,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(0L -> (2L, 5L, 2.5), 1L -> (3L, 6L, 2.0), 2L -> (2L, 4L, 2.0)))
   }
 
+  test("sourcePriors: within-source z-scores, constant sources get z=0") {
+    val rows = Seq(
+      (0L, "the a of and to in", "a"), (1L, "the a of and to in", "a"), // identical
+      (2L, "the the the the", "b"), (3L, "zz zz zz zz", "b")) // differing quality
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourcePriors(rows, "doc_id", "text", "source")
+      .as[(Long, String, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // constant-quality source: sd = 0 → z pinned to 0, mean = quality
+    assert(got(0L)._4 == 2L && got(0L)._6 == 0.0 && got(0L)._5 == got(0L)._3)
+    assert(got(1L)._6 == 0.0)
+    // two distinct values: population z is exactly ±1
+    assert(got(2L)._6 == 1.0 && got(3L)._6 == -1.0)
+    assert(got(2L)._3 > got(3L)._3) // stopword-heavy doc scores higher
+  }
+
   test("lexicalDiversity: hand-computed TTR, hapax fraction, mean word length") {
     // doc 0 "a a b": 3 tokens, 2 types, ttr 2/3, hapax {b}/2 types = 0.5, mwl 1.0
     // doc 1 "x yy zzz": all distinct → ttr 1, hapax 1, mwl (1+2+3)/3 = 2.0
