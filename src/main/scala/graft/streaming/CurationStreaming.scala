@@ -61,6 +61,54 @@ object CurationStreaming {
         col("quality") >= minQuality)
   }
 
+  /** Welford accumulator for one source: count, running mean, and sum of
+    * squared deviations (M2) — numerically stable online variance. */
+  case class PriorState(n: Long, mean: Double, m2: Double)
+  case class PriorRow(source: String, id: String, quality: Double,
+                      src_n: Long, src_mean: Double, src_z: Double)
+
+  /** Streaming twin of [[graft.pipeline.Curation.sourcePriors]]: per-source
+    * quality statistics as KEYED STATE (Welford's online mean/M2 — three
+    * doubles per source, bounded by the source population), each arrival
+    * scored against the stats INCLUDING itself. Within a micro-batch,
+    * arrivals apply in id order for determinism.
+    *
+    * Exactness: after the stream drains a corpus, each source's final
+    * (n, mean, std) equals the batch op's — Welford computes the same
+    * population moments. Per-document z differs by design: the stream
+    * scores against stats-known-so-far (all an online gate can have),
+    * the batch against the full corpus; the nightly batch
+    * [[graft.pipeline.Curation.sourcePriors]] is the exact
+    * reconciliation, the same contract as the other twins. */
+  def sourcePriorsStream(spark: org.apache.spark.sql.SparkSession,
+                         stream: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String): org.apache.spark.sql.Dataset[PriorRow] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val scored = stream.select(
+      col(sourceCol).cast("string").as("_1"),
+      col(idCol).cast("string").as("_2"),
+      TextAnalysis.qualityScore(col(textCol)).as("_3")).as[(String, String, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[PriorState, PriorRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state) =>
+          var st = state.getOption.getOrElse(PriorState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, q) =>
+            val n1 = st.n + 1
+            val d = q - st.mean
+            val mean1 = st.mean + d / n1
+            st = PriorState(n1, mean1, st.m2 + d * (q - mean1))
+            val sd = math.sqrt(st.m2 / st.n)
+            val z = if (sd == 0.0) 0.0
+              else math.rint((q - st.mean) / sd * 1e4) / 1e4
+            PriorRow(src, id, q, st.n, math.rint(st.mean * 1e6) / 1e6, z)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Pruned bigram LM frozen from the reference corpus for streaming
     * perplexity scoring: the `maxModel` most frequent bigrams' −ln P
     * (P = (c+1)/(c(w₁)+V), matching

@@ -238,6 +238,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source priors accumulate Welford state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.CurationStreaming.sourcePriorsStream(
+        spark, input.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source")
+      .writeStream.format("memory").queryName("priors_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the the the the", "b"))
+      q.processAllAvailable()
+      input.addData((2L, "zz zz zz zz", "b"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, quality, src_n, src_mean, src_z FROM priors_out")
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      // first arrival: stats are itself — sd 0, z pinned to 0
+      val (q1, n1, m1, z1) = rows("1")
+      assert(n1 == 1L && m1 == q1 && z1 == 0.0)
+      // second arrival updates the running mean; z against both-so-far
+      val (q2, n2, m2, z2) = rows("2")
+      assert(n2 == 2L)
+      assert(math.abs(m2 - (q1 + q2) / 2) < 1e-6)
+      assert(z2 == -1.0) // two distinct values → population z = ±1
+      // final per-source stats equal the batch op's
+      val batch = graft.pipeline.Curation.sourcePriors(
+          Seq((1L, "the the the the", "b"), (2L, "zz zz zz zz", "b"))
+            .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+        .select("src_n", "src_mean").distinct().as[(Long, Double)].collect().head
+      assert(batch == ((n2, m2)))
+    } finally q.stop()
+  }
+
   test("streaming curation dedups, tags, and gates arrivals") {
     import spark.implicits._
     import graft.streaming.{CurationStreaming, DedupStreaming}
