@@ -445,6 +445,12 @@ edges:
     "p24_decontaminate" -> ((s, d) => Dedup.decontaminate(
       docs(s, d).filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
       docs(s, d).filter(col("doc_id") % 20 === 0), "text")),
+    // the reverse audit: per-benchmark-item compromise counts over the
+    // same every-20th-doc bench split as p24
+    "p63_contamination_report" -> ((s, d) => Dedup.contaminationReport(
+      docs(s, d).filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      docs(s, d).filter(col("doc_id") % 20 === 0), "doc_id", "text")
+      .withColumnRenamed("doc_id", "bench_id")),
     // deterministic md5-bucket train/val/test assignment
     "p25_split" -> ((s, d) => Curation.split(docs(s, d), "doc_id")),
     // Gopher-style repetition signals: duplicate word + bigram fractions
@@ -1424,6 +1430,20 @@ edges:
       "bench AS (SELECT DISTINCT unnest(s) AS bs FROM sh4 WHERE doc_id % 20 = 0), " +
       "corp AS (SELECT doc_id, unnest(s) AS cs FROM sh4 WHERE doc_id % 20 <> 0) " +
       "SELECT c.doc_id, count(*) AS hits FROM corp c JOIN bench b ON c.cs = b.bs GROUP BY c.doc_id"),
+    // p24's shingle CTEs pointed the other way: hits grouped per bench
+    // item, clean items kept as zero rows
+    "p63_contamination_report" -> ("WITH dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "sh4 AS (SELECT doc_id, CASE WHEN len(w) >= 4 " +
+      "THEN list_distinct(list_transform(generate_series(1, len(w)-3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) " +
+      "ELSE [array_to_string(w, ' ')] END AS s FROM dw), " +
+      "bench AS (SELECT doc_id AS bid, unnest(s) AS bs FROM sh4 WHERE doc_id % 20 = 0), " +
+      "corp AS (SELECT doc_id AS cid, unnest(s) AS cs FROM sh4 WHERE doc_id % 20 <> 0), " +
+      "h AS (SELECT bid, CAST(count(DISTINCT cid) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_hits " +
+      "FROM bench b JOIN corp c ON c.cs = b.bs GROUP BY bid) " +
+      "SELECT i.bid AS bench_id, coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs, " +
+      "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+      "FROM (SELECT DISTINCT doc_id AS bid FROM documents WHERE doc_id % 20 = 0) i " +
+      "LEFT JOIN h ON h.bid = i.bid"),
     "p25_split" -> splitSql,
     "p27_sample" -> ("SELECT doc_id, source FROM (" +
       "SELECT doc_id, source, row_number() OVER (" +

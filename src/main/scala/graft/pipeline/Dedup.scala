@@ -708,6 +708,40 @@ object Dedup {
       .filter(col("hits") >= minOverlap)
   }
 
+  /** The reverse direction of [[decontaminate]]: a per-BENCHMARK-ITEM
+    * compromise report — for each eval item, how many corpus documents
+    * share at least one `shingleN`-gram with it (`n_docs`) and the total
+    * shared-shingle count (`n_hits`), zero rows included. [[decontaminate]]
+    * answers "which training docs must go"; this answers "which eval items
+    * can no longer be trusted" — the audit a leaderboard claim needs.
+    * Output: (benchIdCol, n_docs, n_hits), one row per bench item.
+    *
+    * Scale shape: the benchmark shingle set is eval-suite-sized and
+    * broadcast; the corpus explodes once and hash-joins on the 64-bit
+    * shingle key with map-side partial counts. A corpus-common shingle
+    * that also appears in the benchmark multiplies rows by its df — the
+    * same worst case as decontaminate's semi-join, bounded by
+    * |bench shingles| × df, and shingleN=4 keeps natural-language df low
+    * (the p29/p47 df analyses). */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                          shingleN: Int = 4): DataFrame = {
+    val bsh = bench.select(col(benchIdCol), explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(benchTextCol), shingleN))).as("__s"))
+    val csh = corpus.select(col(idCol).as("__cid"), explode(graft.functions.VectorExprs.hashArray(
+        shingles(col(textCol), shingleN))).as("__s"))
+    // shingles() emits distinct shingles per document on BOTH sides, so
+    // count(*) per (item, doc) is |item shingles ∩ doc shingles|
+    val hits = csh.join(broadcast(bsh), Seq("__s"))
+      .groupBy(col(benchIdCol))
+      .agg(countDistinct(col("__cid")).as("n_docs"), count(lit(1)).as("n_hits"))
+    bench.select(col(benchIdCol)).distinct()
+      .join(hits, Seq(benchIdCol), "left")
+      .select(col(benchIdCol),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** A Bloom filter over the benchmark's shingle hashes: `words` is the
     * packed bitmap, probes use Kirsch–Mitzenmacher double hashing over
     * the two 32-bit halves of the shingle hash (masked so the probe

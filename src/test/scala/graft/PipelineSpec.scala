@@ -649,6 +649,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(0L -> (2L, 5L, 2.5), 1L -> (3L, 6L, 2.0), 2L -> (2L, 4L, 2.0)))
   }
 
+  test("contaminationReport: per-bench-item doc and hit counts, clean items zero") {
+    // 4-shingles: corpus doc 1 shares bench item 100's full text (1 shingle),
+    // doc 2 shares nothing; bench item 101 is clean
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"), (101L, "pristine eval question text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, "doc_id", "text", bench, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(100L) == ((1L, 1L)))
+    assert(got(101L) == ((0L, 0L)))
+    // the report direction agrees with decontaminate's: doc 1 is the flagged one
+    val flagged = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == Map(1L -> 1L))
+  }
+
   test("sourcePriors: within-source z-scores, constant sources get z=0") {
     val rows = Seq(
       (0L, "the a of and to in", "a"), (1L, "the a of and to in", "a"), // identical
