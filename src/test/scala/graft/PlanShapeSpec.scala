@@ -33,6 +33,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"vocabulary count must map-side combine before its exchange:\n$p")
   }
 
+  test("contaminationReport: bench shingles broadcast, counts partial-combine") {
+    val bench = docs.limit(5)
+    val p = plan(Dedup.contaminationReport(docs, "doc_id", "text", bench, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-suite shingle set must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-item hit counts must map-side combine:\n$p")
+  }
+
   test("lexicalDiversity: token aggregates partial-combine, no joins at all") {
     val p = plan(TextAnalysis.lexicalDiversity(docs, "doc_id", "text"))
     assert(!p.contains("Join"), s"per-doc diversity needs no join:\n$p")
