@@ -622,6 +622,16 @@ edges:
         .distinct().orderBy("gid").limit(3)
       graft.model.GraphAlgos.closenessCentrality(g, "near_dup", seeds, maxHops = 4)
     }),
+    // per-seed eccentricity (max over seeds lower-bounds the diameter)
+    // from the same 3 seeds over the same labeled BFS
+    "q82_eccentricity" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val e = g.edges.filter(col("label") === "near_dup")
+      val seeds = e.select(col("from").as("gid"))
+        .union(e.select(col("to").as("gid")))
+        .distinct().orderBy("gid").limit(3)
+      graft.model.GraphAlgos.eccentricity(g, "near_dup", seeds, maxHops = 4)
+    }),
     // similarity-weighted PageRank: rank flows ∝ 1/(1+symmetric-difference)
     // along near-dup edges; 2 rounds unrolled in the oracle
     "q79_pagerank_w" -> ((s, d) =>
@@ -1297,6 +1307,23 @@ edges:
          |SELECT src.s AS gid, coalesce(n_reached, CAST(0 AS BIGINT)) AS n_reached,
          |  coalesce(total_dist, CAST(0 AS BIGINT)) AS total_dist,
          |  coalesce(closeness, 0.0) AS closeness, coalesce(harmonic, 0.0) AS harmonic
+         |FROM src LEFT JOIN agg ON agg.seed = src.s""".stripMargin,
+    // q81's walk reused with a max(d) aggregate
+    "q82_eccentricity" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |pr AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),
+         |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+         |src AS MATERIALIZED (SELECT gid AS s FROM (SELECT a AS gid FROM pr UNION SELECT b FROM pr) ORDER BY gid LIMIT 3),
+         |walk(seed, id, d) AS (
+         |  SELECT s, s, 0 FROM src
+         |  UNION
+         |  SELECT walk.seed, e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < 4),
+         |md AS (SELECT seed, id, min(d) AS d FROM walk GROUP BY seed, id),
+         |agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(max(d) AS BIGINT) AS eccentricity
+         |  FROM md WHERE d > 0 GROUP BY seed)
+         |SELECT src.s AS gid, coalesce(n_reached, CAST(0 AS BIGINT)) AS n_reached,
+         |  coalesce(eccentricity, CAST(0 AS BIGINT)) AS eccentricity
          |FROM src LEFT JOIN agg ON agg.seed = src.s""".stripMargin,
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,

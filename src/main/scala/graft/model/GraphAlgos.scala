@@ -101,20 +101,15 @@ object GraphAlgos {
     * join in the scalar branch because the pushed-down null filters make
     * the two aggregate plans non-identical; measured on the plan, not
     * guessed.) */
-  /** Closeness + harmonic centrality for a SEED SET: a labeled
-    * multi-source BFS (state = (seed, gid, dist), so k seeds ride one
-    * frontier loop instead of k passes) followed by one per-seed
-    * aggregate. Per seed s with reachable set R(s) (within `maxHops`,
-    * excluding s):
-    *   closeness = |R| / Σ d(s,v)    (0.0 when nothing is reachable)
-    *   harmonic  = Σ 1/d(s,v)        (robust on disconnected graphs)
-    * Output: (gid, n_reached, total_dist, closeness, harmonic) — one row
-    * per seed, doubles rounded to 6 places. Exact all-vertex closeness is
-    * this with seeds = V (cost |V| BFS sources); at 100 TB sample seeds
-    * instead — the frontier state is |seeds| × |reached|, and the
-    * per-round join stays frontier-sized either way. */
-  def closenessCentrality(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
-                          maxHops: Int = 10, undirected: Boolean = true): DataFrame = {
+  /** Labeled multi-source BFS shared by [[closenessCentrality]] and
+    * [[eccentricity]]: (seed, gid, dist) for everything within `maxHops`
+    * of each seed, plus the deduplicated seed frame — k seeds ride ONE
+    * frontier loop instead of k passes; the frontier state is
+    * |seeds| × |reached|, and the per-round join stays frontier-sized.
+    * Exact all-vertex variants are these with seeds = V (cost |V| BFS
+    * sources); at 100 TB sample seeds (landmark estimation) instead. */
+  private def labeledBfs(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                         maxHops: Int, undirected: Boolean): (DataFrame, DataFrame) = {
     require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
     require(seeds.columns.length == 1,
       s"seeds must be a single gid column, got (${seeds.columns.mkString(", ")})")
@@ -138,6 +133,34 @@ object GraphAlgos {
       frontier = next
       hop += 1
     }
+    (dist, seedCol)
+  }
+
+  /** Per-seed eccentricity within the `maxHops` horizon: the greatest
+    * hop distance from the seed to anything it reaches (0 for isolated
+    * seeds) — max over seeds lower-bounds the graph diameter, the
+    * landmark-sampling estimate used at scale. Output: (gid, n_reached,
+    * eccentricity). */
+  def eccentricity(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                   maxHops: Int = 10, undirected: Boolean = true): DataFrame = {
+    val (dist, seedCol) = labeledBfs(g, edgeLabel, seeds, maxHops, undirected)
+    val agg = dist.filter(col("dist") > 0).groupBy("seed").agg(
+      count(lit(1)).as("__n"), max("dist").as("__e"))
+    seedCol.join(agg, Seq("seed"), "left").select(
+      col("seed").as("gid"),
+      coalesce(col("__n"), lit(0L)).as("n_reached"),
+      coalesce(col("__e").cast("long"), lit(0L)).as("eccentricity"))
+  }
+
+  /** Closeness + harmonic centrality for a SEED SET over [[labeledBfs]].
+    * Per seed s with reachable set R(s) (within `maxHops`, excluding s):
+    *   closeness = |R| / Σ d(s,v)    (0.0 when nothing is reachable)
+    *   harmonic  = Σ 1/d(s,v)        (robust on disconnected graphs)
+    * Output: (gid, n_reached, total_dist, closeness, harmonic) — one row
+    * per seed, doubles rounded to 6 places. */
+  def closenessCentrality(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                          maxHops: Int = 10, undirected: Boolean = true): DataFrame = {
+    val (dist, seedCol) = labeledBfs(g, edgeLabel, seeds, maxHops, undirected)
     val agg = dist.filter(col("dist") > 0).groupBy("seed").agg(
       count(lit(1)).as("__n"), sum("dist").as("__t"),
       round(count(lit(1)).cast("double") / sum("dist"), 6).as("__c"),

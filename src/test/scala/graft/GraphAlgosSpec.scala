@@ -66,6 +66,13 @@ class GraphAlgosSpec extends AnyFunSuite {
     val cut = GraphAlgos.closenessCentrality(g, "link", Seq("a").toDF("gid"), maxHops = 2)
       .as[(String, Long, Long, Double, Double)].collect().head
     assert(cut == (("a", 3L, 5L, 0.6, 2.0)))
+    // eccentricity over the same labeled BFS: a's farthest reach is d at 3;
+    // isolated f stays a zero row
+    val ecc = GraphAlgos.eccentricity(g, "link", Seq("a", "b", "f").toDF("gid"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ecc("a") == ((4L, 3L)))
+    assert(ecc("b") == ((4L, 2L)))
+    assert(ecc("f") == ((0L, 0L)))
   }
 
   test("connected components: string min representative, singletons included") {
