@@ -111,7 +111,7 @@ object Cli {
       // JsQuery handles both — the fluent parser stays as the fallback
       // for any form the JS subset doesn't cover
       val pq = try graft.gripql.JsQuery.eval(q)
-        catch { case _: IllegalArgumentException => Parser.parse(q) }
+        catch { case scala.util.control.NonFatal(_) => Parser.parse(q) }
       printLines(graft.server.Wire.lines(
         Traversal.run(spark, catalog.graph(g), pq), pq.stmts.lastOption))
 

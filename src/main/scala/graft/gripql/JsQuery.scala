@@ -33,8 +33,18 @@ object JsQuery {
     Json.parseQuery(v.toString)
   }
 
-  /** Evaluate a JS script to its final value as a Jackson node. */
-  def evalValue(script: String): JsonNode = new Interp(script).program()
+  /** Evaluate a JS script to its final value as a Jackson node. Lexer
+    * slips on malformed input (truncated escapes, bad number forms) are
+    * normalized to IllegalArgumentException so callers have one error
+    * contract to catch. */
+  def evalValue(script: String): JsonNode =
+    try new Interp(script).program()
+    catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"malformed js query (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
 
   // JSON.stringify semantics: integral doubles print without ".0"
   private def num(d: Double): JsonNode =
@@ -199,7 +209,7 @@ object JsQuery {
         }
       }
     }
-    private def peek: Char = { ws(); if (i < s.length) s(i) else ' ' }
+    private def peek: Char = { ws(); if (i < s.length) s(i) else '\u0000' }
     private def at(t: String): Boolean = { ws(); s.startsWith(t, i) }
     private def eat(t: String): Unit = { if (!at(t)) err(s"expected '$t'"); i += t.length }
     private def opt(t: String): Boolean = if (at(t)) { i += t.length; true } else false
@@ -261,19 +271,37 @@ object JsQuery {
       last
     }
 
+    // JS constructs the reference's full VM would run but this subset
+    // interpreter deliberately doesn't (query strings don't use them) —
+    // named loudly so a user hitting the boundary sees which construct,
+    // not a confusing parse error (reference surface: cmd/query/main.go:29-62)
+    private val unsupportedKeywords = Set(
+      "function", "for", "while", "do", "if", "else", "switch", "return",
+      "try", "catch", "throw", "class", "new", "delete", "typeof", "void",
+      "in", "of", "yield", "async", "await")
+
     private def statement(): JsonNode = {
       ws()
       val save = i
       if (identLike) {
         val name = ident()
+        if (unsupportedKeywords.contains(name))
+          throw new IllegalArgumentException(
+            s"unsupported JS construct '$name' in js query — only expression " +
+              "scripts (var/let/const, literals, operators, gripql builder " +
+              "chains) are interpreted; the reference CLI's full JS VM is out of scope")
         if (name == "var" || name == "let" || name == "const") {
           val v = ident()
           val value = if (opt("=")) expr() else F.nullNode()
           env(v) = value
           return value
         }
-        // plain assignment: ident = expr (but not ==)
         ws()
+        if (s.startsWith("=>", i))
+          throw new IllegalArgumentException(
+            "unsupported JS construct 'arrow function' in js query — user-defined " +
+              "functions are outside the interpreted subset")
+        // plain assignment: ident = expr (but not ==)
         if (i < s.length && s(i) == '=' && (i + 1 >= s.length || s(i + 1) != '=')) {
           i += 1
           val value = expr()

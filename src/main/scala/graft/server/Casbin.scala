@@ -185,18 +185,76 @@ object Casbin {
 
   // ------------------------------------------------------------- enforcer
 
+  /** RFC-4180-ish CSV split for one policy line: commas inside
+    * double-quoted fields don't split (a regexMatch pattern like
+    * `"a{1,3}"` stays one field), a doubled quote inside a quoted field
+    * is a literal quote, and whitespace outside quotes is trimmed —
+    * the dialect casbin's Go file-adapter reads via encoding/csv. */
+  private[server] def splitCsvLine(line: String): Seq[String] = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quoted = false    // currently inside a quoted region
+    var wasQuoted = false // this field had a quoted region
+    var outsideTail = 0   // chars appended since the last close-quote (outside quotes)
+    def finish(): Unit = {
+      val raw = cur.toString
+      val v =
+        if (!wasQuoted) raw.trim
+        else { // trim only whitespace that sits outside the quoted region
+          var end = raw.length
+          var budget = outsideTail
+          while (budget > 0 && end > 0 && raw.charAt(end - 1).isWhitespace) { end -= 1; budget -= 1 }
+          raw.substring(0, end)
+        }
+      fields += v
+      cur.clear(); wasQuoted = false; outsideTail = 0
+    }
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quoted) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else { quoted = false; outsideTail = 0 }
+        } else cur += c
+      } else c match {
+        case '"' =>
+          if (cur.forall(_.isWhitespace)) cur.clear() // leading ws before open quote
+          quoted = true; wasQuoted = true
+        case ',' => finish()
+        case other => cur += other; outsideTail += 1
+      }
+      i += 1
+    }
+    require(!quoted, s"unterminated quote in policy line: $line")
+    finish()
+    fields.result()
+  }
+
   /** Policy store + matcher evaluation. `policyCsv` is casbin's CSV form:
-    * one `p, v0, v1, ...` or `g, member, role[, domain]` per line. */
+    * one `p, v0, v1, ...` or `g, member, role[, domain]` per line.
+    * Rows whose arity doesn't match the model's definition are rejected
+    * loudly — a silently mangled deny rule would fail open. */
   final class Enforcer(val model: Model, policyCsv: String) {
     private val (pRows, gRows) = {
       val ps = Vector.newBuilder[Seq[String]]
       val gs = scala.collection.mutable.Map.empty[String, Vector[Seq[String]]]
+      val pArity = model.policyArgs.length
+      // `eft`, when declared as the trailing policy arg, may be omitted
+      // per row (casbin defaults it to allow)
+      val pMinArity = if (model.policyArgs.lastOption.contains("eft")) pArity - 1 else pArity
       policyCsv.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
-        val parts = l.split(",").map(_.trim).toSeq
+        val parts = splitCsvLine(l)
         parts.head match {
-          case "p" => ps += parts.tail
+          case "p" =>
+            require(parts.tail.length >= pMinArity && parts.tail.length <= pArity,
+              s"policy row arity ${parts.tail.length} does not match " +
+                s"policy_definition (${model.policyArgs.mkString(", ")}): $l")
+            ps += parts.tail
           case g if g.startsWith("g") =>
             require(model.roleArities.contains(g), s"policy uses undefined role type: $g")
+            require(parts.tail.length == model.roleArities(g),
+              s"role row arity ${parts.tail.length} does not match $g definition: $l")
             gs(g) = gs.getOrElse(g, Vector.empty) :+ parts.tail
           case other => throw new IllegalArgumentException(s"unknown policy type: $other")
         }

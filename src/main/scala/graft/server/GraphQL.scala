@@ -153,7 +153,11 @@ object GraphQL {
       case ("gid" | "id", AvStr(v)) => Seq(col("gid") === v)
       case ("ids", AvList(vs)) =>
         Seq(col("gid").isin(vs.collect { case AvStr(s) => s }: _*))
-      case ("first" | "offset", _) => Nil // paging, handled after compile
+      case ("first" | "offset", AvNum(_)) => Nil // paging, handled after compile
+      case ("after", AvStr(_)) => Nil // keyset cursor, handled after compile
+      case (k @ ("first" | "offset" | "after"), v) =>
+        throw new IllegalArgumentException(
+          s"paging argument '$k' must be ${if (k == "after") "a string gid" else "an integer"}, got: $v")
       case ("filter", AvObj(ops)) => ops.map {
         case ("eq" | "=" | "EQ", AvObj(kvs)) =>
           kvs.map { case (f, v) => cmp(f, v, _ === _) }.reduce(_ && _)
@@ -240,11 +244,23 @@ object GraphQL {
       return runAggregation(spark, g, root)
     val triples: Seq[EdgeType] =
       triplesOverride.orElse(g.topology).getOrElse(deriveTriples(g))
-    val df = nodeDf(g, triples, root.name, argPredicate(root.args), root.subs)
-    // first/offset page deterministically on the root gid; no paging args
-    // → no sort in the plan at all
+    // keyset cursor (`after: gid`) compiles into the base filter itself, so
+    // the page predicate rides the scan rather than sorting the full set
+    val cursor = root.args.collectFirst { case ("after", AvStr(v)) => v }
+    val pred0 = argPredicate(root.args)
+    val pred = cursor match {
+      case Some(c) => Some(pred0.fold(col("gid") > c)(_ && col("gid") > c))
+      case None => pred0
+    }
+    val df = nodeDf(g, triples, root.name, pred, root.subs)
+    // Paging, deterministic on the root gid; no paging args → no sort in
+    // the plan at all. `after`+`first` is the scale-safe form: the cursor
+    // predicate + orderBy+limit collapse to TakeOrdered (no full
+    // sort+exchange). `offset`+`first` still works but pays a global sort
+    // per page — keyset pagination is the 100-TB path.
     val paged = (intArg(root.args, "first"), intArg(root.args, "offset")) match {
-      case (None, None) => df
+      case (None, None) if cursor.isEmpty => df
+      case (None, None) => df.orderBy(col("__gid")) // cursor alone: stable page order
       case (first, offset) =>
         val sorted = df.orderBy(col("__gid"))
         val skipped = offset.fold(sorted)(sorted.offset)
@@ -478,6 +494,11 @@ object GraphQL {
     val base = baseFilter.fold(base0)(base0.filter)
     var out = base.select(col("gid").as("__gid"), col("data").as("__data"))
     for (s <- sels) {
+      // nested-field arguments are not implemented — reject loudly rather
+      // than silently returning the unfiltered/unpaged children
+      if (s.args.nonEmpty)
+        throw new IllegalArgumentException(
+          s"arguments on nested field '${s.name}' are not supported (only the root selection takes arguments)")
       val triple = triples.find(t => t.from == label && t.label == s.name)
       (triple, s.subs) match {
         case (None, Nil) =>

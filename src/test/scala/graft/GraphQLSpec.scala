@@ -75,6 +75,34 @@ class GraphQLSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported filter operator"))
   }
 
+  test("keyset paging: after cursor pages like offset but with no global sort") {
+    val all = run("""{ Planet { gid } }""").map(_.get("gid").asText()).sorted
+    // page 2 via cursor == page 2 via offset
+    val cursorPage = run(s"""{ Planet(first: 1, after: "${all.head}") { gid } }""")
+      .map(_.get("gid").asText())
+    assert(cursorPage == all.slice(1, 2))
+    // cursor composes with other predicates
+    val filtered = run(s"""{ Character(eye_color: "blue", first: 2, after: "") { gid } }""")
+    assert(filtered.nonEmpty)
+    // plan shape: after+first compiles to TakeOrdered, not a global
+    // sort+exchange (offset paging's cost); the cursor rides the scan filter
+    val df = GraphQL.run(spark, g, s"""{ Planet(first: 1, after: "${all.head}") { gid } }""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("+- Sort"), plan)
+    // malformed paging args are loud, not ignored
+    val e1 = intercept[IllegalArgumentException](run("""{ Planet(first: "10") { gid } }"""))
+    assert(e1.getMessage.contains("paging argument"))
+    val e2 = intercept[IllegalArgumentException](run("""{ Planet(after: 3) { gid } }"""))
+    assert(e2.getMessage.contains("paging argument"))
+  }
+
+  test("nested-field arguments are rejected loudly, not silently dropped") {
+    val e = intercept[IllegalArgumentException](
+      run("""{ Character(gid: "Character:1") { name homeworld(first: 2) { name } } }"""))
+    assert(e.getMessage.contains("nested field 'homeworld'"))
+  }
+
   test("<Label>Aggregation: _totalCount + term histograms, filter arg, sorted buckets") {
     val rows = run("""{ CharacterAggregation { _totalCount eye_color } }""")
     assert(rows.size == 1)

@@ -87,6 +87,32 @@ class JsQuerySpec extends AnyFunSuite {
       JsQuery.eval("explode()")).getMessage.contains("unknown function"))
   }
 
+  test("subset boundary: out-of-scope JS constructs fail naming the construct") {
+    // reference surface: cmd/query/main.go:29-62 runs a full goja VM; this
+    // interpreter covers the query idiom only — each boundary case must
+    // say WHICH construct was rejected, not emit a confusing parse error
+    def boundary(js: String, construct: String): Unit = {
+      val e = intercept[IllegalArgumentException](JsQuery.eval(js))
+      assert(e.getMessage.contains(s"unsupported JS construct '$construct'"), s"$js → ${e.getMessage}")
+    }
+    boundary("for (var i = 0; i < 3; i++) { }", "for")
+    boundary("while (true) { }", "while")
+    boundary("function f(x) { return x }; f(1)", "function")
+    boundary("if (x) { V() }", "if")
+    boundary("try { V() } catch (e) { }", "try")
+    boundary("class Q { }", "class")
+    boundary("var f = 1; return f", "return")
+    boundary("x => x + 1", "arrow function")
+  }
+
+  test("malformed input is always IllegalArgumentException, never a lexer slip") {
+    // truncated \u escape used to surface StringIndexOutOfBoundsException;
+    // bad number forms NumberFormatException — both now normalized
+    intercept[IllegalArgumentException](JsQuery.eval("\"trunc\\" + "u00"))
+    intercept[IllegalArgumentException](JsQuery.eval("1.2.3"))
+    intercept[IllegalArgumentException](JsQuery.eval(""" "unterminated """))
+  }
+
   test("jump/mark/set/increment loop statements round-trip through the wire shape") {
     val js = JsQuery.eval(
       """V("start").mark("loop").set("seen", true)

@@ -174,6 +174,44 @@ m = r.sub == p.sub && keyMatch(r.obj, p.obj) && r.act == p.act
     intercept[IllegalArgumentException](e.enforce("alice", "graph1")) // arity
   }
 
+  test("policy CSV: quoted fields keep commas; arity mismatches are loud") {
+    // a regexMatch pattern containing a comma must survive as one field
+    val model =
+      """
+[request_definition]
+r = sub, obj, act
+
+[policy_definition]
+p = sub, obj, act
+
+[policy_effect]
+e = some(where (p.eft == allow))
+
+[matchers]
+m = r.sub == p.sub && regexMatch(r.obj, p.obj) && r.act == p.act
+"""
+    val e = Casbin.enforcer(model, """p, alice, "^g[a-z]{1,3}$", read""")
+    assert(e.enforce("alice", "gab", "read"))
+    assert(!e.enforce("alice", "gabcd", "read"))
+    // doubled quote inside a quoted field is a literal quote
+    assert(Casbin.splitCsvLine("""p, a, "say ""hi"", ok", x""") ==
+      Seq("p", "a", """say "hi", ok""", "x"))
+    // unterminated quote is loud
+    intercept[IllegalArgumentException](Casbin.splitCsvLine("""p, a, "oops"""))
+    // arity mismatches error instead of padding/truncating (a mangled
+    // deny row must not silently fail open)
+    intercept[IllegalArgumentException](
+      Casbin.enforcer(aclModel, "p, alice, graph1")) // too few
+    intercept[IllegalArgumentException](
+      Casbin.enforcer(aclModel, "p, alice, graph1, read, deny")) // too many (no eft declared)
+    intercept[IllegalArgumentException](
+      Casbin.enforcer(rbacModel, "g, alice, admin, extra")) // g arity
+    // declared trailing eft may be omitted per row (defaults to allow)
+    val eftModel = aclModel.replace("p = sub, obj, act", "p = sub, obj, act, eft")
+    val e2 = Casbin.enforcer(eftModel, "p, alice, graph1, read")
+    assert(e2.enforce("alice", "graph1", "read"))
+  }
+
   test("REST server gates routes through a casbin-backed Auth end-to-end") {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
