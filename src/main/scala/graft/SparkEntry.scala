@@ -608,6 +608,11 @@ edges:
     // per-edge triangle support (k-truss building block) on the same graph
     "q78_truss_support" -> ((s, d) =>
       graft.model.GraphAlgos.trussSupport(dedupGraph(s, d), "near_dup")),
+    // k-truss peel above q78's raw supports: k=3 → every surviving edge
+    // sits in ≥1 triangle of the SURVIVING subgraph; 3 peel rounds,
+    // unrolled as plain CTEs in the oracle (kCore's fixed-R contract)
+    "q83_ktruss" -> ((s, d) =>
+      graft.model.GraphAlgos.kTruss(dedupGraph(s, d), "near_dup", k = 3, maxPeels = 3)),
     // per-vertex local clustering (ego-network density) on the same graph
     "q80_local_clustering" -> ((s, d) =>
       graft.model.GraphAlgos.localClustering(dedupGraph(s, d), "near_dup")),
@@ -1285,6 +1290,29 @@ edges:
       "sup AS (SELECT ce.u, ce.v, count(*) AS s FROM ce " +
       "JOIN bi n1 ON n1.u = ce.u JOIN bi n2 ON n2.u = ce.v AND n2.v = n1.v GROUP BY ce.u, ce.v) " +
       "SELECT ce.u, ce.v, coalesce(s, 0) AS support FROM ce LEFT JOIN sup ON sup.u = ce.u AND sup.v = ce.v"),
+    // q78's wedge join iterated: 3 peel rounds (e0→e1→e2→e3, each keeping
+    // edges with support ≥ k−2 = 1 in the current subgraph), then the
+    // final subgraph re-scored — the exact unrolling of kTruss(k=3,
+    // maxPeels=3); early exit in the engine is a no-op vs the full unroll
+    "q83_ktruss" -> (s"WITH $shingleCtes,\n" +
+      "pr AS MATERIALIZED (SELECT a_id, b_id FROM p WHERE j >= 0.5), " +
+      "e0 AS MATERIALIZED (SELECT least('d:' || a_id, 'd:' || b_id) AS u, greatest('d:' || a_id, 'd:' || b_id) AS v FROM pr), " +
+      "b0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+      "s0 AS MATERIALIZED (SELECT e0.u, e0.v, count(*) AS s FROM e0 " +
+      "JOIN b0 n1 ON n1.u = e0.u JOIN b0 n2 ON n2.u = e0.v AND n2.v = n1.v GROUP BY e0.u, e0.v), " +
+      "e1 AS MATERIALIZED (SELECT e0.u, e0.v FROM e0 JOIN s0 ON s0.u = e0.u AND s0.v = e0.v WHERE s0.s >= 1), " +
+      "b1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), " +
+      "s1 AS MATERIALIZED (SELECT e1.u, e1.v, count(*) AS s FROM e1 " +
+      "JOIN b1 n1 ON n1.u = e1.u JOIN b1 n2 ON n2.u = e1.v AND n2.v = n1.v GROUP BY e1.u, e1.v), " +
+      "e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1 JOIN s1 ON s1.u = e1.u AND s1.v = e1.v WHERE s1.s >= 1), " +
+      "b2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), " +
+      "s2 AS MATERIALIZED (SELECT e2.u, e2.v, count(*) AS s FROM e2 " +
+      "JOIN b2 n1 ON n1.u = e2.u JOIN b2 n2 ON n2.u = e2.v AND n2.v = n1.v GROUP BY e2.u, e2.v), " +
+      "e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2 JOIN s2 ON s2.u = e2.u AND s2.v = e2.v WHERE s2.s >= 1), " +
+      "b3 AS MATERIALIZED (SELECT u, v FROM e3 UNION ALL SELECT v, u FROM e3), " +
+      "s3 AS MATERIALIZED (SELECT e3.u, e3.v, count(*) AS s FROM e3 " +
+      "JOIN b3 n1 ON n1.u = e3.u JOIN b3 n2 ON n2.u = e3.v AND n2.v = n1.v GROUP BY e3.u, e3.v) " +
+      "SELECT e3.u, e3.v, coalesce(s3.s, 0) AS support FROM e3 LEFT JOIN s3 ON s3.u = e3.u AND s3.v = e3.v"),
     // q64's recursive BFS generalized to 3 seeds; min-dist per (seed, id),
     // then the closeness/harmonic aggregates. DOUBLE casts keep DuckDB's
     // decimal division away from Spark's IEEE doubles; sums cast BIGINT

@@ -725,6 +725,65 @@ object GraphAlgos {
       .select(col("u"), col("v"), coalesce(col("__s"), lit(0L)).as("support"))
   }
 
+  /** Per-edge triangle support of one canonical (u < v, deduped) edge
+    * frame — the wedge join of [[trussSupport]] factored out so the
+    * k-truss peel can re-score the shrinking edge set each round. */
+  private def supportOf(canon: DataFrame): DataFrame = {
+    val bi = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+    val sup = canon.alias("e")
+      .join(bi.alias("n1"), col("n1.u") === col("e.u"))
+      .join(bi.alias("n2"), col("n2.u") === col("e.v") && col("n2.v") === col("n1.v"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("__s"))
+    canon.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("__s"), lit(0L)).as("__s"))
+  }
+
+  /** k-truss by iterative edge peeling: repeatedly delete every edge in
+    * fewer than k−2 triangles of the CURRENT subgraph, up to `maxPeels`
+    * rounds (the R-round truncation — identical to the true k-truss
+    * whenever peeling converges within R rounds, and a fixed R lets a
+    * SQL oracle unroll the rounds as plain CTEs, exactly the [[kCore]]
+    * contract). The k-truss is the maximal subgraph where every edge has
+    * that many corroborating triangles — the standard dense-cohesion cut
+    * above [[trussSupport]]'s raw scores (Cohen 2008). Early exit when a
+    * round deletes nothing — monotonicity makes that identical to
+    * running all R rounds. Output: (u, v, support) for each surviving
+    * canonical edge with its support IN THE SURVIVING SUBGRAPH.
+    *
+    * Scale shape: each round is one wedge join pivoting on shared
+    * endpoints (candidates only form through adjacency, never
+    * all-pairs — the [[trussSupport]] shape) plus one filter; the edge
+    * frame is localCheckpoint'ed per round so lineage stays flat while
+    * the set only shrinks. Per-round cost is bounded by wedge fan-out,
+    * i.e. sum of degree², same as a single support pass. */
+  def kTruss(g: GraphFrame, edgeLabel: String, k: Int, maxPeels: Int = 3): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    var canon = g.edges.filter(col("label") === edgeLabel)
+      .select(least(col("from"), col("to")).as("u"),
+        greatest(col("from"), col("to")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxPeels && !converged) {
+      val scored = supportOf(canon).localCheckpoint()
+      if (scored.filter(col("__s") < k - 2).isEmpty) converged = true
+      else {
+        val next = scored.filter(col("__s") >= k - 2)
+          .select(col("u"), col("v")).localCheckpoint()
+        canon.unpersist()
+        canon = next
+      }
+      scored.unpersist()
+      round += 1
+    }
+    // re-score on the final subgraph (a no-op re-read when converged:
+    // the last round's scores are already the final subgraph's scores)
+    supportOf(canon).select(col("u"), col("v"), col("__s").as("support"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of the
     * degrees at the two ends of every undirected edge — positive when
     * hubs link to hubs (social graphs), negative when hubs link to
