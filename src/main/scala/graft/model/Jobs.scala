@@ -20,6 +20,14 @@ object Jobs {
     md.digest(q.stmts.mkString(";").getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** One structural hash PER statement (the reference's TraversalChecksum,
+    * jobstorage/query_checksum.go:16-26) — prefix matching over these is
+    * what lets a longer query reuse a shorter job's spool. */
+  def stepChecksums(q: Query): Seq[String] = q.stmts.map { s =>
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   private def kindName(k: Kind): String = if (k == VertexK) "vertex" else "edge"
 
   /** Run the traversal, spool travelers, return the job id. */
@@ -40,8 +48,9 @@ object Jobs {
     // status/list); the checksum stays the structural one
     val queryJson = graft.gripql.GValue.toJson(
       graft.gripql.GValue.GString(graft.gripql.Parser.render(q)))
+    val steps = stepChecksums(q).map(s => s""""$s"""").mkString("[", ",", "]")
     val meta = s"""{"kind":"${kindName(kind)}","checksum":"${checksum(q)}",""" +
-      s""""query":$queryJson,"marks":$marksJson}"""
+      s""""stepChecksums":$steps,"query":$queryJson,"marks":$marksJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$jobId/meta.json"), meta)
     jobId
   }
@@ -52,14 +61,22 @@ object Jobs {
     else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("job-")).map(_.getName).toSeq.sorted
   }
 
-  /** Find a spooled job whose query checksum matches (the reference reuses
-    * spooled results when a query shares a prefix with a finished job). */
-  def searchJobs(dir: String, q: Query): Option[String] = {
-    val want = checksum(q)
-    listJobs(dir).find { id =>
+  /** Find every spooled job whose per-statement checksum list is a PREFIX
+    * of the posted query's — i.e. jobs the query could resume from — with
+    * the reference's >1-statement floor (jobstorage/query_checksum.go:28-39
+    * JobMatch; storage.go:102-118 streams all matches). */
+  def searchJobs(dir: String, q: Query): Seq[String] = {
+    val want = stepChecksums(q)
+    listJobs(dir).filter { id =>
       val meta = java.nio.file.Paths.get(s"$dir/$id/meta.json")
-      java.nio.file.Files.exists(meta) &&
-        java.nio.file.Files.readString(meta).contains(s""""checksum":"$want"""")
+      java.nio.file.Files.exists(meta) && {
+        val text = java.nio.file.Files.readString(meta)
+        val jobSteps = "\"stepChecksums\":\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+          .map(_.group(1).split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+          .getOrElse(Nil)
+        jobSteps.length > 1 && jobSteps.length <= want.length &&
+          want.take(jobSteps.length) == jobSteps
+      }
     }
   }
 

@@ -122,8 +122,18 @@ class GraftServer(spark: SparkSession, port: Int,
       case _: Exception => try ex.close() catch { case _: Exception => () }
     }
 
+  /** Error body nests message under "error" the way the reference's REST
+    * gateway does — the stock client reads result['error']['message'] on
+    * both non-2xx bodies and in-stream error lines
+    * (gripql/python/gripql/query.py:419, graph.py:239). */
+  private def errBody(code: Int, msg: String): String = {
+    val node = mapper.createObjectNode()
+    node.putObject("error").put("message", msg).put("code", code)
+    node.toString
+  }
+
   private def err(ex: HttpExchange, code: Int, msg: String): Unit =
-    send(ex, code, mapper.createObjectNode().put("error", msg).toString)
+    send(ex, code, errBody(code, msg))
 
   /** Basic-auth + per-graph policy gate. False = a 401/403 was sent
     * (reference: accounts/basic.go Validate → "authorization failed";
@@ -159,8 +169,7 @@ class GraftServer(spark: SparkSession, port: Int,
     } catch {
       case e: Exception =>
         try {
-          out.write(mapper.createObjectNode()
-            .put("error", String.valueOf(e.getMessage)).toString.getBytes(UTF_8))
+          out.write(errBody(500, String.valueOf(e.getMessage)).getBytes(UTF_8))
           out.write('\n')
         } catch { case _: Exception => () }
     } finally ex.close()
@@ -184,11 +193,13 @@ class GraftServer(spark: SparkSession, port: Int,
         else send(ex, 200, "{}")
 
       case ("DELETE", g :: Nil) =>
-        if (graphs.remove(g) == null) err(ex, 404, s"no graph '$g'")
-        else {
-          mappings.remove(g); postedSchemas.remove(g); indices.remove(g)
-          send(ex, 200, "{}")
-        }
+        // idempotent like the reference's KV drivers (kvgraph DeleteGraph
+        // removes key ranges, absent graph = no-op) — the conformance auth
+        // runner delete-then-creates graphs unconditionally
+        // (conformance/run_util.py:267-269)
+        graphs.remove(g)
+        mappings.remove(g); postedSchemas.remove(g); indices.remove(g)
+        send(ex, 200, "{}")
 
       // BulkAdd (reference: gripql/gripql.proto:455 BulkAdd streaming RPC;
       // python client graph.py:246-285 posts ND-JSON GraphElement lines to
@@ -342,13 +353,13 @@ class GraftServer(spark: SparkSession, port: Int,
           .getOrElse(throw new IllegalArgumentException("missing 'query'"))
         val query = if (qNode.isTextual) Parser.parse(qNode.asText())
                     else Json.parseQuery(qNode.toString)
-        val node = mapper.createObjectNode()
-        val arr = node.putArray("jobs")
-        Jobs.searchJobs(jobsDir(g), query).foreach { id =>
+        // one JobStatus JSON object per line — the stock client's
+        // searchJobs() json-decodes each streamed line and reads ["id"]
+        // directly (gripql/python/gripql/query.py:486-494)
+        streamNdjson(ex, Jobs.searchJobs(jobsDir(g), query).iterator.map { id =>
           val st = jobState(g, id).map(_._1).getOrElse("COMPLETE")
-          arr.addObject().put("id", id).put("graph", g).put("state", st)
-        }
-        send(ex, 200, node.toString)
+          mapper.createObjectNode().put("id", id).put("graph", g).put("state", st).toString
+        })
       }
 
       case ("POST", g :: "job" :: Nil) => withGraph(ex, g) { mg =>
@@ -372,15 +383,15 @@ class GraftServer(spark: SparkSession, port: Int,
       }
 
       case ("GET", g :: "job" :: Nil) => withGraph(ex, g) { _ =>
-        val node = mapper.createObjectNode()
-        val arr = node.putArray("jobs")
         val known = jobStates.asScala.collect { case ((`g`, id), (st, _)) => id -> st }.toMap
         // on-disk spools from previous sessions list as COMPLETE
         val all = known ++ Jobs.listJobs(jobsDir(g)).filterNot(known.contains).map(_ -> "COMPLETE")
-        all.toSeq.sortBy(_._1).foreach { case (id, st) =>
-          arr.addObject().put("id", id).put("state", st)
-        }
-        send(ex, 200, node.toString)
+        // ListJobs streams QueryJob messages (gripql.proto:384-389); the
+        // stock client yields json.loads per line and the conformance
+        // runner indexes j['id'] directly (conformance/tests/ot_job.py:13)
+        streamNdjson(ex, all.toSeq.sortBy(_._1).iterator.map { case (id, st) =>
+          mapper.createObjectNode().put("id", id).put("graph", g).put("state", st).toString
+        })
       }
 
       case ("GET", g :: "job" :: id :: Nil) => withGraph(ex, g) { _ =>
@@ -416,6 +427,30 @@ class GraftServer(spark: SparkSession, port: Int,
       case ("GET", g :: "job" :: id :: "view" :: Nil) => withGraph(ex, g) { mg =>
         requireComplete(g, id)
         streamNdjson(ex, Wire.lines(Jobs.view(spark, mg.graph, jobsDir(g), id), None))
+      }
+
+      // ViewJob's proto REST binding is POST /v1/graph/{g}/job/{id}
+      // (gripql.proto:409-414) — the stock client's readJob posts there
+      case ("POST", g :: "job" :: id :: Nil) => withGraph(ex, g) { mg =>
+        requireComplete(g, id)
+        streamNdjson(ex, Wire.lines(Jobs.view(spark, mg.graph, jobsDir(g), id), None))
+      }
+
+      // ResumeJob's proto REST binding is POST /v1/graph/{g}/job-resume with
+      // body {query: [stmts], srcId: job} (gripql.proto:417-421,
+      // ExtendQuery gripql.proto:225-228) — the stock client's resume()
+      // builds exactly that (gripql/python/gripql/query.py:378-380)
+      case ("POST", g :: "job-resume" :: Nil) => withGraph(ex, g) { mg =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val id = Option(body.get("srcId")).map(_.asText())
+          .getOrElse(throw new IllegalArgumentException("missing 'srcId'"))
+        requireComplete(g, id)
+        val qNode = Option(body.get("query"))
+          .getOrElse(throw new IllegalArgumentException("missing 'query'"))
+        val ext = if (qNode.isTextual) Parser.parseExtension(qNode.asText())
+                  else Json.parseQuery(qNode.toString)
+        streamNdjson(ex, Wire.lines(Jobs.resume(spark, mg.graph, jobsDir(g), id, ext),
+          ext.stmts.lastOption))
       }
 
       case ("POST", g :: "job" :: id :: "resume" :: Nil) => withGraph(ex, g) { mg =>
@@ -654,21 +689,62 @@ object GraftServer {
       case ("POST", _ :: tail) if Set("query", "cypher", "graphql").exists(tail.headOption.contains) => "query"
       case ("POST", _ :: "job" :: Nil) => "exec"
       case ("POST", _ :: "job" :: _ :: "resume" :: Nil) => "exec"
+      case ("POST", _ :: "job-resume" :: Nil) => "exec"
+      case ("POST", _ :: "job" :: _ :: Nil) => "read" // ViewJob binding (interface.go:33)
+      case ("POST", _ :: "job-search" :: Nil) => "read"
       case ("GET", _) => "read"
       case _ => "write"
     }
   /** Serves REST on `port` and gRPC on `port`+1 over the SAME graph
     * registry — the reference's dual-transport shape (server/server.go
     * runs the gRPC service and its REST gateway on sibling ports). */
+  /** Parse the grip-style server config YAML's Accounts block
+    * (reference: config/server_config.go:22, accounts shape as in
+    * test/badger-auth.yml — Server.Accounts.Auth.Basic user list +
+    * Server.Accounts.Access.Casbin Model/Policy file paths). */
+  def authFromConfig(path: String): Option[Auth] = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val root = new org.yaml.snakeyaml.Yaml().load[Object](text)
+    def dig(node: Object, keys: String*): Option[Object] =
+      keys.foldLeft(Option(node)) {
+        case (Some(m: java.util.Map[_, _]), k) =>
+          Option(m.asInstanceOf[java.util.Map[String, Object]].get(k))
+        case _ => None
+      }
+    dig(root, "Server", "Accounts").map { acct =>
+      val creds = dig(acct, "Auth", "Basic").toSeq.flatMap {
+        case l: java.util.List[_] => l.asScala.collect {
+          case m: java.util.Map[_, _] =>
+            val mm = m.asInstanceOf[java.util.Map[String, Object]]
+            Credential(String.valueOf(mm.get("User")), String.valueOf(mm.get("Password")))
+        }
+        case _ => Nil
+      }
+      val enforcer = dig(acct, "Access", "Casbin").map { cb =>
+        val mm = cb.asInstanceOf[java.util.Map[String, Object]]
+        Casbin.enforcer(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(String.valueOf(mm.get("Model")))),
+          java.nio.file.Files.readString(java.nio.file.Paths.get(String.valueOf(mm.get("Policy")))))
+      }
+      Auth(creds, Nil, enforcer)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(8201)
+    val (confPath, rest) = args.toList match {
+      case a if a.contains("--config") =>
+        val i = a.indexOf("--config")
+        (Some(a(i + 1)), a.patch(i, Nil, 2))
+      case a => (None, a)
+    }
+    val port = rest.headOption.map(_.toInt).getOrElse(8201)
     val spark = SparkSession.builder().master("local[*]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
-    val srv = new GraftServer(spark, port)
-    args.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
+    val srv = new GraftServer(spark, port, confPath.flatMap(authFromConfig))
+    rest.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
     srv.start()
     val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry)
     grpc.start()

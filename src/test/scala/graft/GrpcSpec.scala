@@ -273,14 +273,32 @@ class GrpcSpec extends AnyFunSuite {
       val ls = c.call("/gripql.Query/ListJobs", Seq(enc("GraphID", """{"graph":"j"}""")))
       assert(ls.payloads.map(p => dec("QueryJob", p).get("id").asText()).contains(jobId))
 
-      // SearchJobs finds the spool by query checksum; a different query
-      // finds nothing
+      // SearchJobs matches jobs whose per-statement checksums are a PREFIX
+      // of the posted query, with the reference's >1-statement floor
+      // (jobstorage/query_checksum.go:28-39): the 1-statement job above can
+      // never match, so spool a 2-statement job and probe with extensions
+      val sub2 = c.call("/gripql.Query/Submit", Seq(enc("GraphQuery",
+        """{"graph":"j","query":[{"v":[]},{"has_label":["N"]}]}""")))
+      val jobId2 = dec("QueryJob", sub2.payloads.head).get("id").asText()
+      var state2 = ""
+      val deadline2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (state2 != "COMPLETE" && System.nanoTime() < deadline2) {
+        val st = c.call("/gripql.Query/GetJob", Seq(enc("QueryJob",
+          s"""{"graph":"j","id":"$jobId2"}""")))
+        state2 = dec("JobStatus", st.payloads.head).get("state").asText()
+        if (state2 != "COMPLETE") Thread.sleep(200)
+      }
       val found = c.call("/gripql.Query/SearchJobs", Seq(enc("GraphQuery",
-        """{"graph":"j","query":[{"v":[]}]}""")))
+        """{"graph":"j","query":[{"v":[]},{"has_label":["N"]},{"count":""}]}""")))
       assert(found.grpcStatus == 0)
-      assert(found.payloads.map(p => dec("JobStatus", p).get("id").asText()).contains(jobId))
+      assert(found.payloads.map(p => dec("JobStatus", p).get("id").asText()) == Seq(jobId2))
+      // shorter than the job, wrong head statement, or the 1-stmt job: no match
       assert(c.call("/gripql.Query/SearchJobs", Seq(enc("GraphQuery",
-        """{"graph":"j","query":[{"e":[]}]}"""))).payloads.isEmpty)
+        """{"graph":"j","query":[{"v":[]}]}"""))).payloads.isEmpty)
+      assert(c.call("/gripql.Query/SearchJobs", Seq(enc("GraphQuery",
+        """{"graph":"j","query":[{"e":[]},{"has_label":["N"]}]}"""))).payloads.isEmpty)
+      assert(c.call("/gripql.Query/DeleteJob", Seq(enc("QueryJob",
+        s"""{"graph":"j","id":"$jobId2"}"""))).grpcStatus == 0)
 
       val del = c.call("/gripql.Query/DeleteJob", Seq(enc("QueryJob",
         s"""{"graph":"j","id":"$jobId"}""")))

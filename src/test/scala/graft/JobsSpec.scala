@@ -37,12 +37,20 @@ class JobsSpec extends AnyFunSuite {
     assert(resumed.nonEmpty && resumed.forall(_.startsWith("Film:")))
   }
 
-  test("searchJobs finds spooled queries by checksum") {
+  test("searchJobs prefix-matches per-statement checksums (>1-stmt floor)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jobs3").toString
     val q = Q.V().hasLabel("Planet")
     val jobId = Jobs.submit(spark, g, q, dir)
     assert(Jobs.searchJobs(dir, q).contains(jobId))
+    // a longer query sharing the job's statement prefix reuses the spool
+    // (reference JobMatch, jobstorage/query_checksum.go:28-39)
+    assert(Jobs.searchJobs(dir, Q.V().hasLabel("Planet").out().count()).contains(jobId))
     assert(Jobs.searchJobs(dir, Q.V().hasLabel("Species")).isEmpty)
+    // shorter than the job: not resumable from this spool
+    assert(Jobs.searchJobs(dir, Q.V()).isEmpty)
+    // 1-statement jobs are below the reference's match floor
+    val jobV = Jobs.submit(spark, g, Q.V(), dir)
+    assert(!Jobs.searchJobs(dir, Q.V().hasLabel("Planet")).contains(jobV))
   }
 
   test("catalog: create/list/drop graphs + index metadata (ot_index shape)") {
