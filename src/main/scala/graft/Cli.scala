@@ -109,9 +109,14 @@ object Cli {
       // the reference CLI evaluates the query text as JavaScript
       // (cmd/query/main.go:29-62); a plain fluent chain is valid JS, so
       // JsQuery handles both — the fluent parser stays as the fallback
-      // for any form the JS subset doesn't cover
+      // for non-JS input, but a script that IS JS and merely uses an
+      // out-of-subset construct surfaces the JS boundary error (which
+      // names the construct) instead of the fluent parser's confusion
       val pq = try graft.gripql.JsQuery.eval(q)
-        catch { case scala.util.control.NonFatal(_) => Parser.parse(q) }
+        catch {
+          case e: graft.gripql.JsQuery.UnsupportedJsConstruct => throw e
+          case scala.util.control.NonFatal(_) => Parser.parse(q)
+        }
       printLines(graft.server.Wire.lines(
         Traversal.run(spark, catalog.graph(g), pq), pq.stmts.lastOption))
 

@@ -23,6 +23,16 @@ object GValue {
   case class GArray(v: Seq[GValue]) extends GValue
   case class GObj(v: Seq[(String, GValue)]) extends GValue
 
+  /** Normalize a double to the GValue the JSON wire would round-trip:
+    * JSON has one number type and every marshaller in the reference
+    * stack (JS JSON.stringify, protojson) prints integral floats
+    * without ".0", so an integral double IS an integer once it has
+    * crossed any wire. Constructing it as GInt up front keeps builder,
+    * text-parser, JS and protojson ASTs equal for equal queries. */
+  def num(d: Double): GValue =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < (1L << 53).toDouble) GInt(d.toLong)
+    else GNum(d)
+
   /** Render a GValue as a JSON text fragment (deterministic key order). */
   def toJson(g: GValue): String = g match {
     case GString(s) => "\"" + s.flatMap {
@@ -189,8 +199,8 @@ object P {
     case s: String => GString(s)
     case i: Int => GInt(i.toLong)
     case l: Long => GInt(l)
-    case d: Double => GNum(d)
-    case f: Float => GNum(f.toDouble)
+    case d: Double => GValue.num(d)
+    case f: Float => GValue.num(f.toDouble)
     case b: Boolean => GBool(b)
     case xs: Seq[_] => GArray(xs.map(gv))
     case g: GValue => g
@@ -202,9 +212,9 @@ object P {
   def gte(key: String, v: Any): HasExpr = Cond(key, gv(v), CondOp.GTE)
   def lt(key: String, v: Any): HasExpr = Cond(key, gv(v), CondOp.LT)
   def lte(key: String, v: Any): HasExpr = Cond(key, gv(v), CondOp.LTE)
-  def inside(key: String, a: Double, b: Double): HasExpr = Cond(key, GArray(Seq(GNum(a), GNum(b))), CondOp.INSIDE)
-  def outside(key: String, a: Double, b: Double): HasExpr = Cond(key, GArray(Seq(GNum(a), GNum(b))), CondOp.OUTSIDE)
-  def between(key: String, a: Double, b: Double): HasExpr = Cond(key, GArray(Seq(GNum(a), GNum(b))), CondOp.BETWEEN)
+  def inside(key: String, a: Double, b: Double): HasExpr = Cond(key, GArray(Seq(GValue.num(a), GValue.num(b))), CondOp.INSIDE)
+  def outside(key: String, a: Double, b: Double): HasExpr = Cond(key, GArray(Seq(GValue.num(a), GValue.num(b))), CondOp.OUTSIDE)
+  def between(key: String, a: Double, b: Double): HasExpr = Cond(key, GArray(Seq(GValue.num(a), GValue.num(b))), CondOp.BETWEEN)
   def within(key: String, vs: Any*): HasExpr = Cond(key, GArray(vs.map(gv)), CondOp.WITHIN)
   def without(key: String, vs: Any*): HasExpr = Cond(key, GArray(vs.map(gv)), CondOp.WITHOUT)
   def contains(key: String, v: Any): HasExpr = Cond(key, gv(v), CondOp.CONTAINS)

@@ -23,6 +23,13 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
 object JsQuery {
   private val F = JsonNodeFactory.instance
 
+  /** Boundary rejection: the input IS JavaScript but uses a construct
+    * outside the interpreted subset (functions, loops, ...). Distinct
+    * from a generic parse failure so callers with a non-JS fallback
+    * (the CLI's fluent-text parser) can surface this message instead
+    * of masking it with the fallback's own confusing error. */
+  final class UnsupportedJsConstruct(msg: String) extends IllegalArgumentException(msg)
+
   /** Evaluate a JS query string to a gripql [[Query]]. The script's last
     * statement must evaluate to a traversal (a `{query: [...]}` object,
     * as V()/E()/query() chains produce). */
@@ -60,13 +67,15 @@ object JsQuery {
     case _ => true
   }
 
-  /** gripql.js `process()`: missing → [], scalar → [scalar], array →
-    * itself, anything else → error. */
+  /** gripql.js `process()`: FALSY → [] (JS `if (!val) val = []`, so 0,
+    * "", false, null all coerce — `within("x", 0)` means "within the
+    * empty set"), scalar → [scalar], array → itself, anything else →
+    * error (gripql/javascript/gripql.js:1-10). */
   private def process(args: Seq[JsonNode]): ArrayNode = {
     val out = F.arrayNode()
     args match {
       case Nil => ()
-      case Seq(one) if one.isNull => ()
+      case Seq(one) if !truthy(one) => ()
       case Seq(one) if one.isArray => one.forEach(e => { out.add(e); () })
       case Seq(one) if one.isTextual || one.isNumber => out.add(one); ()
       case Seq(other) =>
@@ -130,6 +139,18 @@ object JsQuery {
       require(args.length >= 3, "histogram(name, field, interval)")
       obj("name" -> args.head,
         "histogram" -> obj("field" -> args(1), "interval" -> args(2)))
+    // field/type/count exist in the python builder surface
+    // (gripql/python/gripql/aggregations.py:31-49) but not gripql.js —
+    // accepted here so python-spelled scripts run through the CLI too
+    case "field" =>
+      require(args.length >= 2, "field(name, field)")
+      obj("name" -> args.head, "field" -> obj("field" -> args(1)))
+    case "type" =>
+      require(args.nonEmpty, "type(name, field?)")
+      obj("name" -> args.head, "type" -> obj("field" -> args.lift(1).getOrElse(args.head)))
+    case "count" =>
+      require(args.length == 1, "count(name)")
+      obj("name" -> args.head, "count" -> F.objectNode())
     case other =>
       throw new IllegalArgumentException(s"unknown function '$other' in js query")
   }
@@ -170,7 +191,15 @@ object JsQuery {
       case "hasId" => push("hasId" -> process(args))
       case "hasKey" => push("hasKey" -> process(args))
       case "set" => push("set" -> obj("key" -> arg(0), "value" -> arg(1)))
-      case "increment" => push("increment" -> obj("key" -> arg(0), "value" -> arg(1)))
+      case "increment" =>
+        // one-arg form: JSON.stringify drops the undefined value, so the
+        // field is OMITTED (gripql.js:131-134) and the protojson default
+        // applies — ours is 1 (Json.scala, python-client semantics;
+        // the reference's own JS and python clients disagree here: its
+        // proto3 default makes the JS one-arg form increment by 0)
+        val inc = obj("key" -> arg(0))
+        args.lift(1).filterNot(_.isNull).foreach(v => inc.set[JsonNode]("value", v))
+        push("increment" -> inc)
       case "mark" => push("mark" -> arg(0))
       case "jump" => push("jump" -> obj("mark" -> arg(0), "expression" -> arg(1),
         "emit" -> arg(2)))
@@ -274,22 +303,33 @@ object JsQuery {
     // JS constructs the reference's full VM would run but this subset
     // interpreter deliberately doesn't (query strings don't use them) —
     // named loudly so a user hitting the boundary sees which construct,
-    // not a confusing parse error (reference surface: cmd/query/main.go:29-62)
+    // not a confusing parse error (reference surface: cmd/query/main.go:29-62).
+    // TRUE reserved words only: 'of'/'async'/'await'/'yield' are contextual
+    // keywords, legal as variable names in classic scripts ('for...of' is
+    // already caught at 'for'; 'async function' is caught below), so they
+    // stay usable as identifiers
     private val unsupportedKeywords = Set(
       "function", "for", "while", "do", "if", "else", "switch", "return",
       "try", "catch", "throw", "class", "new", "delete", "typeof", "void",
-      "in", "of", "yield", "async", "await")
+      "in")
+
+    private def unsupported(name: String): Nothing =
+      throw new UnsupportedJsConstruct(
+        s"unsupported JS construct '$name' in js query — only expression " +
+          "scripts (var/let/const, literals, operators, gripql builder " +
+          "chains) are interpreted; the reference CLI's full JS VM is out of scope")
 
     private def statement(): JsonNode = {
       ws()
       val save = i
       if (identLike) {
         val name = ident()
-        if (unsupportedKeywords.contains(name))
-          throw new IllegalArgumentException(
-            s"unsupported JS construct '$name' in js query — only expression " +
-              "scripts (var/let/const, literals, operators, gripql builder " +
-              "chains) are interpreted; the reference CLI's full JS VM is out of scope")
+        if (unsupportedKeywords.contains(name)) unsupported(name)
+        if (name == "async") { // contextual: only 'async function' is a construct
+          val mark = i; ws()
+          if (s.startsWith("function", i)) unsupported("async function")
+          i = mark
+        }
         if (name == "var" || name == "let" || name == "const") {
           val v = ident()
           val value = if (opt("=")) expr() else F.nullNode()
@@ -298,7 +338,7 @@ object JsQuery {
         }
         ws()
         if (s.startsWith("=>", i))
-          throw new IllegalArgumentException(
+          throw new UnsupportedJsConstruct(
             "unsupported JS construct 'arrow function' in js query — user-defined " +
               "functions are outside the interpreted subset")
         // plain assignment: ident = expr (but not ==)

@@ -113,7 +113,7 @@ object Json {
     if (n == null || n.isNull) GValue.GNull
     else if (n.isTextual) GValue.GString(n.asText())
     else if (n.isIntegralNumber) GValue.GInt(n.asLong())
-    else if (n.isNumber) GValue.GNum(n.asDouble())
+    else if (n.isNumber) GValue.num(n.asDouble()) // 1000.0 == 1000 on the wire
     else if (n.isBoolean) GValue.GBool(n.asBoolean())
     else if (n.isArray) GValue.GArray(n.elements().asScala.map(parseValue).toSeq)
     else GValue.GObj(n.fields().asScala.map(e => e.getKey -> parseValue(e.getValue)).toSeq)

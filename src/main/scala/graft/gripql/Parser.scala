@@ -146,7 +146,7 @@ object Parser {
         ((s(i) == '+' || s(i) == '-') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
       val t = s.substring(start, i)
       if (t.isEmpty || t == "-") err("expected number")
-      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) GValue.GNum(t.toDouble)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) GValue.num(t.toDouble)
       else GValue.GInt(t.toLong)
     }
 
@@ -186,7 +186,14 @@ object Parser {
     private def stringArgs(): Seq[String] = {
       eat('(')
       val xs = Seq.newBuilder[String]
-      if (!opt(')')) { xs += str(); while (opt(',')) xs += str(); eat(')') }
+      ws()
+      // builder process() accepts a single list argument interchangeably
+      // with varargs — `both(["a","b"])` == `both("a","b")` (gripql.js:1-10)
+      if (peek == '[') {
+        eat('[')
+        if (!opt(']')) { xs += str(); while (opt(',')) xs += str(); eat(']') }
+        eat(')')
+      } else if (!opt(')')) { xs += str(); while (opt(',')) xs += str(); eat(')') }
       xs.result()
     }
 
@@ -234,11 +241,19 @@ object Parser {
             case _ => err(s"$op expects one value")
           }
           def two = rest match {
-            case Seq(a, b) => GValue.GArray(Seq(GValue.GNum(asNum(a)), GValue.GNum(asNum(b))))
-            case Seq(GValue.GArray(Seq(a, b))) => GValue.GArray(Seq(GValue.GNum(asNum(a)), GValue.GNum(asNum(b))))
+            // validate both are numeric but KEEP the written numeric type —
+            // the JS/python builders pass ints through unwidened
+            case Seq(a, b) => asNum(a); asNum(b); GValue.GArray(Seq(a, b))
+            case Seq(GValue.GArray(Seq(a, b))) => asNum(a); asNum(b); GValue.GArray(Seq(a, b))
             case _ => err(s"$op expects two numbers")
           }
           def many = rest match {
+            // builder `process()` semantics (gripql/javascript/gripql.js:
+            // 1-10, python client identical): a FALSY scalar coerces to
+            // the empty set — `within("x", 0)` matches nothing
+            case Seq(GValue.GInt(0)) | Seq(GValue.GNum(0.0)) |
+                 Seq(GValue.GString("")) | Seq(GValue.GBool(false)) |
+                 Seq(GValue.GNull) => GValue.GArray(Nil)
             case Seq(GValue.GArray(vs)) => GValue.GArray(vs)
             case vs => GValue.GArray(vs)
           }

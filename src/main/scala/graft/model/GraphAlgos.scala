@@ -173,6 +173,86 @@ object GraphAlgos {
       coalesce(col("__h"), lit(0.0)).as("harmonic"))
   }
 
+  /** Sampled betweenness centrality — Brandes (2001) dependency
+    * accumulation restricted to a SEED sample, the standard estimator
+    * when exact all-pairs Brandes (|V| BFS sweeps) is unaffordable:
+    * forward, a per-layer multi-source BFS counts shortest paths
+    * σ(s,v) = Σ σ(s,u) over shortest-path-DAG predecessors u; backward,
+    * layer by layer from the horizon,
+    *   δ(v) = Σ_{w succ} σ(v)/σ(w) · (1 + δ(w))
+    * and bc(v) = Σ_seeds δ(v) over non-seed layers, doubles rounded
+    * to 6. The horizon truncates like [[kCore]]/[[kTruss]]: paths are
+    * counted within `maxHops`, so a fixed-R SQL oracle can unroll both
+    * sweeps as plain per-layer CTEs. Output: (gid, betweenness) for
+    * every vertex some seed reaches at depth ≥ 1 (zeros included);
+    * the raw seed-sum is reported unscaled — multiply by |V|/|seeds|
+    * for the population estimate.
+    *
+    * Scale shape: k seeds ride ONE frame per layer (seed column), every
+    * join is frontier- or layer-sized and pivots on adjacency, each
+    * layer localCheckpoints — the per-round cost is Σ|layer|·degree,
+    * never all-pairs. Parallel edges collapse (`distinct`) so σ counts
+    * paths, not multi-edge multiplicities. */
+  def betweennessSampled(g: GraphFrame, edgeLabel: String, seeds: DataFrame,
+                         maxHops: Int = 4, undirected: Boolean = true): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).distinct().localCheckpoint(true)
+    val seedCol = seeds.select(col(seeds.columns.head).as("seed")).distinct()
+      .localCheckpoint(true)
+    // forward sweep: layers(L) = (seed, gid, sigma) at BFS depth L
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](
+      seedCol.select(col("seed"), col("seed").as("gid"), lit(1L).as("sigma"))
+        .localCheckpoint(true))
+    var visited = layers.head.select("seed", "gid").localCheckpoint(true)
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
+      val prev = layers.last
+      val next = prev.join(e, prev("gid") === e("u"))
+        .select(col("seed"), col("v").as("gid"), col("sigma"))
+        .join(visited, Seq("seed", "gid"), "left_anti")
+        .groupBy("seed", "gid").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        layers += next
+        visited = visited.union(next.select("seed", "gid")).localCheckpoint(true)
+        hop += 1
+      }
+    }
+    val maxL = layers.length - 1
+    val spark = g.vertices.sparkSession
+    if (maxL == 0) {
+      import spark.implicits._
+      return Seq.empty[(String, Double)].toDF("gid", "betweenness")
+    }
+    // backward sweep: horizon layer has delta 0; each layer sums its
+    // successors' scaled dependencies
+    val deltas = new Array[DataFrame](maxL + 1)
+    deltas(maxL) = layers(maxL).withColumn("delta", lit(0.0)).localCheckpoint(true)
+    // layer 0 (the seeds') delta is never read — stop the sweep at 1
+    var lev = maxL - 1
+    while (lev >= 1) {
+      val cur = layers(lev).alias("c")
+      val up = deltas(lev + 1).alias("w")
+      val contrib = cur.join(e, col("c.gid") === e("u"))
+        .join(up, col("w.seed") === col("c.seed") && col("w.gid") === e("v"))
+        .groupBy(col("c.seed").as("seed"), col("c.gid").as("gid"))
+        .agg(sum(col("c.sigma").cast("double") / col("w.sigma")
+          * (lit(1.0) + col("w.delta"))).as("__d"))
+      deltas(lev) = layers(lev).join(contrib, Seq("seed", "gid"), "left")
+        .select(col("seed"), col("gid"), col("sigma"),
+          coalesce(col("__d"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      lev -= 1
+    }
+    (1 to maxL).map(deltas(_)).reduce(_ unionByName _)
+      .groupBy("gid").agg(round(sum("delta"), 6).as("betweenness"))
+  }
+
   def pageRank(g: GraphFrame, edgeLabel: String, iters: Int = 20,
                damping: Double = 0.85, undirected: Boolean = false): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
@@ -766,22 +846,24 @@ object GraphAlgos {
       .distinct()
       .localCheckpoint()
     var round = 0
-    var converged = false
-    while (round < maxPeels && !converged) {
+    var lastScored: Option[DataFrame] = None // valid scores of the CURRENT canon
+    while (round < maxPeels && lastScored.isEmpty) {
       val scored = supportOf(canon).localCheckpoint()
-      if (scored.filter(col("__s") < k - 2).isEmpty) converged = true
+      if (scored.filter(col("__s") < k - 2).isEmpty) lastScored = Some(scored)
       else {
         val next = scored.filter(col("__s") >= k - 2)
           .select(col("u"), col("v")).localCheckpoint()
         canon.unpersist()
         canon = next
+        scored.unpersist()
       }
-      scored.unpersist()
       round += 1
     }
-    // re-score on the final subgraph (a no-op re-read when converged:
-    // the last round's scores are already the final subgraph's scores)
-    supportOf(canon).select(col("u"), col("v"), col("__s").as("support"))
+    // converged rounds already scored the surviving subgraph — reuse it;
+    // only the maxPeels-truncation exit (canon changed after its last
+    // scoring) pays one more wedge join
+    lastScored.getOrElse(supportOf(canon))
+      .select(col("u"), col("v"), col("__s").as("support"))
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of the

@@ -97,21 +97,30 @@ object Curation {
     * mean_quality, en_share), floats rounded to 4.
     *
     * Scale note: a single aggregation over per-row column expressions —
-    * the exact percentile is the one sort-bearing term; swap in
-    * percentile_approx when the corpus outgrows it and bit-exact
-    * reporting stops mattering. */
-  def corpusReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the exact percentile is the one sort-bearing term (memory bounded
+    * by DISTINCT token counts, so it holds far longer than a raw-value
+    * percentile would). `approx = true` swaps in `percentile_approx`
+    * (KLL-style bounded sketch, accuracy 1/10000) for corpora where
+    * even the distinct-count map outgrows an executor and bit-exact
+    * reporting stops mattering; exact stays the oracle-parity default. */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+                   approx: Boolean = false): DataFrame = {
     val sig = df.select(
       TextAnalysis.wsTokens(col(textCol)).as("__t"),
       TextAnalysis.qualityScore(col(textCol)).as("__q"),
       (TextAnalysis.langId(col(textCol)) === "en").cast("int").as("__en"))
+    def pct(p: Double) =
+      // approx returns the input type (long); cast so both paths report
+      // the same double-typed schema
+      if (approx) expr(s"percentile_approx(__t, $p, 10000)").cast("double")
+      else expr(s"percentile(__t, $p)")
     sig.agg(
       count(lit(1)).as("n_docs"),
       sum(col("__t")).as("total_tokens"),
       round(avg(col("__t")), 4).as("mean_tokens"),
-      round(expr("percentile(__t, 0.5)"), 4).as("p50_tokens"),
-      round(expr("percentile(__t, 0.9)"), 4).as("p90_tokens"),
-      round(expr("percentile(__t, 0.99)"), 4).as("p99_tokens"),
+      round(pct(0.5), 4).as("p50_tokens"),
+      round(pct(0.9), 4).as("p90_tokens"),
+      round(pct(0.99), 4).as("p99_tokens"),
       round(avg(col("__q")), 4).as("mean_quality"),
       round(avg(col("__en")), 4).as("en_share"))
   }

@@ -435,10 +435,14 @@ object Similarity {
                seed: Long = 42L): DataFrame = {
     val ivf = buildIvf(corpus, idCol, vecCol, nlist, seed)
     val cb = buildPqCodebook(corpus, vecCol, dim, m, ksub, seed)
-    // assigned cells + codes, one narrow frame: (neighbor_id, __bucket, code)
+    // assigned cells + codes, one narrow frame: (neighbor_id, __bucket,
+    // code) — deliberately WITHOUT the raw vector, so every candidate row
+    // that shuffles through the probe join and the shortlist window
+    // carries m bytes of code, not dim×8 bytes of payload (the whole
+    // point of PQ's 16-64x compression; PlanShapeSpec pins this)
     val coded = ivf.assigned.join(
       encodePq(corpus, idCol, vecCol, cb).withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
-      .select(col("neighbor_id"), col("__bucket"), col("code"), col("__v"))
+      .select(col("neighbor_id"), col("__bucket"), col("code"))
     val centDf = broadcast(ivf.centroids)
     val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"))
     val probes = q.crossJoin(centDf)
@@ -460,8 +464,12 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("__adc").asc, col("neighbor_id").asc)))
       .filter(col("__sr") <= shortlist)
-    // exact rerank of the shortlist only
-    short.withColumn("__d", fsum(zip_with(col("__q"), col("__v"), (a, b) => (a - b) * (a - b))))
+    // exact rerank: only the ≤shortlist survivors per query join back to
+    // the stored vectors (a semi-join-sized probe of the corpus — the
+    // only stage that ever touches dim floats per candidate)
+    short.select(col("query_id"), col("__q"), col("neighbor_id"))
+      .join(ivf.assigned.select(col("neighbor_id"), col("__v")), "neighbor_id")
+      .withColumn("__d", fsum(zip_with(col("__q"), col("__v"), (a, b) => (a - b) * (a - b))))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("__d").asc, col("neighbor_id").asc)))

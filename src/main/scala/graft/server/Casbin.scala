@@ -219,7 +219,13 @@ object Casbin {
         } else cur += c
       } else c match {
         case '"' =>
-          if (cur.forall(_.isWhitespace)) cur.clear() // leading ws before open quote
+          // an opening quote is only legal at field start (after optional
+          // whitespace) — Go's encoding/csv, the dialect casbin reads,
+          // errors with ErrBareQuote on 'a"b'; consuming it as an open
+          // quote would silently swallow the next comma into this field
+          require(cur.forall(_.isWhitespace),
+            s"bare '\"' in unquoted field of policy line: $line")
+          cur.clear() // leading ws before open quote
           quoted = true; wasQuoted = true
         case ',' => finish()
         case other => cur += other; outsideTail += 1

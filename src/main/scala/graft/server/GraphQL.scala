@@ -247,6 +247,12 @@ object GraphQL {
     // keyset cursor (`after: gid`) compiles into the base filter itself, so
     // the page predicate rides the scan rather than sorting the full set
     val cursor = root.args.collectFirst { case ("after", AvStr(v)) => v }
+    // the two paging models don't compose: an offset within the
+    // post-cursor set muddles the contract AND forfeits the TakeOrdered
+    // fast path — reject loudly like the other malformed-paging cases
+    if (cursor.isDefined && intArg(root.args, "offset").isDefined)
+      throw new IllegalArgumentException(
+        "'after' (keyset) and 'offset' paging cannot be combined — page with 'after'+'first'")
     val pred0 = argPredicate(root.args)
     val pred = cursor match {
       case Some(c) => Some(pred0.fold(col("gid") > c)(_ && col("gid") > c))

@@ -35,6 +35,13 @@ class CliSpec extends AnyFunSuite {
     val q = run("query", "sw", "V().hasLabel('Film').count()")
     assert(q.trim == """{"count":1}""", q)
 
+    // a query that IS JS but uses an out-of-subset construct surfaces the
+    // JS boundary error naming the construct — it must NOT be masked by
+    // the fluent parser's fallback confusion
+    val js = intercept[IllegalArgumentException](
+      run("query", "sw", "while (true) { V() }"))
+    assert(js.getMessage.contains("unsupported JS construct 'while'"), js.getMessage)
+
     val schema = run("schema", "sw", "--sample-n", "10")
     assert(schema.contains("Film") && schema.contains("Character"))
 

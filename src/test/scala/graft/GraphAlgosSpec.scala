@@ -47,6 +47,34 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(cut == Map("a" -> 0L, "b" -> 1L))
   }
 
+  test("betweenness (Brandes sampled): path and diamond hand-computed, multi-seed sums") {
+    // path a-b-c-d from seed a: pairs (a,c) cross b, (a,d) cross b and c
+    // → δ(b)=2, δ(c)=1, δ(d)=0
+    val pv = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val pe = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "link", "c", "d", "{}")).toDF("gid", "label", "from", "to", "data")
+    val path = GraphAlgos.betweennessSampled(GraphFrame(pv, pe), "link", Seq("a").toDF("gid"))
+      .as[(String, Double)].collect().toMap
+    assert(path == Map("b" -> 2.0, "c" -> 1.0, "d" -> 0.0))
+    // diamond a-b-d, a-c-d: two shortest a→d paths split the dependency
+    // (σ(d)=2, δ(b)=δ(c)=1/2·(1+0)=0.5); with both end seeds the middles sum
+    val dv = Seq("a", "b", "c", "d").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val de = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "a", "c", "{}"),
+      ("e3", "link", "b", "d", "{}"), ("e4", "link", "c", "d", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val dg = GraphFrame(dv, de)
+    val one = GraphAlgos.betweennessSampled(dg, "link", Seq("a").toDF("gid"))
+      .as[(String, Double)].collect().toMap
+    assert(one == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0))
+    val two = GraphAlgos.betweennessSampled(dg, "link", Seq("a", "d").toDF("gid"))
+      .as[(String, Double)].collect().toMap
+    assert(two == Map("a" -> 0.0, "b" -> 1.0, "c" -> 1.0, "d" -> 0.0))
+    // horizon truncation: maxHops=1 sees no layer-2 successors → all zeros
+    val cut = GraphAlgos.betweennessSampled(dg, "link", Seq("a").toDF("gid"), maxHops = 1)
+      .as[(String, Double)].collect().toMap
+    assert(cut == Map("b" -> 0.0, "c" -> 0.0))
+  }
+
   test("closeness: per-seed distances, isolated seed zeros, hop cutoff") {
     // chain a-b-c-d plus branch b-e; f isolated
     val v = Seq("a", "b", "c", "d", "e", "f").map(g => (g, "n", "{}")).toDF("gid", "label", "data")

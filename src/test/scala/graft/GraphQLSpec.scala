@@ -84,17 +84,26 @@ class GraphQLSpec extends AnyFunSuite {
     // cursor composes with other predicates
     val filtered = run(s"""{ Character(eye_color: "blue", first: 2, after: "") { gid } }""")
     assert(filtered.nonEmpty)
-    // plan shape: after+first compiles to TakeOrdered, not a global
-    // sort+exchange (offset paging's cost); the cursor rides the scan filter
+    // plan shape: after+first plans as TakeOrderedAndProjectExec with NO
+    // standalone SortExec (a global sort+exchange is offset paging's
+    // cost). Probed by node class on the pre-AQE physical plan — not by
+    // plan-string formatting — so the pin survives rendering/AQE changes.
     val df = GraphQL.run(spark, g, s"""{ Planet(first: 1, after: "${all.head}") { gid } }""")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("+- Sort"), plan)
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val pp = df.queryExecution.sparkPlan
+    assert(pp.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"after+first must plan as TakeOrdered:\n$pp")
+    assert(pp.collect { case s: SortExec => s }.isEmpty,
+      s"no standalone global sort for keyset paging:\n$pp")
     // malformed paging args are loud, not ignored
     val e1 = intercept[IllegalArgumentException](run("""{ Planet(first: "10") { gid } }"""))
     assert(e1.getMessage.contains("paging argument"))
     val e2 = intercept[IllegalArgumentException](run("""{ Planet(after: 3) { gid } }"""))
     assert(e2.getMessage.contains("paging argument"))
+    // 'after' + 'offset' don't compose — rejected, not silently reshaped
+    val e3 = intercept[IllegalArgumentException](
+      run("""{ Planet(first: 1, offset: 1, after: "x") { gid } }"""))
+    assert(e3.getMessage.contains("cannot be combined"))
   }
 
   test("nested-field arguments are rejected loudly, not silently dropped") {

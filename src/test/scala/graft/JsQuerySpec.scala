@@ -103,6 +103,20 @@ class JsQuerySpec extends AnyFunSuite {
     boundary("class Q { }", "class")
     boundary("var f = 1; return f", "return")
     boundary("x => x + 1", "arrow function")
+    boundary("async function f() { }", "async function")
+    // boundary rejections carry the sentinel type so callers with a
+    // non-JS fallback (the CLI) can surface this message instead
+    intercept[JsQuery.UnsupportedJsConstruct](JsQuery.eval("while (true) { }"))
+  }
+
+  test("contextual keywords stay usable as identifiers (they are not reserved words)") {
+    // 'of'/'async'/'await'/'yield' are contextual in JS — a classic script
+    // may use them as variable names; the reference's full VM accepts these
+    def lastLong(js: String): Long = JsQuery.evalValue(js).asLong()
+    assert(lastLong("var of = 2; of + 1") == 3)
+    assert(lastLong("var await = 5; await") == 5)
+    assert(lastLong("var yield = 7; yield * 2") == 14)
+    assert(lastLong("var async = 1; async + async") == 2)
   }
 
   test("malformed input is always IllegalArgumentException, never a lexer slip") {

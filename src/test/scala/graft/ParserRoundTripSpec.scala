@@ -89,21 +89,28 @@ class ParserRoundTripSpec extends AnyFunSuite {
     rest <- Gen.choose(0, 6).flatMap(Gen.listOfN(_, genStmt))
   } yield Query((seed +: rest).toVector)
 
-  /** The grammar's parse-time normalization: integer range bounds come
-    * back as GNum (the `two` coercion in the predicate grammar). */
+  /** The grammar's parse-time normalization: an integral GNum renders
+    * without ".0" (the JSON-wire spelling) so it re-parses as GInt —
+    * `GValue.num` is the shared rule; apply it everywhere a value is
+    * spelled out in the text form. */
   private def normalize(q: Query): Query = Query(q.stmts.map {
     case Stmt.Has(e) => Stmt.Has(normPred(e))
     case Stmt.Jump(m, c, em) => Stmt.Jump(m, c.map(normPred), em)
+    case Stmt.Render(t) => Stmt.Render(normVal(t))
+    case Stmt.SetField(k, v) => Stmt.SetField(k, normVal(v))
     case s => s
   })
+  private def normVal(v: GValue): GValue = v match {
+    case GNum(d) => GValue.num(d)
+    case GArray(vs) => GArray(vs.map(normVal))
+    case GObj(fs) => GObj(fs.map { case (k, x) => k -> normVal(x) })
+    case o => o
+  }
   private def normPred(e: HasExpr): HasExpr = e match {
     case HasExpr.And(cs) => HasExpr.And(cs.map(normPred))
     case HasExpr.Or(cs) => HasExpr.Or(cs.map(normPred))
     case HasExpr.Not(c) => HasExpr.Not(normPred(c))
-    case HasExpr.Cond(k, GArray(Seq(a, b)), op @ (CondOp.INSIDE | CondOp.OUTSIDE | CondOp.BETWEEN)) =>
-      def n(v: GValue) = v match { case GNum(d) => GNum(d); case GInt(i) => GNum(i.toDouble); case o => o }
-      HasExpr.Cond(k, GArray(Seq(n(a), n(b))), op)
-    case c => c
+    case HasExpr.Cond(k, v, op) => HasExpr.Cond(k, normVal(v), op)
   }
 
   private def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] = {

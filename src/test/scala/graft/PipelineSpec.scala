@@ -247,6 +247,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p99_tokens") == 3.97)
     // 3 of 4 docs lead with English stopwords
     assert(r.getAs[Double]("en_share") == 0.75)
+    // approx = true: same schema, same non-percentile stats; percentiles
+    // come from the sketch (discrete — lands ON an observed count) and at
+    // this accuracy/size sit within one count of the interpolated exact
+    val a = Curation.corpusReport(d, "doc_id", "text", approx = true).collect()(0)
+    assert(a.schema.fieldNames.sameElements(r.schema.fieldNames))
+    assert(a.getAs[Long]("n_docs") == 4 && a.getAs[Long]("total_tokens") == 10)
+    assert(a.getAs[Double]("en_share") == 0.75)
+    assert(math.abs(a.getAs[Double]("p50_tokens") - 2.5) <= 1.0)
+    assert(math.abs(a.getAs[Double]("p99_tokens") - 3.97) <= 1.0)
   }
 
   test("asOf: latest right at-or-before each left, per key, deterministic on ties") {

@@ -173,6 +173,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("annIvfPq: candidate stage carries PQ codes only — raw vectors touch nothing before the rerank join-back") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+    val dim = 8
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => (if (i < 20) 1.0f else -1.0f) + 0.01f * ((i * 7 + j) % 5)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.annIvfPq(vecs, "vec_id", "embedding",
+      vecs.limit(2), "vec_id", "embedding",
+      k = 3, dim = dim, nlist = 4, nprobe = 2, m = 2, ksub = 4, shortlist = 8)
+    // pin on the optimized LOGICAL plan (node classes, not plan-string
+    // formatting) so the assertion survives AQE/physical rendering changes
+    val lp = out.queryExecution.optimizedPlan
+    // the ADC shortlist window ranks candidates by code-table score; if
+    // __v reaches it, every (corpus/nlist)·nprobe candidate row shuffles
+    // dim×8 bytes of payload and PQ's compression is forfeited
+    val shortWin = lp.collect { case w: Window if w.output.exists(_.name == "__sr") => w }
+    assert(shortWin.nonEmpty, s"shortlist window not found:\n$lp")
+    shortWin.foreach(w => assert(!w.output.exists(_.name == "__v"),
+      s"ADC shortlist stage must not carry raw vectors:\n$w"))
+    // the probe join on __bucket is the candidate-volume join: its output
+    // must be (ids, bucket, code, query cols) — never the stored vector
+    val bucketJoins = lp.collect {
+      case j: Join if j.output.exists(_.name == "__bucket") && j.output.exists(_.name == "code") => j
+    }
+    assert(bucketJoins.nonEmpty, s"bucket probe join not found:\n$lp")
+    bucketJoins.foreach(j => assert(!j.output.exists(_.name == "__v"),
+      s"candidate join must project codes, not vectors:\n$j"))
+  }
+
   test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
     val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a_id", "b_id")
     val p = plan(Dedup.survivorsBy(docs, "doc_id",

@@ -198,6 +198,10 @@ m = r.sub == p.sub && regexMatch(r.obj, p.obj) && r.act == p.act
       Seq("p", "a", """say "hi", ok""", "x"))
     // unterminated quote is loud
     intercept[IllegalArgumentException](Casbin.splitCsvLine("""p, a, "oops"""))
+    // bare quote mid-field is loud (Go encoding/csv ErrBareQuote), not a
+    // silent open-quote that would swallow the following comma
+    val bare = intercept[IllegalArgumentException](Casbin.splitCsvLine("""p, a"b, c"""))
+    assert(bare.getMessage.contains("bare"), bare.getMessage)
     // arity mismatches error instead of padding/truncating (a mangled
     // deny row must not silently fail open)
     intercept[IllegalArgumentException](
