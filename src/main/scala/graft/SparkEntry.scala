@@ -637,6 +637,17 @@ edges:
         .distinct().orderBy("gid").limit(3)
       graft.model.GraphAlgos.eccentricity(g, "near_dup", seeds, maxHops = 4)
     }),
+    // sampled Brandes betweenness from the same 3 seeds over the same
+    // 4-hop horizon — forward sigma (shortest-path counts) and backward
+    // delta (dependency accumulation) both unroll per-layer in the oracle
+    "q84_betweenness" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val e = g.edges.filter(col("label") === "near_dup")
+      val seeds = e.select(col("from").as("gid"))
+        .union(e.select(col("to").as("gid")))
+        .distinct().orderBy("gid").limit(3)
+      graft.model.GraphAlgos.betweennessSampled(g, "near_dup", seeds, maxHops = 4)
+    }),
     // similarity-weighted PageRank: rank flows ∝ 1/(1+symmetric-difference)
     // along near-dup edges; 2 rounds unrolled in the oracle
     "q79_pagerank_w" -> ((s, d) =>
@@ -771,6 +782,42 @@ edges:
   /** Corpus-report oracle: the p07/p08/p09 signal fragments composed into
     * one summary row; quantile_cont mirrors Spark's interpolated exact
     * `percentile` (the q41 pairing). */
+  /** q84 oracle: Brandes with both sweeps unrolled per BFS layer (fixed
+    * 4-hop horizon). sg_L counts shortest paths into layer L through
+    * shortest-path-DAG edges (e.u at L−1, e.v at L — exactly the min-dist
+    * frame's adjacent layer pairs); dl_L accumulates successor
+    * dependencies σ(v)/σ(w)·(1+δ(w)) from L+1 down. */
+  private def betweennessSql: String = {
+    val sg = (1 to 4).map { l =>
+      s"sg$l AS MATERIALIZED (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma " +
+      s"FROM md m JOIN e ON e.v = m.id JOIN sg${l - 1} p ON p.seed = m.seed AND p.id = e.u " +
+      s"WHERE m.d = $l GROUP BY m.seed, m.id)"
+    }.mkString(",\n")
+    val dl = (3 to 1 by -1).map { l =>
+      s"dl$l AS MATERIALIZED (SELECT s.seed, s.id, s.sigma, coalesce(c.delta, 0.0) AS delta " +
+      s"FROM sg$l s LEFT JOIN (" +
+      s"SELECT s2.seed, s2.id, sum(CAST(s2.sigma AS DOUBLE) / w.sigma * (1 + w.delta)) AS delta " +
+      s"FROM sg$l s2 JOIN e ON e.u = s2.id JOIN dl${l + 1} w ON w.seed = s2.seed AND w.id = e.v " +
+      s"GROUP BY s2.seed, s2.id) c ON c.seed = s.seed AND c.id = s.id)"
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $shingleCtes,
+       |pr AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+       |src AS MATERIALIZED (SELECT gid AS s FROM (SELECT a AS gid FROM pr UNION SELECT b FROM pr) ORDER BY gid LIMIT 3),
+       |walk(seed, id, d) AS (
+       |  SELECT s, s, 0 FROM src
+       |  UNION
+       |  SELECT walk.seed, e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < 4),
+       |md AS MATERIALIZED (SELECT seed, id, min(d) AS d FROM walk GROUP BY seed, id),
+       |sg0 AS (SELECT seed, id, CAST(1 AS BIGINT) AS sigma FROM md WHERE d = 0),
+       |$sg,
+       |dl4 AS (SELECT seed, id, sigma, 0.0 AS delta FROM sg4),
+       |$dl
+       |SELECT id AS gid, round(sum(delta), 6) AS betweenness
+       |FROM (SELECT * FROM dl1 UNION ALL SELECT * FROM dl2 UNION ALL SELECT * FROM dl3 UNION ALL SELECT * FROM dl4)
+       |GROUP BY id""".stripMargin
+  }
+
   private def corpusReportSql: String = {
     val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w, text FROM documents),
@@ -1353,6 +1400,7 @@ edges:
          |SELECT src.s AS gid, coalesce(n_reached, CAST(0 AS BIGINT)) AS n_reached,
          |  coalesce(eccentricity, CAST(0 AS BIGINT)) AS eccentricity
          |FROM src LEFT JOIN agg ON agg.seed = src.s""".stripMargin,
+    "q84_betweenness" -> betweennessSql,
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +
