@@ -27,10 +27,15 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    import time
+    t0 = time.time()
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
+        # progress to stderr (flushed) — the sf0.1 quadratic oracles run
+        # for minutes each and an opaque multi-hour run is undebuggable
+        print(f"[verify {time.time()-t0:7.1f}s] {name}", file=sys.stderr, flush=True)
         got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
         got_cols = sorted(got.columns)
         sel = ", ".join(chr(34) + c + chr(34) for c in got_cols)
