@@ -210,16 +210,37 @@ class ServerSpec extends AnyFunSuite {
                 else { assert(!st.body().contains("ERROR"), st.body()); Thread.sleep(100); "" }
       }
       assert(state == "COMPLETE")
-      assert(req(c, p, "GET", "/v1/graph/jg/job").body().contains(id))
+      // ListJobs streams ND-JSON QueryJob lines — one standalone JSON
+      // object per line, each with an 'id' the stock client indexes
+      // directly (gripql.proto:384-389, client graph.py:171-178)
+      val listBody = req(c, p, "GET", "/v1/graph/jg/job").body()
+      assert(listBody.contains(id))
+      listBody.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+        assert(n.has("id") && n.has("state"), line)
+      }
       // view: the spooled travelers as FULL elements (ViewJob streams whole
       // elements incl. data — reference server/job_manager.go:90)
       val view = req(c, p, "GET", s"/v1/graph/jg/job/$id/view").body()
       assert(view.linesIterator.size == 3)
       assert(view.contains("age"), s"view must carry element data: $view")
+      // ViewJob's proto REST binding: POST /v1/graph/{g}/job/{id}
+      // (gripql.proto:409-414) serves the same stream
+      assert(req(c, p, "POST", s"/v1/graph/jg/job/$id", "{}").body() == view)
       // resume: extend the spooled stream with more statements
       val res = req(c, p, "POST", s"/v1/graph/jg/job/$id/resume",
         """{"query":".out('knows').count()"}""")
       assert(res.statusCode() == 200 && res.body().trim == """{"count":2}""")
+      // ResumeJob's proto REST binding: POST job-resume {query, srcId}
+      // (gripql.proto:417-421; client query.py:378-380)
+      val res2 = req(c, p, "POST", "/v1/graph/jg/job-resume",
+        s"""{"query":".out('knows').count()","srcId":"$id"}""")
+      assert(res2.statusCode() == 200 && res2.body().trim == """{"count":2}""", res2.body())
+      // error bodies nest message under 'error' the way the reference's
+      // REST gateway does — result['error']['message'] (query.py:419)
+      val errBody = req(c, p, "GET", "/v1/graph/nope/job").body()
+      val en = new com.fasterxml.jackson.databind.ObjectMapper().readTree(errBody)
+      assert(en.get("error") != null && en.get("error").has("message"), errBody)
       // job-search finds the spool by query checksum; a different query
       // finds nothing (reference SearchJobs, gripql.proto:390-395)
       val hit = req(c, p, "POST", "/v1/graph/jg/job-search",
