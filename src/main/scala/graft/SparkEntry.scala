@@ -705,14 +705,25 @@ edges:
   }
 
   /** Shared SQL fragments for the document-shingle oracles. */
+  /** The shared exact-Jaccard pair ground truth. `p` is the SPARSE form:
+    * explode distinct shingles, equi-join on the shingle, count common —
+    * cost Σ_shingle df² instead of n²·|s| (a quadratic list_intersect
+    * self-join measured unusable at sf0.1: the pair CTE alone ran >10 min
+    * where this form takes seconds). Provably equivalent under every
+    * consumer: pairs absent from `p` have zero common shingles, i.e.
+    * j = 0, and every consumer filters j >= 0.5. */
   private val shingleCtes =
     """dw AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
-      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+      |shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |shn AS (SELECT doc_id, len(s) AS n FROM sh),
+      |shc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |p AS (SELECT shc.a_id, shc.b_id, shc.i * 1.0 / (la.n + lb.n - shc.i) AS j
+      |  FROM shc JOIN shn la ON la.doc_id = shc.a_id JOIN shn lb ON lb.doc_id = shc.b_id)""".stripMargin
 
   private val shingleCte =
     s"WITH $shingleCtes\nSELECT a_id, b_id FROM p WHERE j >= 0.5"
@@ -725,9 +736,13 @@ edges:
       |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |  ELSE [array_to_string(w, ' ')] END AS s FROM dw),
-      |px AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)""".stripMargin
+      |shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |shn AS (SELECT doc_id, len(s) AS n FROM sh),
+      |shc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |  GROUP BY a.doc_id, b.doc_id),
+      |px AS (SELECT shc.a_id, shc.b_id, shc.i * 1.0 / (la.n + lb.n - shc.i) AS j
+      |  FROM shc JOIN shn la ON la.doc_id = shc.a_id JOIN shn lb ON lb.doc_id = shc.b_id)""".stripMargin
 
   /** Connected components over the exact n-gram pairs via a recursive CTE:
     * min reachable id per node — the relational ground truth for the
@@ -854,8 +869,14 @@ edges:
        |  SELECT $quad AS s FROM (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents WHERE doc_id % 20 = 0))),
        |ex AS (SELECT n.doc_id FROM newb n WHERE EXISTS (
        |  SELECT 1 FROM refs r WHERE lower(trim(r.text)) = lower(trim(n.text)))),
-       |nd AS (SELECT DISTINCT a.doc_id FROM nsh a JOIN rsh b ON
-       |  len(list_intersect(a.s, b.s)) * 1.0 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |nex AS (SELECT doc_id, unnest(s) AS g FROM nsh),
+       |rex AS (SELECT doc_id, unnest(s) AS g FROM rsh),
+       |ncc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM nex a JOIN rex b ON a.g = b.g GROUP BY 1, 2),
+       |nd AS (SELECT DISTINCT ncc.a_id AS doc_id FROM ncc
+       |  JOIN (SELECT doc_id, len(s) AS n FROM nsh) la ON la.doc_id = ncc.a_id
+       |  JOIN (SELECT doc_id, len(s) AS n FROM rsh) lb ON lb.doc_id = ncc.b_id
+       |  WHERE ncc.i * 1.0 / (la.n + lb.n - ncc.i) >= 0.5),
        |ct AS (SELECT DISTINCT u.doc_id FROM (SELECT doc_id, unnest(s) AS x FROM n4) u JOIN b4 ON u.x = b4.bs),
        |qual AS (SELECT doc_id, round(least(1.0, cast(len(w) AS double) / 100.0) * 0.5 +
        |  least(1.0, cast(len(list_filter(w, x -> list_contains($en, x))) AS double) / cast(len(w) AS double) * 5.0) * 0.5, 4) AS quality FROM nw)
@@ -1174,9 +1195,8 @@ edges:
     // difference the engine stores in the edge data
     "q73_sssp" ->
       s"""WITH RECURSIVE $shingleCtes,
-         |pw AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pw AS (SELECT shc.a_id, shc.b_id, shc.i, la.n AS na, lb.n AS nb
+         |  FROM shc JOIN shn la ON la.doc_id = shc.a_id JOIN shn lb ON lb.doc_id = shc.b_id),
          |pr AS (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
          |  CAST(na + nb - 2*i AS BIGINT) AS w
          |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
@@ -1211,10 +1231,13 @@ edges:
     // p47 is the prefix-filter algorithm for the SAME exact-Jaccard
     // contract, so it shares p04's ground truth
     "p47_dedup_prefix" -> shingleCte,
+    // both orientations of the sparse common counts (containment is
+    // asymmetric); zero-intersection pairs can't reach c >= 0.6
     "p48_containment" -> (s"WITH $shingleCtes" +
-      ", cp AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id, " +
-      "len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS c " +
-      "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id) " +
+      ", cp AS (SELECT x.a_id AS contained_id, x.b_id AS container_id, x.i * 1.0 / la.n AS c " +
+      "FROM shc x JOIN shn la ON la.doc_id = x.a_id " +
+      "UNION ALL SELECT x.b_id, x.a_id, x.i * 1.0 / lb.n " +
+      "FROM shc x JOIN shn lb ON lb.doc_id = x.b_id) " +
       "SELECT contained_id, container_id FROM cp WHERE c >= 0.6"),
     "p49_quality_dedup" -> qualityDedupSql,
     "p50_bigram_lm" -> bigramLmSql,
@@ -1295,9 +1318,8 @@ edges:
     // 12.5M-pair intersect per reference (measured runaway without it)
     "q79_pagerank_w" ->
       s"""WITH $shingleCtes,
-         |pw AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pw AS MATERIALIZED (SELECT shc.a_id, shc.b_id, shc.i, la.n AS na, lb.n AS nb
+         |  FROM shc JOIN shn la ON la.doc_id = shc.a_id JOIN shn lb ON lb.doc_id = shc.b_id),
          |prw AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
          |  1.0 / (1 + na + nb - 2*i) AS w
          |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
