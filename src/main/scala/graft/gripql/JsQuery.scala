@@ -53,10 +53,13 @@ object JsQuery {
           s"malformed js query (${e.getClass.getSimpleName}: ${e.getMessage})")
     }
 
-  // JSON.stringify semantics: integral doubles print without ".0"
-  private def num(d: Double): JsonNode =
-    if (d.isWhole && math.abs(d) < (1L << 53)) F.numberNode(d.toLong)
-    else F.numberNode(d)
+  // JSON.stringify semantics: integral doubles print without ".0" —
+  // [[GValue.num]] is the single home of that rule, shared with the
+  // builder and text-parser layers so the three front doors can't drift
+  private def num(d: Double): JsonNode = GValue.num(d) match {
+    case GValue.GInt(l) => F.numberNode(l)
+    case _ => F.numberNode(d)
+  }
 
   private def truthy(n: JsonNode): Boolean = n match {
     case null => false

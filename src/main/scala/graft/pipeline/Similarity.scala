@@ -445,19 +445,24 @@ object Similarity {
       .select(col("neighbor_id"), col("__bucket"), col("code"))
     val centDf = broadcast(ivf.centroids)
     val q = queries.select(col(qidCol).as("query_id"), toDouble(col(qvecCol)).as("__q"))
+    // ADC: per query the m×ksub table d(j,c) = ||q_j − cent_j,c||² is an
+    // expression over __q; a candidate's score indexes it by its codes.
+    // The tables are MATERIALIZED in the probe projection and __q itself
+    // is dropped — like __v on the corpus side, the raw query vector must
+    // not ride every candidate row through the bucket join and shortlist
+    // window (dim×8 bytes × (corpus/nlist)·nprobe rows); the rerank joins
+    // it back per query below
+    val tables = (0 until m).map(j => array(subDists(col("__q"), cb, j): _*).as(s"__t$j"))
     val probes = q.crossJoin(centDf)
       .withColumn("__dist", fsum(zip_with(col("__q"), col("__cent"), (a, b) => (a - b) * (a - b))))
       .withColumn("__pr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("__dist").asc, col("__bucket").asc)))
       .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__q"), col("__bucket"))
-    // ADC: per query the m×ksub table d(j,c) = ||q_j − cent_j,c||² is an
-    // expression over __q; a candidate's score indexes it by its codes
-    val tables = (0 until m).map(j => array(subDists(col("__q"), cb, j): _*).as(s"__t$j"))
+      .select((col("query_id") +: col("__bucket") +: tables): _*)
     val adcScore = (0 until m).map(j =>
       element_at(col(s"__t$j"), element_at(col("code"), j + 1) + 1)).reduce(_ + _)
-    val scored = coded.join(probes.select((col("query_id") +: col("__q") +: col("__bucket") +: tables): _*), "__bucket")
+    val scored = coded.join(probes, "__bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adc", adcScore)
     val short = scored.withColumn("__sr", row_number().over(
@@ -465,9 +470,10 @@ object Similarity {
           .orderBy(col("__adc").asc, col("neighbor_id").asc)))
       .filter(col("__sr") <= shortlist)
     // exact rerank: only the ≤shortlist survivors per query join back to
-    // the stored vectors (a semi-join-sized probe of the corpus — the
-    // only stage that ever touches dim floats per candidate)
-    short.select(col("query_id"), col("__q"), col("neighbor_id"))
+    // the stored vectors AND the query vector (semi-join-sized probes —
+    // the only stage that ever touches dim floats per candidate)
+    short.select(col("query_id"), col("neighbor_id"))
+      .join(q, "query_id")
       .join(ivf.assigned.select(col("neighbor_id"), col("__v")), "neighbor_id")
       .withColumn("__d", fsum(zip_with(col("__q"), col("__v"), (a, b) => (a - b) * (a - b))))
       .withColumn("rank", row_number().over(

@@ -53,12 +53,22 @@ import scala.jdk.CollectionConverters._
   *   GET    /v1/graph/{g}/index               → {"indices":[{graph,label,field}]}
   *   POST   /v1/graph/{g}/job                 → {"query": ...} async spool,
   *                                              returns {"id": jobId}
-  *   GET    /v1/graph/{g}/job                 → {"jobs":[{id,state}...]}
+  *   GET    /v1/graph/{g}/job                 → ND-JSON, one {id,graph,state}
+  *                                              QueryJob object per line
+  *   POST   /v1/graph/{g}/job-search          → {"query": ...} → ND-JSON
+  *                                              JobStatus lines (prefix match)
   *   GET    /v1/graph/{g}/job/{id}            → {id, state, error?}
   *   DELETE /v1/graph/{g}/job/{id}            → drop the spool
   *   GET    /v1/graph/{g}/job/{id}/view       → spooled results, ND-JSON
+  *   POST   /v1/graph/{g}/job/{id}            → same stream (ViewJob's proto
+  *                                              REST binding, gripql.proto:409)
   *   POST   /v1/graph/{g}/job/{id}/resume     → {"query": ".out()..."}
   *                                              extend the spooled stream
+  *   POST   /v1/graph/{g}/job-resume          → {query, srcId} (ResumeJob's
+  *                                              proto binding, gripql.proto:417)
+  *
+  * Error bodies nest the message: {"error": {"message", "code"}} — the
+  * shape the stock python client unwraps.
   */
 class GraftServer(spark: SparkSession, port: Int,
                   auth: Option[GraftServer.Auth] = None) {
@@ -726,6 +736,12 @@ object GraftServer {
           java.nio.file.Files.readString(java.nio.file.Paths.get(String.valueOf(mm.get("Model")))),
           java.nio.file.Files.readString(java.nio.file.Paths.get(String.valueOf(mm.get("Policy")))))
       }
+      // an Accounts block that yields NOTHING enforceable is a config
+      // mistake (wrong key case, list-vs-map nesting): refuse to start
+      // rather than silently serve the policy-protected graphs open
+      require(creds.nonEmpty || enforcer.isDefined,
+        s"config $path has a Server.Accounts block but no parsable " +
+          "Auth.Basic credentials or Access.Casbin policy — refusing to start unauthenticated")
       Auth(creds, Nil, enforcer)
     }
   }
@@ -734,6 +750,8 @@ object GraftServer {
     val (confPath, rest) = args.toList match {
       case a if a.contains("--config") =>
         val i = a.indexOf("--config")
+        require(i + 1 < a.length && !a(i + 1).startsWith("--"),
+          "--config requires a path argument (grip-style server YAML)")
         (Some(a(i + 1)), a.patch(i, Nil, 2))
       case a => (None, a)
     }
@@ -743,10 +761,14 @@ object GraftServer {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
-    val srv = new GraftServer(spark, port, confPath.flatMap(authFromConfig))
+    val theAuth = confPath.flatMap(authFromConfig)
+    val srv = new GraftServer(spark, port, theAuth)
     rest.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
     srv.start()
-    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry)
+    // the SAME auth gates both transports — the reference wires its
+    // accounts interceptors into the gRPC service too (server/server.go),
+    // an unauthenticated sibling port would bypass every policy
+    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry, theAuth)
     grpc.start()
     println(s"graft server listening on :$port (REST), :${port + 1} (gRPC)")
     Thread.currentThread().join()

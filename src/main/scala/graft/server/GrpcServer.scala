@@ -55,9 +55,13 @@ import scala.jdk.CollectionConverters._
   * message cannot express.
   */
 class GrpcServer(spark: SparkSession, port: Int,
-                 graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph]) {
+                 graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph],
+                 auth: Option[GraftServer.Auth]) {
   def this(spark: SparkSession, port: Int) =
-    this(spark, port, new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]())
+    this(spark, port, new java.util.concurrent.ConcurrentHashMap[String, MutableGraph](), None)
+  def this(spark: SparkSession, port: Int,
+           graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph]) =
+    this(spark, port, graphs, None)
 
   private val mapper = new ObjectMapper()
   private val reg = GripqlProto.registry
@@ -122,6 +126,7 @@ class GrpcServer(spark: SparkSession, port: Int,
     * message. Dispatch runs off-loop once END_STREAM lands. */
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private var path: String = ""
+    private var authHeader: Option[String] = None
     private val pending = io.netty.buffer.Unpooled.compositeBuffer()
     private val frames = Vector.newBuilder[Array[Byte]]
     private var bulk: BulkState = null
@@ -133,7 +138,13 @@ class GrpcServer(spark: SparkSession, port: Int,
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
         path = String.valueOf(h.headers().path())
-        if (path == "/gripql.Edit/BulkAdd") bulk = new BulkState
+        authHeader = Option(h.headers().get("authorization")).map(_.toString)
+        if (path == "/gripql.Edit/BulkAdd") {
+          // client-streaming: credentials must be resolved before any
+          // element lands; per-element graphs are gated inside add()
+          try bulk = new BulkState(authUser(authHeader))
+          catch { case e: Throwable if failure == null => failure = e }
+        }
         if (h.isEndStream) finish(ctx)
       case d: Http2DataFrame =>
         // HTTP/2 flow control is manual in netty's frame API: return the
@@ -191,20 +202,25 @@ class GrpcServer(spark: SparkSession, port: Int,
       ReferenceCountUtil.release(pending)
       val messages = frames.result()
       val (b, err) = (bulk, failure)
-      pool.execute(() => respond(ctx, this, path, messages, Option(b), Option(err)))
+      val hdr = authHeader
+      pool.execute(() => respond(ctx, this, path, messages, Option(b), Option(err), hdr))
     }
   }
 
   /** Incremental BulkAdd state: decoded elements stage straight into the
     * target graph through bulkAdd's chunked seal (one open chunk of driver
     * memory), counters mirror the REST route's per-line error semantics. */
-  private final class BulkState {
+  private final class BulkState(user: Option[String]) {
     var inserted = 0L
     var errors = 0L
     def add(bytes: Array[Byte]): Unit =
       try {
         val m = Pbuf.decode(reg, "GraphElement", bytes)
-        val g = Option(text(m, "graph")).flatMap(n => Option(graphs.get(n)))
+        val gname = Option(text(m, "graph"))
+        // a policy denial fails the whole stream (the reference's stream
+        // interceptor rejects the RPC), unlike per-line data errors
+        gname.foreach(gate(user, _, "write"))
+        val g = gname.flatMap(n => Option(graphs.get(n)))
           .getOrElse(throw new IllegalArgumentException("unknown graph"))
         (Option(m.get("vertex")), Option(m.get("edge"))) match {
           case (Some(v), _) if !v.isNull =>
@@ -219,7 +235,10 @@ class GrpcServer(spark: SparkSession, port: Int,
             g.addEdge(from, to, label, dataText(e), text(e, "gid")); inserted += 1
           case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
         }
-      } catch { case scala.util.control.NonFatal(_) => errors += 1 }
+      } catch {
+        case e @ GrpcError(_, _) => throw e
+        case scala.util.control.NonFatal(_) => errors += 1
+      }
     def result(): Array[Byte] = {
       if (inserted > 0) graphs.keySet().forEach(touch(_))
       val o = mapper.createObjectNode()
@@ -232,9 +251,74 @@ class GrpcServer(spark: SparkSession, port: Int,
   private final case class GrpcError(code: Int, msg: String)
     extends RuntimeException(msg)
 
+  // ---- auth (mirrors the reference's gRPC interceptors: server/server.go
+  // wires accounts auth into the gRPC service too, not just the REST
+  // gateway; operations per accounts/interface.go:17-51 MethodMap) -------
+
+  /** path → (request message type, operation class). Used to pull the
+    * graph name out of the request for per-graph policy enforcement. */
+  private val methodMeta: Map[String, (String, String)] = Map(
+    "/gripql.Query/Traversal" -> ("GraphQuery", "query"),
+    "/gripql.Query/GetVertex" -> ("ElementID", "read"),
+    "/gripql.Query/GetEdge" -> ("ElementID", "read"),
+    "/gripql.Query/ListLabels" -> ("GraphID", "read"),
+    "/gripql.Query/GetSchema" -> ("GraphID", "read"),
+    "/gripql.Query/SampleSchema" -> ("GraphID", "write"),
+    "/gripql.Edit/AddSchema" -> ("Graph", "write"),
+    "/gripql.Query/GetTimestamp" -> ("GraphID", "read"),
+    "/gripql.Query/ListIndices" -> ("GraphID", "read"),
+    "/gripql.Edit/AddIndex" -> ("IndexID", "write"),
+    "/gripql.Edit/DeleteIndex" -> ("IndexID", "write"),
+    "/gripql.Query/Submit" -> ("GraphQuery", "exec"),
+    "/gripql.Query/ListJobs" -> ("GraphID", "read"),
+    "/gripql.Query/SearchJobs" -> ("GraphQuery", "read"),
+    "/gripql.Query/GetJob" -> ("QueryJob", "read"),
+    "/gripql.Query/DeleteJob" -> ("QueryJob", "write"),
+    "/gripql.Query/ViewJob" -> ("QueryJob", "read"),
+    "/gripql.Query/ResumeJob" -> ("ExtendQuery", "exec"),
+    "/gripql.Edit/AddGraph" -> ("GraphID", "write"),
+    "/gripql.Edit/DeleteGraph" -> ("GraphID", "write"),
+    "/gripql.Edit/AddVertex" -> ("GraphElement", "write"),
+    "/gripql.Edit/AddEdge" -> ("GraphElement", "write"),
+    "/gripql.Edit/DeleteVertex" -> ("ElementID", "write"),
+    "/gripql.Edit/DeleteEdge" -> ("ElementID", "write"))
+
+  /** Resolve the authenticated user, or throw UNAUTHENTICATED (16) when
+    * auth is configured and the header doesn't validate. None = no auth
+    * configured (open server). */
+  private def authUser(header: Option[String]): Option[String] = auth.map { a =>
+    a.validate(header).getOrElse(throw GrpcError(16, "authorization failed"))
+  }
+
+  /** Per-graph policy check; PERMISSION_DENIED (7) on refusal. No-op on
+    * an open server. */
+  private def gate(user: Option[String], graph: String, op: String): Unit =
+    (auth, user) match {
+      case (Some(a), Some(u)) =>
+        if (!a.enforce(u, graph, op)) throw GrpcError(7, "permission denied")
+      case _ => ()
+    }
+
+  /** Unary/server-streaming enforcement: validate credentials, then if
+    * the request names a graph, enforce (user, graph, operation). Methods
+    * without a graph (ListGraphs) need valid credentials only, like the
+    * reference's ListGraphs. */
+  private def authorize(path: String, header: Option[String],
+                        messages: Vector[Array[Byte]]): Unit = {
+    val user = authUser(header)
+    if (user.isDefined) methodMeta.get(path).foreach { case (reqType, op) =>
+      val g = messages.headOption.flatMap { m =>
+        try Option(text(Pbuf.decode(reg, reqType, m), "graph"))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      g.foreach(gate(user, _, op))
+    }
+  }
+
   private def respond(ctx: ChannelHandlerContext, handler: StreamHandler, path: String,
                       messages: Vector[Array[Byte]], bulk: Option[BulkState],
-                      readFailure: Option[Throwable]): Unit = {
+                      readFailure: Option[Throwable],
+                      authHeader: Option[String] = None): Unit = {
     var headersSent = false
     def sendHeaders(): Unit = {
       val h = new DefaultHttp2Headers().status("200")
@@ -253,7 +337,9 @@ class GrpcServer(spark: SparkSession, port: Int,
       readFailure.foreach(e => throw e)
       val out = bulk match {
         case Some(b) => Iterator.single(b.result())
-        case None => dispatch(path, messages)
+        case None =>
+          authorize(path, authHeader, messages)
+          dispatch(path, messages)
       }
       sendHeaders()
       out.foreach { m =>

@@ -45,7 +45,7 @@ class GrpcSpec extends AnyFunSuite {
       })
       .connect(host, port).sync().channel()
 
-    def call(path: String, reqs: Seq[Array[Byte]]): Resp = {
+    def call(path: String, reqs: Seq[Array[Byte]], authHeader: Option[String] = None): Resp = {
       val done = new CompletableFuture[Resp]()
       val bs = new Http2StreamChannelBootstrap(ch)
       bs.handler(new ChannelInitializer[Channel] {
@@ -95,6 +95,7 @@ class GrpcSpec extends AnyFunSuite {
         .authority(s"$host:$port")
       headers.set("content-type", "application/grpc")
       headers.set("te", "trailers")
+      authHeader.foreach(h => headers.set("authorization", h))
       stream.write(new DefaultHttp2HeadersFrame(headers))
       val body = Unpooled.buffer()
       reqs.foreach { r => body.writeByte(0); body.writeInt(r.length); body.writeBytes(r) }
@@ -377,6 +378,53 @@ class GrpcSpec extends AnyFunSuite {
       assert(all.payloads.size == 5000)
       assert(dec("QueryResult", all.payloads.head).get("vertex").get("data").has("pad"))
     }
+  }
+
+  test("auth gates the gRPC transport: UNAUTHENTICATED, per-graph policy, BulkAdd stream denial") {
+    import graft.server.GraftServer.{Auth, Credential, Policy}
+    val auth = Auth(
+      credentials = Seq(Credential("admin", "secret"), Credential("bob", "pw")),
+      policies = Seq(
+        Policy("admin", "*", Set("*")),
+        Policy("bob", "g1", Set("query", "read")))) // bob: no write, no g2
+    val srv = new GrpcServer(spark, 0,
+      new java.util.concurrent.ConcurrentHashMap[String, graft.model.MutableGraph](), Some(auth))
+    srv.start()
+    val c = new Client("127.0.0.1", srv.boundPort)
+    def basic(u: String, p: String) =
+      "Basic " + java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
+    try {
+      // anonymous and wrong-password → UNAUTHENTICATED (16), even ListGraphs
+      assert(c.call("/gripql.Query/ListGraphs", Seq(enc("Empty", "{}"))).grpcStatus == 16)
+      assert(c.call("/gripql.Query/ListGraphs", Seq(enc("Empty", "{}")),
+        Some(basic("bob", "nope"))).grpcStatus == 16)
+      // admin creates g1 and g2; bob may query g1 but not write it nor touch g2
+      assert(c.call("/gripql.Edit/AddGraph", Seq(enc("GraphID", """{"graph":"g1"}""")),
+        Some(basic("admin", "secret"))).grpcStatus == 0)
+      assert(c.call("/gripql.Edit/AddGraph", Seq(enc("GraphID", """{"graph":"g2"}""")),
+        Some(basic("admin", "secret"))).grpcStatus == 0)
+      assert(c.call("/gripql.Query/ListGraphs", Seq(enc("Empty", "{}")),
+        Some(basic("bob", "pw"))).grpcStatus == 0)
+      assert(c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"g1","query":[{"v":[]}]}""")), Some(basic("bob", "pw"))).grpcStatus == 0)
+      assert(c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"g2","query":[{"v":[]}]}""")), Some(basic("bob", "pw"))).grpcStatus == 7)
+      assert(c.call("/gripql.Edit/AddVertex", Seq(enc("GraphElement",
+        """{"graph":"g1","vertex":{"gid":"x","label":"N"}}""")),
+        Some(basic("bob", "pw"))).grpcStatus == 7)
+      // client-streaming BulkAdd: a policy denial fails the STREAM, it is
+      // not swallowed into the per-line error counter
+      assert(c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
+        """{"graph":"g1","vertex":{"gid":"y","label":"N"}}""")),
+        Some(basic("bob", "pw"))).grpcStatus == 7)
+      assert(c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
+        """{"graph":"g1","vertex":{"gid":"y","label":"N"}}"""))).grpcStatus == 16)
+      val ok = c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
+        """{"graph":"g1","vertex":{"gid":"y","label":"N"}}""")),
+        Some(basic("admin", "secret")))
+      assert(ok.grpcStatus == 0 &&
+        dec("BulkEditResult", ok.payloads.head).get("insert_count").asLong() == 1)
+    } finally { c.close(); srv.stop() }
   }
 
   test("status codes: unknown method, unknown graph, bad query") {

@@ -190,16 +190,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // dim×8 bytes of payload and PQ's compression is forfeited
     val shortWin = lp.collect { case w: Window if w.output.exists(_.name == "__sr") => w }
     assert(shortWin.nonEmpty, s"shortlist window not found:\n$lp")
-    shortWin.foreach(w => assert(!w.output.exists(_.name == "__v"),
-      s"ADC shortlist stage must not carry raw vectors:\n$w"))
+    shortWin.foreach(w => assert(!w.output.exists(n => n.name == "__v" || n.name == "__q"),
+      s"ADC shortlist stage must not carry raw vectors (corpus OR query side):\n$w"))
     // the probe join on __bucket is the candidate-volume join: its output
-    // must be (ids, bucket, code, query cols) — never the stored vector
+    // must be (ids, bucket, code, ADC tables) — never a raw vector
     val bucketJoins = lp.collect {
       case j: Join if j.output.exists(_.name == "__bucket") && j.output.exists(_.name == "code") => j
     }
     assert(bucketJoins.nonEmpty, s"bucket probe join not found:\n$lp")
-    bucketJoins.foreach(j => assert(!j.output.exists(_.name == "__v"),
-      s"candidate join must project codes, not vectors:\n$j"))
+    bucketJoins.foreach(j => assert(!j.output.exists(n => n.name == "__v" || n.name == "__q"),
+      s"candidate join must project codes and tables, not vectors:\n$j"))
   }
 
   test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
