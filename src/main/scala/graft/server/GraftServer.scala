@@ -159,8 +159,17 @@ class GraftServer(spark: SparkSession, port: Int,
             ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
             err(ex, 401, "authorization failed"); false
           case Some(user) =>
-            val ok = parts.isEmpty ||
-              a.enforce(user, parts.head, GraftServer.operation(method, parts))
+            val ok = (method, parts) match {
+              // BulkAdd (POST /v1/graph) enforces write PER ELEMENT in the
+              // handler — the reference's BulkWriteFilter skips denied
+              // lines rather than rejecting the request
+              case ("POST", Nil) => true
+              // graph-less GET (the graph list) enforces the "*"
+              // pseudo-graph like the reference's ListGraphs
+              // (accounts/util.go:169) — enumeration needs a *-scoped policy
+              case _ => a.enforce(user, parts.headOption.getOrElse("*"),
+                GraftServer.operation(method, parts))
+            }
             if (!ok) err(ex, 403, "permission denied")
             ok
         }
@@ -658,8 +667,15 @@ object GraftServer {
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     private val credDigests: Seq[(String, Array[Byte])] =
       credentials.map(c => c.user -> sha(c.password))
-    /** Authorization header → authenticated user (None = 401). */
-    def validate(header: Option[String]): Option[String] = header.flatMap { h =>
+    /** Authorization header → authenticated user (None = 401). With NO
+      * credentials configured (a Casbin-only Accounts block) every caller
+      * authenticates as the anonymous user "" and the policy decides —
+      * the reference's NullAuth fallback (accounts/util.go init): without
+      * this, a policy-only config would reject every request. */
+    def validate(header: Option[String]): Option[String] =
+      if (credentials.isEmpty) Some("") else validateBasic(header)
+
+    private def validateBasic(header: Option[String]): Option[String] = header.flatMap { h =>
       if (!h.startsWith("Basic ")) None
       else {
         val decoded = try new String(

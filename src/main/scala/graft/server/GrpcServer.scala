@@ -137,7 +137,7 @@ class GrpcServer(spark: SparkSession, port: Int,
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
-        path = String.valueOf(h.headers().path())
+        path = canonicalPath(String.valueOf(h.headers().path()))
         authHeader = Option(h.headers().get("authorization")).map(_.toString)
         if (path == "/gripql.Edit/BulkAdd") {
           // client-streaming: credentials must be resolved before any
@@ -151,9 +151,16 @@ class GrpcServer(spark: SparkSession, port: Int,
         // consumed bytes to the peer or a >64 KB client stream stalls at
         // the initial window
         val consumed = d.initialFlowControlledBytes()
-        pending.addComponent(true, d.content())
-        try drain()
-        catch { case e: Throwable if failure == null => failure = e }
+        if (failure == null) {
+          pending.addComponent(true, d.content())
+          try drain()
+          catch { case e: Throwable if failure == null => failure = e }
+        } else {
+          // the stream is already doomed (e.g. BulkAdd auth failure):
+          // discard instead of buffering, or a client that keeps pushing
+          // after the failure grows `pending` without bound
+          d.release()
+        }
         if (consumed > 0 && !d.isEndStream)
           ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
         if (d.isEndStream) finish(ctx)
@@ -213,15 +220,19 @@ class GrpcServer(spark: SparkSession, port: Int,
   private final class BulkState(user: Option[String]) {
     var inserted = 0L
     var errors = 0L
+    private val written = scala.collection.mutable.Set.empty[String]
     def add(bytes: Array[Byte]): Unit =
       try {
         val m = Pbuf.decode(reg, "GraphElement", bytes)
         val gname = Option(text(m, "graph"))
-        // a policy denial fails the whole stream (the reference's stream
-        // interceptor rejects the RPC), unlike per-line data errors
+        // a policy-denied element is SKIPPED and the stream continues —
+        // the reference's BulkWriteFilter RecvMsg-loops past denied
+        // elements (accounts/bulk_write_filter.go) rather than failing
+        // the RPC; counted under errors so the denial is visible
         gname.foreach(gate(user, _, "write"))
         val g = gname.flatMap(n => Option(graphs.get(n)))
           .getOrElse(throw new IllegalArgumentException("unknown graph"))
+        written ++= gname
         (Option(m.get("vertex")), Option(m.get("edge"))) match {
           case (Some(v), _) if !v.isNull =>
             val (gid, label) = (text(v, "gid"), text(v, "label"))
@@ -235,12 +246,9 @@ class GrpcServer(spark: SparkSession, port: Int,
             g.addEdge(from, to, label, dataText(e), text(e, "gid")); inserted += 1
           case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
         }
-      } catch {
-        case e @ GrpcError(_, _) => throw e
-        case scala.util.control.NonFatal(_) => errors += 1
-      }
+      } catch { case scala.util.control.NonFatal(_) => errors += 1 }
     def result(): Array[Byte] = {
-      if (inserted > 0) graphs.keySet().forEach(touch(_))
+      written.foreach(touch)
       val o = mapper.createObjectNode()
       o.put("insert_count", inserted)
       o.put("error_count", errors)
@@ -254,6 +262,16 @@ class GrpcServer(spark: SparkSession, port: Int,
   // ---- auth (mirrors the reference's gRPC interceptors: server/server.go
   // wires accounts auth into the gRPC service too, not just the REST
   // gateway; operations per accounts/interface.go:17-51 MethodMap) -------
+
+  /** The proto declares the job RPCs in `service Job` and SampleSchema in
+    * `service Edit` (gripql.proto:376-423,490) — stock gRPC clients call
+    * those paths; this server historically grouped them under Query.
+    * Normalize at ingress so BOTH spellings reach the same handler and
+    * the same auth row. */
+  private def canonicalPath(p: String): String =
+    if (p.startsWith("/gripql.Job/")) "/gripql.Query/" + p.stripPrefix("/gripql.Job/")
+    else if (p == "/gripql.Edit/SampleSchema") "/gripql.Query/SampleSchema"
+    else p
 
   /** path → (request message type, operation class). Used to pull the
     * graph name out of the request for per-graph policy enforcement. */
@@ -299,19 +317,25 @@ class GrpcServer(spark: SparkSession, port: Int,
       case _ => ()
     }
 
-  /** Unary/server-streaming enforcement: validate credentials, then if
-    * the request names a graph, enforce (user, graph, operation). Methods
-    * without a graph (ListGraphs) need valid credentials only, like the
-    * reference's ListGraphs. */
+  /** Unary/server-streaming enforcement: validate credentials, then
+    * enforce (user, graph, operation). ListGraphs enforces against the
+    * "*" pseudo-graph like the reference (accounts/util.go:169 — a user
+    * without a *-scoped read policy may NOT enumerate graph names); a
+    * mapped method whose request yields no graph fails LOUD (util.go:76
+    * "Unable to get graph") — failing open there would silently disable
+    * policy enforcement if this map ever drifted from dispatch. */
   private def authorize(path: String, header: Option[String],
                         messages: Vector[Array[Byte]]): Unit = {
     val user = authUser(header)
-    if (user.isDefined) methodMeta.get(path).foreach { case (reqType, op) =>
-      val g = messages.headOption.flatMap { m =>
-        try Option(text(Pbuf.decode(reg, reqType, m), "graph"))
-        catch { case scala.util.control.NonFatal(_) => None }
+    if (user.isDefined) {
+      if (path == "/gripql.Query/ListGraphs") gate(user, "*", "read")
+      else methodMeta.get(path).foreach { case (reqType, op) =>
+        val g = messages.headOption.flatMap { m =>
+          try Option(text(Pbuf.decode(reg, reqType, m), "graph"))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        gate(user, g.getOrElse(throw GrpcError(3, "unable to get graph from request")), op)
       }
-      g.foreach(gate(user, _, op))
     }
   }
 

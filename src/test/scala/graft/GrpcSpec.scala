@@ -403,20 +403,34 @@ class GrpcSpec extends AnyFunSuite {
         Some(basic("admin", "secret"))).grpcStatus == 0)
       assert(c.call("/gripql.Edit/AddGraph", Seq(enc("GraphID", """{"graph":"g2"}""")),
         Some(basic("admin", "secret"))).grpcStatus == 0)
+      // ListGraphs enforces the "*" pseudo-graph (reference
+      // accounts/util.go:169): admin's *-policy allows it, bob's
+      // g1-scoped policy does not
       assert(c.call("/gripql.Query/ListGraphs", Seq(enc("Empty", "{}")),
-        Some(basic("bob", "pw"))).grpcStatus == 0)
+        Some(basic("admin", "secret"))).grpcStatus == 0)
+      assert(c.call("/gripql.Query/ListGraphs", Seq(enc("Empty", "{}")),
+        Some(basic("bob", "pw"))).grpcStatus == 7)
       assert(c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
         """{"graph":"g1","query":[{"v":[]}]}""")), Some(basic("bob", "pw"))).grpcStatus == 0)
+      // the proto's own service names reach the same handlers + auth rows
+      assert(c.call("/gripql.Job/ListJobs", Seq(enc("GraphID", """{"graph":"g1"}""")),
+        Some(basic("bob", "pw"))).grpcStatus == 0)
+      assert(c.call("/gripql.Edit/SampleSchema", Seq(enc("GraphID", """{"graph":"g1"}""")),
+        Some(basic("bob", "pw"))).grpcStatus == 7) // write-class, bob lacks it
       assert(c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
         """{"graph":"g2","query":[{"v":[]}]}""")), Some(basic("bob", "pw"))).grpcStatus == 7)
       assert(c.call("/gripql.Edit/AddVertex", Seq(enc("GraphElement",
         """{"graph":"g1","vertex":{"gid":"x","label":"N"}}""")),
         Some(basic("bob", "pw"))).grpcStatus == 7)
-      // client-streaming BulkAdd: a policy denial fails the STREAM, it is
-      // not swallowed into the per-line error counter
-      assert(c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
+      // client-streaming BulkAdd: denied elements are SKIPPED and the
+      // stream continues (reference BulkWriteFilter RecvMsg-loops past
+      // them, accounts/bulk_write_filter.go) — visible as error_count here
+      val denied = c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
         """{"graph":"g1","vertex":{"gid":"y","label":"N"}}""")),
-        Some(basic("bob", "pw"))).grpcStatus == 7)
+        Some(basic("bob", "pw")))
+      assert(denied.grpcStatus == 0)
+      val dr = dec("BulkEditResult", denied.payloads.head)
+      assert(dr.get("insert_count").asLong() == 0 && dr.get("error_count").asLong() == 1, dr)
       assert(c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
         """{"graph":"g1","vertex":{"gid":"y","label":"N"}}"""))).grpcStatus == 16)
       val ok = c.call("/gripql.Edit/BulkAdd", Seq(enc("GraphElement",
