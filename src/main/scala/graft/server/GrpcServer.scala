@@ -232,7 +232,6 @@ class GrpcServer(spark: SparkSession, port: Int,
         gname.foreach(gate(user, _, "write"))
         val g = gname.flatMap(n => Option(graphs.get(n)))
           .getOrElse(throw new IllegalArgumentException("unknown graph"))
-        written ++= gname
         (Option(m.get("vertex")), Option(m.get("edge"))) match {
           case (Some(v), _) if !v.isNull =>
             val (gid, label) = (text(v, "gid"), text(v, "label"))
@@ -246,6 +245,7 @@ class GrpcServer(spark: SparkSession, port: Int,
             g.addEdge(from, to, label, dataText(e), text(e, "gid")); inserted += 1
           case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
         }
+        written ++= gname // only graphs that actually took an insert
       } catch { case scala.util.control.NonFatal(_) => errors += 1 }
     def result(): Array[Byte] = {
       written.foreach(touch)
