@@ -41,9 +41,18 @@ import scala.jdk.CollectionConverters._
   *   DELETE /v1/graph/{g}/vertex/{gid}        → delete, 404 if absent
   *   DELETE /v1/graph/{g}/edge/{gid}          → delete, 404 if absent
   *   POST   /v1/graph/{g}/mapping             → {"mapping": <GRIPPER config>,
-  *                                               "sources": {name: dir}}
-  *                                              opens g as the mapped view
-  *   GET    /v1/graph/{g}/mapping             → the stored mapping text
+  *                                               "sources"?: {name: dir}}
+  *                                              opens g as the mapped view;
+  *                                              source names not bound
+  *                                              inline resolve against
+  *                                              started plugins
+  *   GET    /v1/graph/{g}/mapping             → the stored mapping as a
+  *                                              Graph message (GetMapping)
+  *   POST   /v1/plugin/{name}                 → {"driver","config"} start a
+  *                                              gripper plugin (see Plugins)
+  *   GET    /v1/plugin                        → {"plugins":[...]}
+  *   GET    /v1/driver                        → {"drivers":[...]}
+  *   GET    /v1/table                         → ND-JSON TableInfo lines
   *   GET    /v1/graph/{g}/label               → {vertexLabels, edgeLabels}
   *   GET    /v1/graph/{g}/schema              → posted schema if any, else
   *                                              sampled; one Graph object
@@ -74,7 +83,7 @@ class GraftServer(spark: SparkSession, port: Int,
                   auth: Option[GraftServer.Auth] = None) {
   private val mapper = new ObjectMapper()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
-  private val mappings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mappings = new java.util.concurrent.ConcurrentHashMap[String, Gripper.GraphConfig]()
   // posted schemas (AddSchema) and advisory indices (AddIndex) — the
   // reference persists both in its KV store (schema/schema.go,
   // kvindex/index.go); the HTTP facade keeps them per-server like graphs
@@ -109,8 +118,18 @@ class GraftServer(spark: SparkSession, port: Int,
   private[server] def graphRegistry:
       java.util.concurrent.ConcurrentHashMap[String, MutableGraph] = graphs
 
+  /** Started gripper plugins (the Configure service's registry); shared
+    * with the gRPC transport the same way [[graphRegistry]] is. */
+  private[server] val plugins = new Plugins(spark)
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/v1/graph", (ex: HttpExchange) => handle(ex))
+  // the plugin-system surface lives under its own roots (gripql.proto:
+  // /v1/plugin StartPlugin+ListPlugins, /v1/driver ListDrivers,
+  // /v1/table ListTables)
+  server.createContext("/v1/plugin", (ex: HttpExchange) => handleAux(ex))
+  server.createContext("/v1/driver", (ex: HttpExchange) => handleAux(ex))
+  server.createContext("/v1/table", (ex: HttpExchange) => handleAux(ex))
   server.setExecutor(null) // serial — mutations per graph need no extra locking
 
   def start(): Unit = server.start()
@@ -274,24 +293,37 @@ class GraftServer(spark: SparkSession, port: Int,
         if (graphs.containsKey(g)) err(ex, 409, s"graph '$g' exists")
         else {
           val body = mapper.readTree(ex.getRequestBody)
-          val text = Option(body.get("mapping")).map(_.asText())
-            .getOrElse(throw new IllegalArgumentException("missing 'mapping'"))
-          val srcNode = Option(body.get("sources"))
-            .getOrElse(throw new IllegalArgumentException("missing 'sources'"))
-          val sources = srcNode.properties().asScala
+          // two accepted bodies: our {"mapping": <yaml|json text>,
+          // "sources"?: {name: dir}} form, and the proto AddMapping form —
+          // a Graph message whose elements ARE the config (what the stock
+          // client's postMapping sends, connection.py:88-97; decoded per
+          // gripper/config.go:68-100 GraphToConfig)
+          val cfg = Option(body.get("mapping")).map(m => Gripper.parse(m.asText()))
+            .getOrElse {
+              if (!body.has("vertices") && !body.has("edges"))
+                throw new IllegalArgumentException(
+                  "missing 'mapping' (yaml/json text) or 'vertices'/'edges' (Graph message)")
+              Plugins.configFromGraphNode(body)
+            }
+          // inline dir bindings win; any other source name the config
+          // references resolves against the started-plugin registry — the
+          // reference's shape, where AddMapping configs name sources
+          // registered by StartPlugin (server/plugins.go:44-45 puts the
+          // plugin client into server.sources under config.Name)
+          val inline = Option(body.get("sources")).map(_.properties().asScala
             .map(e => e.getKey -> (Gripper.DirSource(spark, e.getValue.asText()): Gripper.SourceProvider))
-            .toMap
-          val mapped = Gripper.graph(Gripper.parse(text), sources)
+            .toMap).getOrElse(Map.empty[String, Gripper.SourceProvider])
+          val mapped = Gripper.graph(cfg, Plugins.resolveSources(cfg, plugins, inline))
           graphs.put(g, MutableGraph(spark, mapped))
-          mappings.put(g, text)
+          mappings.put(g, cfg)
           send(ex, 200, "{}")
         }
 
       case ("GET", g :: "mapping" :: Nil) =>
         mappings.get(g) match {
           case null => err(ex, 404, s"no mapping for graph '$g'")
-          case text => send(ex, 200,
-            mapper.createObjectNode().put("graph", g).put("mapping", text).toString)
+          case cfg => send(ex, 200,
+            Plugins.configToGraphNode(mapper, g, cfg).toString)
         }
 
       // ListLabels (reference: gripql/gripql.proto ListLabels RPC) —
@@ -586,6 +618,64 @@ class GraftServer(spark: SparkSession, port: Int,
     case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
   }
 
+  /** The plugin-system routes (reference: gripql.proto Configure service
+    * :526-541 + Query.ListTables :369; python client connection.py:106-143):
+    *   GET  /v1/table         → ND-JSON TableInfo lines
+    *   GET  /v1/driver        → {"drivers":[...]}
+    *   GET  /v1/plugin        → {"plugins":[...]}
+    *   POST /v1/plugin/{name} → {"driver","config"} ⇒ {"name"}
+    * Auth mirrors the reference's MethodMap: Configure ops are `admin` on
+    * the "*" pseudo-graph (plugins affect every graph, accounts/
+    * interface.go:48-50 + util.go:193), ListTables is `read` on "*"
+    * (util.go:169). */
+  private def handleAux(ex: HttpExchange): Unit = try {
+    val parts = ex.getRequestURI.getPath.stripPrefix("/v1/").stripSuffix("/")
+      .split("/").toList.filter(_.nonEmpty)
+    val method = ex.getRequestMethod
+    val op = if (parts.headOption.contains("table")) "read" else "admin"
+    auth match {
+      case Some(a) =>
+        a.validate(Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Basic")
+            err(ex, 401, "authorization failed"); return
+          case Some(user) =>
+            if (!a.enforce(user, "*", op)) { err(ex, 403, "permission denied"); return }
+        }
+      case None => ()
+    }
+    (method, parts) match {
+      case ("GET", "table" :: Nil) =>
+        streamNdjson(ex, plugins.tables(mapper).map(_.toString))
+
+      case ("GET", "driver" :: Nil) =>
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("drivers")
+        plugins.drivers.foreach(arr.add)
+        send(ex, 200, node.toString)
+
+      case ("GET", "plugin" :: Nil) =>
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("plugins")
+        plugins.list.foreach(arr.add)
+        send(ex, 200, node.toString)
+
+      case ("POST", "plugin" :: name :: Nil) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val driver = Option(body.get("driver")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("missing 'driver'"))
+        val config = Option(body.get("config")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+        plugins.start(name, driver, config)
+        send(ex, 200, mapper.createObjectNode().put("name", name).toString)
+
+      case _ => err(ex, 404, s"no route $method /v1/${parts.mkString("/")}")
+    }
+  } catch {
+    case e: IllegalArgumentException => err(ex, 400, e.getMessage)
+    case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
+  }
+
   private def withGraph(ex: HttpExchange, name: String)(f: MutableGraph => Unit): Unit =
     graphs.get(name) match {
       case null => err(ex, 404, s"no graph '$name'")
@@ -784,7 +874,7 @@ object GraftServer {
     // the SAME auth gates both transports — the reference wires its
     // accounts interceptors into the gRPC service too (server/server.go),
     // an unauthenticated sibling port would bypass every policy
-    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry, theAuth)
+    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry, theAuth, Some(srv.plugins))
     grpc.start()
     println(s"graft server listening on :$port (REST), :${port + 1} (gRPC)")
     Thread.currentThread().join()

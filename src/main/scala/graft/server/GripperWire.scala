@@ -448,21 +448,26 @@ object GripperWire {
     * whole-stream read and becomes a DataFrame via schema-inferring JSON
     * parse, with the Row.id merged in as the `id` column the mapping
     * contract requires. */
-  def grpcSource(spark: SparkSession, client: GripperClient): Gripper.SourceProvider =
-    new Gripper.SourceProvider {
-      private val mapper = new ObjectMapper()
-      private val cache = scala.collection.mutable.HashMap.empty[String, DataFrame]
-      def collections: Seq[String] = client.collections()
-      def collection(name: String): DataFrame = synchronized {
-        cache.getOrElseUpdate(name, {
-          val docs = client.rows(name).map { case (id, doc) =>
-            val o = mapper.readTree(doc).asInstanceOf[ObjectNode]
-            if (!o.has("id")) o.put("id", id)
-            mapper.writeValueAsString(o)
-          }
-          import spark.implicits._
-          spark.read.json(spark.createDataset(docs))
-        })
-      }
+  def grpcSource(spark: SparkSession, client: GripperClient): GrpcSource =
+    new GrpcSource(spark, client)
+
+  /** Named so the plugin registry can reach the client for
+    * GetCollectionInfo-backed ListTables rows ([[Plugins.tables]]). */
+  final class GrpcSource(spark: SparkSession, val client: GripperClient)
+      extends Gripper.SourceProvider {
+    private val mapper = new ObjectMapper()
+    private val cache = scala.collection.mutable.HashMap.empty[String, DataFrame]
+    def collections: Seq[String] = client.collections()
+    def collection(name: String): DataFrame = synchronized {
+      cache.getOrElseUpdate(name, {
+        val docs = client.rows(name).map { case (id, doc) =>
+          val o = mapper.readTree(doc).asInstanceOf[ObjectNode]
+          if (!o.has("id")) o.put("id", id)
+          mapper.writeValueAsString(o)
+        }
+        import spark.implicits._
+        spark.read.json(spark.createDataset(docs))
+      })
     }
+  }
 }

@@ -44,24 +44,29 @@ import scala.jdk.CollectionConverters._
   *    9 FAILED_PRECONDITION (job not settled), 12 UNIMPLEMENTED (unknown
   *    method), 2 UNKNOWN.
   *
-  * Served methods (gripql.proto Query + Edit services): Traversal,
-  * GetVertex, GetEdge, GetTimestamp, GetSchema, SampleSchema, ListGraphs,
-  * ListLabels, ListIndices, Submit, ListJobs, SearchJobs, GetJob,
-  * DeleteJob, ViewJob, ResumeJob; AddVertex, AddEdge, BulkAdd, AddGraph,
-  * DeleteGraph, DeleteVertex, DeleteEdge, AddIndex, DeleteIndex,
-  * AddSchema. GRIPPER mappings (AddMapping/GetMapping) stay REST-only:
-  * our mapping body must also carry the parquet source bindings the
-  * reference gets from server startup config, which the proto's Graph
-  * message cannot express.
+  * Served methods (gripql.proto Query + Edit + Job + Configure services):
+  * Traversal, GetVertex, GetEdge, GetTimestamp, GetSchema, SampleSchema,
+  * ListGraphs, ListLabels, ListIndices, ListTables, GetMapping, Submit,
+  * ListJobs, SearchJobs, GetJob, DeleteJob, ViewJob, ResumeJob; AddVertex,
+  * AddEdge, BulkAdd, AddGraph, DeleteGraph, DeleteVertex, DeleteEdge,
+  * AddIndex, DeleteIndex, AddSchema, AddMapping; StartPlugin, ListPlugins,
+  * ListDrivers. AddMapping resolves source names against the plugin
+  * registry (start sources with Configure/StartPlugin first — the
+  * reference's order, server/plugins.go:44-45 then AddMapping).
   */
 class GrpcServer(spark: SparkSession, port: Int,
                  graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph],
-                 auth: Option[GraftServer.Auth]) {
+                 auth: Option[GraftServer.Auth],
+                 pluginsOpt: Option[Plugins] = None) {
   def this(spark: SparkSession, port: Int) =
     this(spark, port, new java.util.concurrent.ConcurrentHashMap[String, MutableGraph](), None)
   def this(spark: SparkSession, port: Int,
            graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph]) =
     this(spark, port, graphs, None)
+
+  // the plugin registry — shared with the REST transport when both serve
+  // one process (GraftServer.main), standalone otherwise
+  private val plugins: Plugins = pluginsOpt.getOrElse(new Plugins(spark))
 
   private val mapper = new ObjectMapper()
   private val reg = GripqlProto.registry
@@ -76,6 +81,10 @@ class GrpcServer(spark: SparkSession, port: Int,
   private val indices =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[(String, String)]]()
   private val timestamps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // stored mapping configs (AddMapping/GetMapping) — transport-local like
+  // the job spools; the mapped GRAPH itself goes into the shared registry
+  private val mappings =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.model.Gripper.GraphConfig]()
   // posted schemas (AddSchema) win over sampling, like the reference's
   // stored schema (schema/schema.go) and the REST facade
   private val postedSchemas =
@@ -294,6 +303,8 @@ class GrpcServer(spark: SparkSession, port: Int,
     "/gripql.Query/DeleteJob" -> ("QueryJob", "write"),
     "/gripql.Query/ViewJob" -> ("QueryJob", "read"),
     "/gripql.Query/ResumeJob" -> ("ExtendQuery", "exec"),
+    "/gripql.Query/GetMapping" -> ("GraphID", "read"),
+    "/gripql.Edit/AddMapping" -> ("Graph", "write"),
     "/gripql.Edit/AddGraph" -> ("GraphID", "write"),
     "/gripql.Edit/DeleteGraph" -> ("GraphID", "write"),
     "/gripql.Edit/AddVertex" -> ("GraphElement", "write"),
@@ -328,7 +339,12 @@ class GrpcServer(spark: SparkSession, port: Int,
                         messages: Vector[Array[Byte]]): Unit = {
     val user = authUser(header)
     if (user.isDefined) {
-      if (path == "/gripql.Query/ListGraphs") gate(user, "*", "read")
+      // graph-less methods enforce the "*" pseudo-graph: ListGraphs and
+      // ListTables are reads, the Configure service is `admin` — plugins
+      // affect every graph (accounts/interface.go:48-50, util.go:169,193)
+      if (path == "/gripql.Query/ListGraphs" || path == "/gripql.Query/ListTables")
+        gate(user, "*", "read")
+      else if (path.startsWith("/gripql.Configure/")) gate(user, "*", "admin")
       else methodMeta.get(path).foreach { case (reqType, op) =>
         val g = messages.headOption.flatMap { m =>
           try Option(text(Pbuf.decode(reg, reqType, m), "graph"))
@@ -715,6 +731,57 @@ class GrpcServer(spark: SparkSession, port: Int,
 
       // (client-streaming /gripql.Edit/BulkAdd never reaches dispatch —
       // its frames apply incrementally in BulkState as they arrive)
+
+      // GRIPPER mappings over started plugins (gripql.proto:496 AddMapping,
+      // :345 GetMapping; the Graph message's elements ARE the config,
+      // gripper/config.go:68-100 GraphToConfig)
+      case "/gripql.Edit/AddMapping" =>
+        val m = one(msgs, "Graph")
+        val name = Option(text(m, "graph")).getOrElse(throw GrpcError(3, "missing graph"))
+        if (graphs.containsKey(name)) throw GrpcError(3, s"graph '$name' exists")
+        val conf = Plugins.configFromGraphNode(m)
+        val mapped = graft.model.Gripper.graph(conf, Plugins.resolveSources(conf, plugins))
+        graphs.put(name, MutableGraph(spark, mapped))
+        mappings.put(name, conf)
+        touch(name)
+        Iterator.single(editResult(name))
+
+      case "/gripql.Query/GetMapping" =>
+        val m = one(msgs, "GraphID")
+        val name = text(m, "graph")
+        mappings.get(name) match {
+          case null => throw GrpcError(5, s"no mapping for graph '$name'")
+          case conf => Iterator.single(Pbuf.encode(reg, "Graph",
+            Plugins.configToGraphNode(mapper, name, conf)))
+        }
+
+      // --- plugin system (gripql.proto Query.ListTables :369, Configure
+      // service :526-541; semantics per server/plugins.go, api.go:57-67) ---
+      case "/gripql.Query/ListTables" =>
+        plugins.tables(mapper, camel = false)
+          .map(o => Pbuf.encode(reg, "TableInfo", o))
+
+      case "/gripql.Configure/StartPlugin" =>
+        val m = one(msgs, "PluginConfig")
+        val name = Option(text(m, "name")).getOrElse(throw GrpcError(3, "missing plugin name"))
+        val driver = Option(text(m, "driver")).getOrElse(throw GrpcError(3, "missing driver"))
+        val config = Option(m.get("config")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+        plugins.start(name, driver, config)
+        Iterator.single(Pbuf.encode(reg, "PluginStatus",
+          mapper.createObjectNode().put("name", name)))
+
+      case "/gripql.Configure/ListPlugins" =>
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("plugins")
+        plugins.list.foreach(arr.add)
+        Iterator.single(Pbuf.encode(reg, "ListPluginsResponse", o))
+
+      case "/gripql.Configure/ListDrivers" =>
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("drivers")
+        plugins.drivers.foreach(arr.add)
+        Iterator.single(Pbuf.encode(reg, "ListDriversResponse", o))
 
       case other => throw GrpcError(12, s"unimplemented method $other")
     }

@@ -452,4 +452,65 @@ class GrpcSpec extends AnyFunSuite {
       assert(bad.grpcStatus == 5 || bad.grpcStatus == 3)
     }
   }
+
+  test("plugin system: Configure service, ListTables, AddMapping/GetMapping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-grpc-plugin").toString
+    Seq(("1", "ada", "2"), ("2", "lin", "")).toDF("id", "name", "boss")
+      .write.mode("overwrite").parquet(s"$dir/people.parquet")
+    withServer { c =>
+      // ListDrivers names the built-in source constructors
+      val drv = c.call("/gripql.Configure/ListDrivers", Seq(enc("Empty", "{}")))
+      assert(drv.grpcStatus == 0)
+      assert(dec("ListDriversResponse", drv.payloads.head)
+        .get("drivers").toString.contains("\"dir\""))
+
+      // StartPlugin registers a source; duplicates are INVALID_ARGUMENT
+      val cfg = s"""{"name":"hr","driver":"dir","config":{"path":"$dir"}}"""
+      val st = c.call("/gripql.Configure/StartPlugin", Seq(enc("PluginConfig", cfg)))
+      assert(st.grpcStatus == 0)
+      assert(dec("PluginStatus", st.payloads.head).get("name").asText() == "hr")
+      assert(c.call("/gripql.Configure/StartPlugin",
+        Seq(enc("PluginConfig", cfg))).grpcStatus == 3)
+      val lp = c.call("/gripql.Configure/ListPlugins", Seq(enc("Empty", "{}")))
+      assert(dec("ListPluginsResponse", lp.payloads.head)
+        .get("plugins").get(0).asText() == "hr")
+
+      // ListTables streams one TableInfo per collection
+      val lt = c.call("/gripql.Query/ListTables", Seq(enc("Empty", "{}")))
+      assert(lt.grpcStatus == 0 && lt.payloads.size == 1)
+      val ti = dec("TableInfo", lt.payloads.head)
+      assert(ti.get("source").asText() == "hr" && ti.get("name").asText() == "people")
+      assert(ti.get("fields").toString.contains("$.name"))
+
+      // AddMapping: the Graph message's elements ARE the config; the
+      // source name resolves against the started plugin
+      val mapping =
+        s"""{"graph":"fed",
+           | "vertices":[{"gid":"P:","label":"Person",
+           |   "data":{"source":"hr","collection":"people"}}],
+           | "edges":[{"gid":"boss","label":"boss","from":"P:","to":"P:",
+           |   "data":{"source":"hr","collection":"people",
+           |            "fromField":"id","toField":"boss"}}]}""".stripMargin
+      assert(c.call("/gripql.Edit/AddMapping", Seq(enc("Graph", mapping))).grpcStatus == 0)
+      // GetMapping round-trips the stored config as a Graph message
+      val gm = c.call("/gripql.Query/GetMapping", Seq(enc("GraphID", """{"graph":"fed"}""")))
+      assert(gm.grpcStatus == 0)
+      val back = dec("Graph", gm.payloads.head)
+      assert(back.get("vertices").get(0).get("gid").asText() == "P:")
+      assert(back.get("edges").get(0).get("data").get("fromField").asText() == "id")
+      assert(c.call("/gripql.Query/GetMapping",
+        Seq(enc("GraphID", """{"graph":"nope"}"""))).grpcStatus == 5)
+
+      // the mapped graph traverses through the normal Traversal path
+      val tr = c.call("/gripql.Query/Traversal", Seq(enc("GraphQuery",
+        """{"graph":"fed","query":[{"v":["P:1"]},{"out":["boss"]}]}""")))
+      assert(tr.grpcStatus == 0 && tr.payloads.size == 1)
+      assert(dec("QueryResult", tr.payloads.head).get("vertex").get("gid").asText() == "P:2")
+
+      // an unresolvable source fails loud
+      val badMap = mapping.replace("\"hr\"", "\"ghost\"").replace("\"fed\"", "\"fed2\"")
+      assert(c.call("/gripql.Edit/AddMapping", Seq(enc("Graph", badMap))).grpcStatus == 3)
+    }
+  }
 }
