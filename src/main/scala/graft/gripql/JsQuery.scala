@@ -219,3 +219,286 @@ object JsQuery {
 
   // --------------------------------------------------------- interpreter
 
+  private final class Interp(s: String) {
+    private var i = 0
+    private val env = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+
+    private def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg at offset $i in js query")
+
+    private def ws(): Unit = {
+      var go = true
+      while (go) {
+        go = false
+        while (i < s.length && s(i).isWhitespace) { i += 1; go = true }
+        if (i + 1 < s.length && s(i) == '/' && s(i + 1) == '/') {
+          while (i < s.length && s(i) != '\n') i += 1
+          go = true
+        } else if (i + 1 < s.length && s(i) == '/' && s(i + 1) == '*') {
+          val end = s.indexOf("*/", i + 2)
+          if (end < 0) err("unterminated comment")
+          i = end + 2; go = true
+        }
+      }
+    }
+    private def peek: Char = { ws(); if (i < s.length) s(i) else '\u0000' }
+    private def at(t: String): Boolean = { ws(); s.startsWith(t, i) }
+    private def eat(t: String): Unit = { if (!at(t)) err(s"expected '$t'"); i += t.length }
+    private def opt(t: String): Boolean = if (at(t)) { i += t.length; true } else false
+    // operators that must not swallow a longer operator's prefix
+    private def optOp(t: String, notFollowedBy: Char): Boolean = {
+      ws()
+      if (s.startsWith(t, i) &&
+          (i + t.length >= s.length || s(i + t.length) != notFollowedBy)) {
+        i += t.length; true
+      } else false
+    }
+
+    private def identLike: Boolean = { val c = peek; c.isLetter || c == '_' || c == '$' }
+    private def ident(): String = {
+      ws(); val start = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '$')) i += 1
+      if (i == start) err("expected identifier")
+      s.substring(start, i)
+    }
+
+    private def strLit(): String = {
+      val quote = peek
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != quote) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          i += 1
+          sb.append(s(i) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'u' => val h = s.substring(i + 1, i + 5); i += 4
+              Integer.parseInt(h, 16).toChar
+            case c => c
+          })
+        } else sb.append(s(i))
+        i += 1
+      }
+      if (i >= s.length) err("unterminated string")
+      i += 1
+      sb.toString
+    }
+
+    private def numLit(): Double = {
+      ws(); val start = i
+      while (i < s.length && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
+        ((s(i) == '+' || s(i) == '-') && i > start && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
+      if (i == start) err("expected number")
+      s.substring(start, i).toDouble
+    }
+
+    /** program := statement* ; value of the last statement. */
+    def program(): JsonNode = {
+      var last: JsonNode = F.nullNode()
+      ws()
+      while (i < s.length) {
+        last = statement()
+        while (opt(";")) ()
+        ws()
+      }
+      last
+    }
+
+    // JS constructs the reference's full VM would run but this subset
+    // interpreter deliberately doesn't (query strings don't use them) —
+    // named loudly so a user hitting the boundary sees which construct,
+    // not a confusing parse error (reference surface: cmd/query/main.go:29-62).
+    // TRUE reserved words only: 'of'/'async'/'await'/'yield' are contextual
+    // keywords, legal as variable names in classic scripts ('for...of' is
+    // already caught at 'for'; 'async function' is caught below), so they
+    // stay usable as identifiers
+    private val unsupportedKeywords = Set(
+      "function", "for", "while", "do", "if", "else", "switch", "return",
+      "try", "catch", "throw", "class", "new", "delete", "typeof", "void",
+      "in")
+
+    private def unsupported(name: String): Nothing =
+      throw new UnsupportedJsConstruct(
+        s"unsupported JS construct '$name' in js query — only expression " +
+          "scripts (var/let/const, literals, operators, gripql builder " +
+          "chains) are interpreted; the reference CLI's full JS VM is out of scope")
+
+    private def statement(): JsonNode = {
+      ws()
+      val save = i
+      if (identLike) {
+        val name = ident()
+        if (unsupportedKeywords.contains(name)) unsupported(name)
+        if (name == "async") { // contextual: only 'async function' is a construct
+          val mark = i; ws()
+          if (s.startsWith("function", i)) unsupported("async function")
+          i = mark
+        }
+        if (name == "var" || name == "let" || name == "const") {
+          val v = ident()
+          val value = if (opt("=")) expr() else F.nullNode()
+          env(v) = value
+          return value
+        }
+        ws()
+        if (s.startsWith("=>", i))
+          throw new UnsupportedJsConstruct(
+            "unsupported JS construct 'arrow function' in js query — user-defined " +
+              "functions are outside the interpreted subset")
+        // plain assignment: ident = expr (but not ==)
+        if (i < s.length && s(i) == '=' && (i + 1 >= s.length || s(i + 1) != '=')) {
+          i += 1
+          val value = expr()
+          env(name) = value
+          return value
+        }
+        i = save // not a declaration/assignment — re-parse as expression
+      }
+      expr()
+    }
+
+    private def expr(): JsonNode = orExpr()
+
+    private def orExpr(): JsonNode = {
+      var l = andExpr()
+      while (opt("||")) { val r = andExpr(); l = if (truthy(l)) l else r }
+      l
+    }
+    private def andExpr(): JsonNode = {
+      var l = eqExpr()
+      while (opt("&&")) { val r = eqExpr(); l = if (truthy(l)) r else l }
+      l
+    }
+    private def eqExpr(): JsonNode = {
+      var l = relExpr()
+      var go = true
+      while (go) {
+        if (opt("===") || opt("==")) l = F.booleanNode(jsEquals(l, relExpr()))
+        else if (opt("!==") || opt("!=")) l = F.booleanNode(!jsEquals(l, relExpr()))
+        else go = false
+      }
+      l
+    }
+    private def relExpr(): JsonNode = {
+      var l = addExpr()
+      var go = true
+      while (go) {
+        if (opt("<=")) l = F.booleanNode(l.asDouble() <= addExpr().asDouble())
+        else if (opt(">=")) l = F.booleanNode(l.asDouble() >= addExpr().asDouble())
+        else if (optOp("<", '=')) l = F.booleanNode(l.asDouble() < addExpr().asDouble())
+        else if (optOp(">", '=')) l = F.booleanNode(l.asDouble() > addExpr().asDouble())
+        else go = false
+      }
+      l
+    }
+    private def addExpr(): JsonNode = {
+      var l = mulExpr()
+      var go = true
+      while (go) {
+        if (optOp("+", '+')) {
+          val r = mulExpr()
+          l = if (l.isTextual || r.isTextual)
+            F.textNode(asStr(l) + asStr(r))
+          else num(l.asDouble() + r.asDouble())
+        } else if (optOp("-", '-')) l = num(l.asDouble() - mulExpr().asDouble())
+        else go = false
+      }
+      l
+    }
+    private def mulExpr(): JsonNode = {
+      var l = unary()
+      var go = true
+      while (go) {
+        if (opt("*")) l = num(l.asDouble() * unary().asDouble())
+        else if (opt("%")) l = num(l.asDouble() % unary().asDouble())
+        else if (at("/") && !at("//")) { i += 1; l = num(l.asDouble() / unary().asDouble()) }
+        else go = false
+      }
+      l
+    }
+    private def unary(): JsonNode = {
+      if (optOp("!", '=')) F.booleanNode(!truthy(unary()))
+      else if (optOp("-", '-')) num(-unary().asDouble())
+      else postfix()
+    }
+
+    private def jsEquals(a: JsonNode, b: JsonNode): Boolean =
+      if (a.isNumber && b.isNumber) a.asDouble() == b.asDouble() else a == b
+
+    private def asStr(n: JsonNode): String =
+      if (n.isTextual) n.asText()
+      else if (n.isNumber && n.isIntegralNumber) n.asLong().toString
+      else if (n.isNumber) n.asDouble().toString
+      else if (n.isBoolean) n.asBoolean().toString
+      else if (n.isNull) "null"
+      else n.toString
+
+    /** call chains, member access, indexing. */
+    private def postfix(): JsonNode = {
+      var v = primary()
+      var go = true
+      while (go) {
+        if (opt(".")) {
+          val m = ident()
+          if (peek == '(') {
+            val as = callArgs()
+            v = v match {
+              case o: ObjectNode if o.get("query") != null && o.get("query").isArray =>
+                builderCall(o, m, as)
+              case other => err(s"cannot call '.$m' on $other")
+            }
+          } else v = Option(v.get(m)).getOrElse(F.nullNode())
+        } else if (peek == '[') {
+          eat("["); val idx = expr(); eat("]")
+          v = if (v.isArray) Option(v.get(idx.asInt())).getOrElse(F.nullNode())
+          else Option(v.get(asStr(idx))).getOrElse(F.nullNode())
+        } else go = false
+      }
+      v
+    }
+
+    private def callArgs(): Seq[JsonNode] = {
+      eat("(")
+      val as = Seq.newBuilder[JsonNode]
+      if (peek != ')') { as += expr(); while (opt(",")) as += expr() }
+      eat(")")
+      as.result()
+    }
+
+    private def primary(): JsonNode = {
+      val c = peek
+      if (c == '(') { eat("("); val v = expr(); eat(")"); v }
+      else if (c == '"' || c == '\'') F.textNode(strLit())
+      else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) num(numLit())
+      else if (c == '[') {
+        eat("[")
+        val a = F.arrayNode()
+        if (peek != ']') { a.add(expr()); while (opt(",")) a.add(expr()) }
+        eat("]")
+        a
+      } else if (c == '{') {
+        eat("{")
+        val o = F.objectNode()
+        if (peek != '}') {
+          def kv(): Unit = {
+            val k = if (peek == '"' || peek == '\'') strLit() else ident()
+            eat(":"); o.set[JsonNode](k, expr()); ()
+          }
+          kv(); while (opt(",")) kv()
+        }
+        eat("}")
+        o
+      } else if (identLike) {
+        val name = ident()
+        name match {
+          case "true" => F.booleanNode(true)
+          case "false" => F.booleanNode(false)
+          case "null" | "undefined" => F.nullNode()
+          case _ =>
+            if (peek == '(') global(name, callArgs())
+            else env.getOrElse(name,
+              err(s"undefined variable '$name'"))
+        }
+      } else err(s"unexpected character '$c'")
+    }
+  }
+}
