@@ -67,15 +67,24 @@ object Jobs {
     * JobMatch; storage.go:102-118 streams all matches). */
   def searchJobs(dir: String, q: Query): Seq[String] = {
     val want = stepChecksums(q)
+    val wantWhole = checksum(q)
     listJobs(dir).filter { id =>
       val meta = java.nio.file.Paths.get(s"$dir/$id/meta.json")
       java.nio.file.Files.exists(meta) && {
-        val text = java.nio.file.Files.readString(meta)
-        val jobSteps = "\"stepChecksums\":\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
-          .map(_.group(1).split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-          .getOrElse(Nil)
-        jobSteps.length > 1 && jobSteps.length <= want.length &&
-          want.take(jobSteps.length) == jobSteps
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(meta))
+        Option(node.get("stepChecksums")).filter(_.isArray) match {
+          case Some(arr) =>
+            val jobSteps = arr.elements().asScala.map(_.asText()).toSeq
+            jobSteps.length > 1 && jobSteps.length <= want.length &&
+              want.take(jobSteps.length) == jobSteps
+          case None =>
+            // legacy spool (pre-stepChecksums meta.json): only the whole-
+            // query checksum exists, so only an exact-query match is safe
+            Option(node.get("checksum")).exists(c =>
+              q.stmts.length > 1 && c.asText() == wantWhole)
+        }
       }
     }
   }

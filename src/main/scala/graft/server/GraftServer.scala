@@ -122,6 +122,13 @@ class GraftServer(spark: SparkSession, port: Int,
     * with the gRPC transport the same way [[graphRegistry]] is. */
   private[server] val plugins = new Plugins(spark)
 
+  /** Stored mapping configs — shared with the gRPC transport so an
+    * AddMapping over either transport is visible to GetMapping on the
+    * other (the reference persists mappings in the graph store, one store
+    * behind both transports: server/api.go:478-488). */
+  private[server] def mappingRegistry:
+      java.util.concurrent.ConcurrentHashMap[String, Gripper.GraphConfig] = mappings
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/v1/graph", (ex: HttpExchange) => handle(ex))
   // the plugin-system surface lives under its own roots (gripql.proto:
@@ -874,7 +881,8 @@ object GraftServer {
     // the SAME auth gates both transports — the reference wires its
     // accounts interceptors into the gRPC service too (server/server.go),
     // an unauthenticated sibling port would bypass every policy
-    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry, theAuth, Some(srv.plugins))
+    val grpc = new GrpcServer(spark, port + 1, srv.graphRegistry, theAuth,
+      Some(srv.plugins), Some(srv.mappingRegistry))
     grpc.start()
     println(s"graft server listening on :$port (REST), :${port + 1} (gRPC)")
     Thread.currentThread().join()

@@ -57,7 +57,9 @@ import scala.jdk.CollectionConverters._
 class GrpcServer(spark: SparkSession, port: Int,
                  graphs: java.util.concurrent.ConcurrentHashMap[String, MutableGraph],
                  auth: Option[GraftServer.Auth],
-                 pluginsOpt: Option[Plugins] = None) {
+                 pluginsOpt: Option[Plugins] = None,
+                 mappingsOpt: Option[java.util.concurrent.ConcurrentHashMap[
+                   String, graft.model.Gripper.GraphConfig]] = None) {
   def this(spark: SparkSession, port: Int) =
     this(spark, port, new java.util.concurrent.ConcurrentHashMap[String, MutableGraph](), None)
   def this(spark: SparkSession, port: Int,
@@ -81,10 +83,12 @@ class GrpcServer(spark: SparkSession, port: Int,
   private val indices =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[(String, String)]]()
   private val timestamps = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // stored mapping configs (AddMapping/GetMapping) — transport-local like
-  // the job spools; the mapped GRAPH itself goes into the shared registry
-  private val mappings =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.model.Gripper.GraphConfig]()
+  // stored mapping configs (AddMapping/GetMapping) — shared with the REST
+  // transport when both serve one process (GraftServer.main), like the
+  // graph and plugin registries: the reference keeps mappings in the one
+  // graph store behind both transports (server/api.go:478-488)
+  private val mappings = mappingsOpt.getOrElse(
+    new java.util.concurrent.ConcurrentHashMap[String, graft.model.Gripper.GraphConfig]())
   // posted schemas (AddSchema) win over sampling, like the reference's
   // stored schema (schema/schema.go) and the REST facade
   private val postedSchemas =
@@ -229,6 +233,7 @@ class GrpcServer(spark: SparkSession, port: Int,
   private final class BulkState(user: Option[String]) {
     var inserted = 0L
     var errors = 0L
+    var denied = 0L // policy-denied subset of errors (logged separately)
     private val written = scala.collection.mutable.Set.empty[String]
     def add(bytes: Array[Byte]): Unit =
       try {
@@ -255,9 +260,19 @@ class GrpcServer(spark: SparkSession, port: Int,
           case _ => throw new IllegalArgumentException("element has neither vertex nor edge")
         }
         written ++= gname // only graphs that actually took an insert
-      } catch { case scala.util.control.NonFatal(_) => errors += 1 }
+      } catch {
+        // count both as errors (the result message has one counter), but
+        // log denials distinctly so an operator can tell a policy problem
+        // from bad data — the reference logs each BulkWriteFilter skip
+        // (accounts/bulk_write_filter.go)
+        case GrpcError(7, _) => errors += 1; denied += 1
+        case scala.util.control.NonFatal(_) => errors += 1
+      }
     def result(): Array[Byte] = {
       written.foreach(touch)
+      if (denied > 0) System.err.println(
+        s"[graft-grpc] BulkAdd: $denied of $errors errored element(s) were policy-denied" +
+          user.fold("")(u => s" for user '$u'"))
       val o = mapper.createObjectNode()
       o.put("insert_count", inserted)
       o.put("error_count", errors)
@@ -688,6 +703,7 @@ class GrpcServer(spark: SparkSession, port: Int,
         val name = text(m, "graph")
         if (graphs.remove(name) == null) throw GrpcError(5, s"no graph '$name'")
         indices.remove(name); timestamps.remove(name); postedSchemas.remove(name)
+        mappings.remove(name)
         Iterator.single(editResult(name))
 
       case "/gripql.Edit/AddVertex" =>

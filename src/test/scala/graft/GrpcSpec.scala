@@ -231,6 +231,43 @@ class GrpcSpec extends AnyFunSuite {
     } finally { client.close(); grpc.stop(); rest.stop() }
   }
 
+  test("REST and gRPC share one mapping registry (AddMapping visible cross-transport)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmap").toString
+    Seq(("1", "ada", "2"), ("2", "lin", "")).toDF("id", "name", "boss")
+      .write.mode("overwrite").parquet(s"$dir/people.parquet")
+    val rest = new graft.server.GraftServer(spark, 0)
+    rest.start()
+    val grpc = new GrpcServer(spark, 0, TestRegistry.of(rest), None,
+      Some(TestRegistry.pluginsOf(rest)), Some(TestRegistry.mappingsOf(rest)))
+    grpc.start()
+    val client = new Client("127.0.0.1", grpc.boundPort)
+    try {
+      // start the source plugin + AddMapping over gRPC
+      assert(client.call("/gripql.Configure/StartPlugin", Seq(enc("PluginConfig",
+        s"""{"name":"hr","driver":"dir","config":{"path":"$dir"}}"""))).grpcStatus == 0)
+      val mapping =
+        s"""{"graph":"fed",
+           | "vertices":[{"gid":"P:","label":"Person",
+           |   "data":{"source":"hr","collection":"people"}}],
+           | "edges":[]}""".stripMargin
+      assert(client.call("/gripql.Edit/AddMapping", Seq(enc("Graph", mapping))).grpcStatus == 0)
+      // ... and read the stored mapping over REST
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${rest.boundPort}$path"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val got = get("/v1/graph/fed/mapping")
+      assert(got.statusCode() == 200 && got.body().contains("\"P:\""))
+      // DeleteGraph over gRPC clears the shared mapping too
+      assert(client.call("/gripql.Edit/DeleteGraph",
+        Seq(enc("GraphID", """{"graph":"fed"}"""))).grpcStatus == 0)
+      assert(get("/v1/graph/fed/mapping").statusCode() == 404)
+    } finally { client.close(); grpc.stop(); rest.stop() }
+  }
+
   test("job service: submit, poll, view, resume, list, delete") {
     withServer { c =>
       assert(c.call("/gripql.Edit/AddGraph",

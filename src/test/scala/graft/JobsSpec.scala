@@ -53,6 +53,23 @@ class JobsSpec extends AnyFunSuite {
     assert(!Jobs.searchJobs(dir, Q.V().hasLabel("Planet")).contains(jobV))
   }
 
+  test("searchJobs: legacy spool (no stepChecksums) exact-matches by whole-query checksum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jobs4").toString
+    val q = Q.V().hasLabel("Planet")
+    val jobId = Jobs.submit(spark, g, q, dir)
+    // rewrite meta.json as a pre-stepChecksums spool would have written it
+    val metaPath = java.nio.file.Paths.get(s"$dir/$jobId/meta.json")
+    val legacy = java.nio.file.Files.readString(metaPath)
+      .replaceAll(""""stepChecksums":\[[^\]]*\],""", "")
+    java.nio.file.Files.writeString(metaPath, legacy)
+    assert(!legacy.contains("stepChecksums"))
+    // exact query still matches via the whole-query checksum...
+    assert(Jobs.searchJobs(dir, q).contains(jobId))
+    // ...but prefix extension cannot (no per-statement info to compare)
+    assert(!Jobs.searchJobs(dir, Q.V().hasLabel("Planet").out().count()).contains(jobId))
+    assert(Jobs.searchJobs(dir, Q.V().hasLabel("Species")).isEmpty)
+  }
+
   test("catalog: create/list/drop graphs + index metadata (ot_index shape)") {
     val root = java.nio.file.Files.createTempDirectory("graft-catalog").toString
     val cat = new Catalog(spark, root)

@@ -8,4 +8,10 @@ import graft.model.MutableGraph
 object TestRegistry {
   def of(s: GraftServer): java.util.concurrent.ConcurrentHashMap[String, MutableGraph] =
     s.graphRegistry
+
+  def mappingsOf(s: GraftServer):
+      java.util.concurrent.ConcurrentHashMap[String, graft.model.Gripper.GraphConfig] =
+    s.mappingRegistry
+
+  def pluginsOf(s: GraftServer): Plugins = s.plugins
 }
