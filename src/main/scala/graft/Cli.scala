@@ -27,7 +27,7 @@ import graft.compiler.Traversal
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
-      """usage: graft <create|drop|list|info|load|dump|query|schema|mapping|gripper-serve|job|server> ...
+      """usage: graft <create|drop|list|info|load|dump|query|schema|mapping|gripper-serve|gripper-plugin|job|server> ...
         |see Cli.scala scaladoc for per-command arguments""".stripMargin)
     sys.exit(2)
   }
@@ -149,6 +149,48 @@ object Cli {
       catalog.createGraph(g,
         Gripper.graph(cfg, srcNames.map(_ -> provider).toMap))
       println(s"created $g from mapping $conf")
+
+    // plugin-harness entrypoint (the exec driver's child contract,
+    // reference gripper/plugins.go:41-69): argv is one conf.json path
+    // holding the StartPlugin config map ({"path": <parquet dir>,
+    // "id.<coll>": <col>, "port"?: n}); requires the handshake cookie
+    // env (go-plugin refuses to run outside a plugin harness the same
+    // way), serves GRIPSource on an ephemeral port, and announces it
+    // with a go-plugin-style handshake line on stdout
+    case "gripper-plugin" :: confPath :: Nil =>
+      if (sys.env.get("GRIP_PLUGIN_EXTERNAL_RESOURCE") != Some("gripper")) {
+        System.err.println(
+          "this command is a gripper plugin entrypoint — it must be launched " +
+            "by a plugin harness (missing handshake cookie), not run directly")
+        sys.exit(1)
+      }
+      val conf = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(confPath)))
+      val path = Option(conf.get("path")).orElse(Option(conf.get("dir")))
+        .map(_.asText()).getOrElse {
+          System.err.println(s"conf $confPath needs {\"path\": <parquet dir>}")
+          sys.exit(1)
+        }
+      val port = Option(conf.get("port")).map(_.asText().toInt).getOrElse(0)
+      val ids = {
+        import scala.jdk.CollectionConverters._
+        conf.properties().asScala.collect {
+          case e if e.getKey.startsWith("id.") =>
+            e.getKey.stripPrefix("id.") -> e.getValue.asText()
+        }.toMap
+      }
+      val psrv = new graft.server.GripperTableServer(
+        Gripper.DirSource(spark, path, ids), port)
+      psrv.start()
+      // the handshake line (go-plugin wire shape: CORE|APP|NETWORK|ADDR|PROTOCOL)
+      println(s"1|1|tcp|127.0.0.1:${psrv.boundPort}|grpc")
+      Console.out.flush()
+      // serve until the harness goes away: stdin is the launcher's pipe,
+      // so EOF means the parent exited (or killed us softly) — exit rather
+      // than orphan a JVM (go-plugin children do the same)
+      try { while (System.in.read() != -1) () } catch { case _: Exception => () }
+      psrv.stop()
+      sys.exit(0)
 
     // serve a parquet dir as a gripper.proto GRIPSource plugin — the
     // other side of the wire: any GRIP-compatible engine (including this

@@ -80,7 +80,8 @@ import scala.jdk.CollectionConverters._
   * shape the stock python client unwraps.
   */
 class GraftServer(spark: SparkSession, port: Int,
-                  auth: Option[GraftServer.Auth] = None) {
+                  auth: Option[GraftServer.Auth] = None,
+                  pluginDir: Option[String] = None) {
   private val mapper = new ObjectMapper()
   private val graphs = new java.util.concurrent.ConcurrentHashMap[String, MutableGraph]()
   private val mappings = new java.util.concurrent.ConcurrentHashMap[String, Gripper.GraphConfig]()
@@ -119,8 +120,10 @@ class GraftServer(spark: SparkSession, port: Int,
       java.util.concurrent.ConcurrentHashMap[String, MutableGraph] = graphs
 
   /** Started gripper plugins (the Configure service's registry); shared
-    * with the gRPC transport the same way [[graphRegistry]] is. */
-  private[server] val plugins = new Plugins(spark)
+    * with the gRPC transport the same way [[graphRegistry]] is. A
+    * configured pluginDir (the reference's Server.PluginDir) additionally
+    * exposes `gripper-*` executables there as exec drivers. */
+  private[server] val plugins = new Plugins(spark, pluginDir)
 
   /** Stored mapping configs — shared with the gRPC transport so an
     * AddMapping over either transport is visible to GetMapping on the
@@ -140,7 +143,14 @@ class GraftServer(spark: SparkSession, port: Int,
   server.setExecutor(null) // serial — mutations per graph need no extra locking
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // this server owns its plugin registry (it constructed it): shut down
+    // started plugins — in particular exec-driver child processes, which
+    // would otherwise outlive the server (the reference's ClosePlugins,
+    // server/plugins.go:22-24)
+    plugins.close()
+  }
   def boundPort: Int = server.getAddress.getPort
 
   private def send(ex: HttpExchange, code: Int, body: String,
@@ -859,6 +869,18 @@ object GraftServer {
     }
   }
 
+  /** `Server.PluginDir` from a grip-style server YAML (config/config.go
+    * — where the reference discovers gripper-* plugin executables). */
+  def pluginDirFromConfig(path: String): Option[String] = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val root = new org.yaml.snakeyaml.Yaml().load[Object](text)
+    Option(root).collect { case m: java.util.Map[_, _] =>
+      m.asInstanceOf[java.util.Map[String, Object]].get("Server") }
+      .collect { case m: java.util.Map[_, _] =>
+        m.asInstanceOf[java.util.Map[String, Object]].get("PluginDir") }
+      .flatMap(Option(_)).map(String.valueOf)
+  }
+
   def main(args: Array[String]): Unit = {
     val (confPath, rest) = args.toList match {
       case a if a.contains("--config") =>
@@ -875,7 +897,8 @@ object GraftServer {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     val theAuth = confPath.flatMap(authFromConfig)
-    val srv = new GraftServer(spark, port, theAuth)
+    val srv = new GraftServer(spark, port, theAuth,
+      confPath.flatMap(pluginDirFromConfig))
     rest.drop(1).headOption.foreach(dir => srv.addGraph("main", GraphFrame.load(spark, dir)))
     srv.start()
     // the SAME auth gates both transports — the reference wires its

@@ -129,6 +129,9 @@ class GrpcServer(spark: SparkSession, port: Int,
     boss.shutdownGracefully(0, 100, java.util.concurrent.TimeUnit.MILLISECONDS)
     workers.shutdownGracefully(0, 100, java.util.concurrent.TimeUnit.MILLISECONDS)
     pool.shutdown()
+    // close started plugins (exec child processes!) only when this server
+    // owns the registry; a shared registry belongs to the REST facade
+    if (pluginsOpt.isEmpty) plugins.close()
   }
 
   /** One gRPC call = one HTTP/2 stream. Complete gRPC frames are drained

@@ -26,11 +26,22 @@ import scala.jdk.CollectionConverters._
   *     [[GripperTableServer]]) — the reference's deployment shape, minus
   *     subprocess supervision.
   *
+  * When a `pluginDir` is configured (the reference's `Server.PluginDir`),
+  * any OTHER driver name resolves to an executable `gripper-<driver>` in
+  * that directory, launched as a supervised subprocess — the reference's
+  * actual deployment shape (gripper/plugins.go:41-69 LaunchPluginClient).
+  * The child is handed one argv: the path of a `conf.json` holding the
+  * request's config map; it must print a go-plugin-style handshake line
+  * (`CORE|APP|tcp|host:port|grpc`) on stdout, then serve gripper.proto on
+  * that address. The parent sets the reference's handshake magic cookie
+  * (`GRIP_PLUGIN_EXTERNAL_RESOURCE=gripper`, gripper/plugins.go:17-21) so
+  * a child can refuse to run outside a plugin harness.
+  *
   * Started plugins are validated eagerly (the reference's LaunchPluginClient
   * fails at launch, not first use): `dir` requires the path to exist, `grpc`
-  * proves connectivity with a ListCollections round-trip.
+  * and `exec` prove connectivity with a ListCollections round-trip.
   */
-final class Plugins(spark: SparkSession) {
+final class Plugins(spark: SparkSession, pluginDir: Option[String] = None) {
 
   /** One started plugin: the provider plus whatever needs closing. */
   final case class Entry(name: String, driver: String,
@@ -39,9 +50,19 @@ final class Plugins(spark: SparkSession) {
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  /** Driver names, the analogue of `plugin.Discover("gripper-*", dir)`
-    * (server/plugins.go:57-68) over our built-in constructors. */
-  def drivers: Seq[String] = Plugins.drivers
+  /** Driver names: the built-in constructors plus `plugin.Discover
+    * ("gripper-*", dir)` over the configured plugin directory
+    * (server/plugins.go:57-68). */
+  def drivers: Seq[String] = Plugins.drivers ++ discovered
+
+  /** Executable `gripper-*` files in pluginDir, prefix stripped. */
+  private def discovered: Seq[String] = pluginDir.toSeq.flatMap { d =>
+    val dir = new java.io.File(d)
+    if (!dir.isDirectory) Nil
+    else dir.listFiles((_, n) => n.startsWith("gripper-"))
+      .filter(f => f.isFile && f.canExecute)
+      .map(_.getName.stripPrefix("gripper-")).toSeq.sorted
+  }
 
   def list: Seq[String] = registry.keySet().asScala.toSeq.sorted
 
@@ -88,6 +109,8 @@ final class Plugins(spark: SparkSession) {
             s"driver 'grpc': cannot reach GRIPSource at $addr: ${e.getMessage}")
         }
         Entry(name, driver, GripperWire.grpcSource(spark, client), () => client.close())
+      case other if discovered.contains(other) =>
+        launchExec(name, other, config)
       case other =>
         throw new IllegalArgumentException(
           s"unknown driver '$other' (available: ${drivers.mkString(", ")})")
@@ -95,6 +118,89 @@ final class Plugins(spark: SparkSession) {
     if (registry.putIfAbsent(name, entry) != null) {
       entry.closer()
       throw new IllegalArgumentException(s"Plugin named $name already running")
+    }
+  }
+
+  /** Launch `pluginDir/gripper-<driver> <conf.json>` as a supervised
+    * subprocess and connect to the gripper.proto address it announces —
+    * the reference's LaunchPluginClient (gripper/plugins.go:41-69): the
+    * config map is serialized to a conf.json in a scratch workdir, the
+    * handshake cookie env is set, and the child's stdout is scanned for
+    * the go-plugin handshake line `CORE|APP|NETWORK|ADDR|PROTOCOL`. Any
+    * failure (no handshake within the timeout, child exit, unreachable
+    * gRPC, failed ListCollections) kills the child and raises — launch-
+    * time validation, not first-use. */
+  private def launchExec(name: String, driver: String,
+                         config: Map[String, String]): Entry = {
+    val exe = new java.io.File(pluginDir.get, s"gripper-$driver").getAbsoluteFile
+    val workdir = java.nio.file.Files.createTempDirectory(s"gripper-$name-")
+    val confPath = workdir.resolve("conf.json")
+    val confJson = config.map { case (k, v) =>
+      s"${Plugins.jsonQuote(k)}:${Plugins.jsonQuote(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(confPath, confJson)
+    val pb = new ProcessBuilder(exe.getPath, confPath.toString)
+      .redirectErrorStream(false)
+    pb.environment().put("GRIP_PLUGIN_EXTERNAL_RESOURCE", "gripper")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // child logs stay visible
+    val proc = pb.start()
+    def kill(): Unit = {
+      proc.destroy()
+      if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    }
+    // scan stdout for the handshake line; a Spark-backed child can take
+    // tens of seconds to come up, so the deadline is generous but finite
+    val deadline = System.nanoTime() + Plugins.launchTimeoutSec * 1000L * 1000 * 1000
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var addr: Option[(String, Int)] = None
+    try {
+      // poll-read so a silent hung child still hits the deadline (a
+      // blocking readLine would wait forever); EOF with a dead child ends
+      // the scan early
+      var eof = false
+      while (addr.isEmpty && !eof && System.nanoTime() < deadline) {
+        if (reader.ready()) {
+          val line = reader.readLine()
+          if (line == null) eof = true
+          else line.split('|') match {
+            case Array(_, _, "tcp", hp, "grpc", _*) =>
+              val i = hp.lastIndexOf(':')
+              if (i > 0 && hp.drop(i + 1).forall(_.isDigit))
+                addr = Some((hp.take(i), hp.drop(i + 1).toInt))
+            case _ => () // child chatter before the handshake — ignore
+          }
+        } else if (!proc.isAlive) eof = true
+        else Thread.sleep(50)
+      }
+      val (host, port) = addr.getOrElse {
+        kill()
+        throw new IllegalArgumentException(
+          s"driver '$driver': $exe did not print a grpc handshake line" +
+            (if (proc.isAlive) s" within ${Plugins.launchTimeoutSec}s" else
+              s" (exited with ${proc.exitValue()})"))
+      }
+      // drain the rest of the child's stdout in the background so the
+      // child never blocks on a full pipe
+      val drainer = new Thread(() => {
+        try { while (reader.readLine() != null) () } catch { case _: Exception => () }
+      }, s"gripper-$name-stdout")
+      drainer.setDaemon(true); drainer.start()
+      var client: GripperClient = null
+      try { client = new GripperClient(host, port); client.collections() }
+      catch { case scala.util.control.NonFatal(e) =>
+        if (client != null) { try client.close() catch { case _: Exception => () } }
+        kill()
+        throw new IllegalArgumentException(
+          s"driver '$driver': launched $exe but cannot reach GRIPSource at $host:$port: ${e.getMessage}")
+      }
+      Entry(name, driver, GripperWire.grpcSource(spark, client), () => {
+        try client.close() catch { case _: Exception => () }
+        kill()
+      })
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) => kill(); throw e
     }
   }
 
@@ -135,6 +241,21 @@ final class Plugins(spark: SparkSession) {
 object Plugins {
   /** Built-in driver kinds (see class doc). */
   val drivers: Seq[String] = Seq("dir", "grpc")
+
+  /** How long a launched plugin gets to print its handshake (a JVM+Spark
+    * child needs tens of seconds on a cold box). */
+  private[server] var launchTimeoutSec: Long = 120
+
+  private[server] def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   import com.fasterxml.jackson.databind.JsonNode
 

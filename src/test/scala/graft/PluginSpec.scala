@@ -16,9 +16,10 @@ class PluginSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def withServer(auth: Option[GraftServer.Auth] = None)
+  private def withServer(auth: Option[GraftServer.Auth] = None,
+                         pluginDir: Option[String] = None)
                         (f: (HttpClient, Int) => Unit): Unit = {
-    val srv = new GraftServer(spark, 0, auth)
+    val srv = new GraftServer(spark, 0, auth, pluginDir)
     srv.start()
     try f(HttpClient.newHttpClient(), srv.boundPort)
     finally srv.stop()
@@ -138,6 +139,81 @@ class PluginSpec extends AnyFunSuite {
         """{"query":"V('P:1').out('boss')"}""")
       assert(q.statusCode() == 200 && q.body().contains("\"P:2\""))
     } finally table.stop()
+  }
+
+  /** A plugin-dir with one executable `gripper-parquet`: a shell wrapper
+    * that launches THIS build's CLI (`graft gripper-plugin <conf.json>`)
+    * in a fresh JVM — a real child process, the reference's deployment
+    * shape (gripper/plugins.go:41-69 LaunchPluginClient). */
+  private def writePluginDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plugin-bin")
+    val cp = System.getProperty("java.class.path")
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val script = dir.resolve("gripper-parquet")
+    java.nio.file.Files.writeString(script,
+      s"""#!/bin/sh
+         |export SPARK_GRAFT_CPUS=4
+         |exec java -cp '$cp' $opens -Xmx2g \\
+         |  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \\
+         |  graft.Cli gripper-plugin "$$1"
+         |""".stripMargin)
+    script.toFile.setExecutable(true)
+    dir.toString
+  }
+
+  test("exec driver launches a gripper-* executable as a supervised child process") {
+    val data = peopleDir()
+    val bin = writePluginDir()
+    withServer(pluginDir = Some(bin)) { (c, p) =>
+      // discovery: the executable shows up as a driver next to built-ins
+      val drv = req(c, p, "GET", "/v1/driver")
+      assert(drv.statusCode() == 200)
+      val names = mapper.readTree(drv.body()).get("drivers").toString
+      assert(names.contains("\"parquet\"") && names.contains("\"dir\""))
+
+      // StartPlugin spawns the child, waits for its handshake line, and
+      // health-checks ListCollections before registering
+      assert(req(c, p, "POST", "/v1/plugin/hr",
+        s"""{"driver":"parquet","config":{"path":"$data"}}""").statusCode() == 200)
+      val tbl = req(c, p, "GET", "/v1/table")
+      val info = mapper.readTree(tbl.body().linesIterator.next())
+      assert(info.get("source").asText() == "hr" &&
+        info.get("name").asText() == "people")
+
+      // traverse a graph mapped over the child-served source
+      assert(req(c, p, "POST", "/v1/graph/fed/mapping",
+        mappingGraphBody("hr")).statusCode() == 200)
+      val q = req(c, p, "POST", "/v1/graph/fed/query",
+        """{"query":"V('P:1').out('boss')"}""")
+      assert(q.statusCode() == 200 && q.body().contains("\"P:2\""))
+
+      // a bad config fails at launch, not first use (child exits — no
+      // handshake line — and the error says so)
+      val bad = req(c, p, "POST", "/v1/plugin/broken",
+        """{"driver":"parquet","config":{}}""")
+      assert(bad.statusCode() == 400)
+    }
+  }
+
+  test("gripper-plugin entrypoint refuses to run outside a plugin harness") {
+    val bin = writePluginDir()
+    val conf = java.nio.file.Files.createTempFile("conf", ".json")
+    java.nio.file.Files.writeString(conf, "{}")
+    // run the executable directly WITHOUT the handshake cookie env
+    val proc = new ProcessBuilder(s"$bin/gripper-parquet", conf.toString)
+      .redirectErrorStream(true).start()
+    assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(proc.exitValue() == 1)
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(out.contains("plugin harness"))
   }
 
   test("plugin routes are admin-gated; ListTables needs *-scoped read") {
