@@ -165,9 +165,62 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
   private def pathEdgeEntry(gid: Column): Column =
     struct(lit(null).cast(StringType).as("vertex"), gid.as("edge"))
 
+  /** Pushable field-index predicate for the seed scan: the statement
+    * prefix right after V() is filter-only (hasLabel/has/hasId commute),
+    * so when it pins the label set to labels that ALL carry a physical
+    * (label, field) index ([[graft.model.FieldIndex]]), a string
+    * point predicate on that field can ALSO run against the materialized
+    * `__idx_<field>` parquet column — a plain column comparison Spark
+    * pushes into the scan (row-group min/max skip over the build-time
+    * range-sorted layout), the reference's kvindex seek
+    * (kvindex/kvindex.go:88-145). Only exactly-equivalent forms are
+    * rewritten (EQ/WITHIN over strings — the same `raw === lit`
+    * comparisons Conditions compiles); the original filter still runs on
+    * the travelers, so this is a strictly additive scan predicate. */
+  private def indexSeedPredicate(): Option[Column] = g.fieldIndex.flatMap { fi =>
+    val prefix = stmts.drop(1).takeWhile {
+      case _: Stmt.Has | _: Stmt.HasLabel | _: Stmt.HasId => true
+      case _ => false
+    }
+    val labelSets = prefix.collect { case Stmt.HasLabel(ls) => ls.toSet }
+    if (labelSets.isEmpty) None
+    else {
+      val labels = labelSets.reduce(_ intersect _)
+      def covered(field: String): Boolean =
+        labels.nonEmpty && labels.forall(l => fi.entries((l, field)))
+      // data-field key with no mark namespace and no reserved head
+      def fieldOf(key: String): Option[String] = {
+        val (ns, parts) = FieldRef.parse(key)
+        if (ns.isEmpty && parts.nonEmpty && !parts.head.startsWith("_"))
+          Some(parts.mkString("."))
+        else None
+      }
+      val conjuncts = prefix.collect { case Stmt.Has(e) => e }.flatMap {
+        case HasExpr.Cond(key, GValue.GString(s), CondOp.EQ) =>
+          fieldOf(key).filter(covered)
+            .map(f => col(graft.model.Catalog.idxCol(f)) === lit(s))
+        case HasExpr.Cond(key, GValue.GArray(vs), CondOp.WITHIN)
+            if vs.nonEmpty && vs.forall(_.isInstanceOf[GValue.GString]) =>
+          fieldOf(key).filter(covered).map(f =>
+            col(graft.model.Catalog.idxCol(f))
+              .isin(vs.collect { case GValue.GString(s) => s }: _*))
+        case _ => None
+      }
+      conjuncts.reduceOption(_ && _)
+    }
+  }
+
   /** Seed travelers from the vertex/edge tables. */
   private def seed(ids: Seq[String], fromVerts: Boolean): DataFrame = {
-    val base0 = if (fromVerts) g.vertices else g.edges
+    val base0 =
+      if (!fromVerts) g.edges
+      else indexSeedPredicate() match {
+        // filter on the index frame FIRST (real columns → pushed filters),
+        // then project back to the traveler shape
+        case Some(pred) => g.fieldIndex.get.vertices.filter(pred)
+          .select("gid", "label", "data")
+        case None => g.vertices
+      }
     val base = if (ids.nonEmpty) base0.filter(col("gid").isin(ids: _*)) else base0
     val cur = if (fromVerts) vertexStruct(base) else edgeStruct(base)
     shape(base, cur,

@@ -7,10 +7,17 @@ import org.apache.spark.sql.SparkSession
   * :468-481, kvindex/kvindex.go:88-145, conformance ot_index.py).
   *
   * On Spark the label "index" is physical (label-partitioned parquet →
-  * partition pruning) and field indices are advisory metadata: parquet
-  * min/max row-group stats already give index-grade skipping for point
-  * predicates, so Add/DeleteIndex record intent and ListIndices reports
-  * label + field entries — the API surface a reference client expects. */
+  * partition pruning). Field indices are physical too: addIndex re-lays
+  * the label's vertex partition out with a materialized
+  * `__idx_<field>` column (the stored `get_json_object` of the field),
+  * rows range-sorted by it — so an indexed point predicate becomes a
+  * pushed parquet filter over tightly-bounded row groups, the
+  * kvindex.go:88-145 seek re-expressed as columnar layout. DeleteIndex
+  * drops the metadata only; a stale column is a still-correct
+  * materialization that simply stops being read (the next save()
+  * rewrites without it). With several indexed fields on one label the
+  * sort is lexicographic by field name order — the first field gets
+  * perfect clustering, later ones only stats-assisted skipping. */
 class Catalog(spark: SparkSession, root: String) {
   private def dir(graph: String) = s"$root/$graph"
   private def idxFile(graph: String) = java.nio.file.Paths.get(s"$root/$graph/.indices")
@@ -33,13 +40,27 @@ class Catalog(spark: SparkSession, root: String) {
   }
 
   def graph(name: String): GraphFrame = {
-    val g = GraphFrame.load(spark, dir(name))
+    val g0 = GraphFrame.load(spark, dir(name))
     // a posted schema doubles as the planner's pruning contract: its edge
     // triples are exactly the EdgeType topology, so hop joins over a
     // schema'd graph prune to reachable labels (GraphFrame.topology)
-    if (g.topology.isEmpty && hasPostedSchema(name))
-      g.copy(topology = Some(topologyOf(getSchema(name))))
-    else g
+    val g = if (g0.topology.isEmpty && hasPostedSchema(name))
+      g0.copy(topology = Some(topologyOf(getSchema(name))))
+    else g0
+    val idx = listIndices(name)
+    if (idx.isEmpty) g
+    else {
+      // re-read vertices WITH the materialized index columns (absent in
+      // some label partitions → null there; the compiler only uses an
+      // index column under a label restriction fully covered by entries)
+      val extra = idx.map(_._2).distinct.sorted.map(f =>
+        org.apache.spark.sql.types.StructField(Catalog.idxCol(f),
+          org.apache.spark.sql.types.StringType, nullable = true))
+      val schema = org.apache.spark.sql.types.StructType(
+        GraphFrame.vertexSchema.fields.toSeq ++ extra)
+      val iv = spark.read.schema(schema).parquet(s"${dir(name)}/vertices")
+      g.copy(fieldIndex = Some(FieldIndex(iv, idx.toSet)))
+    }
   }
 
   private def schemaDir(name: String) = s"${dir(name)}/.schema"
@@ -67,11 +88,42 @@ class Catalog(spark: SparkSession, root: String) {
   def listLabels(name: String): (Seq[String], Seq[String]) =
     SchemaSampler.listLabels(graph(name))
 
-  /** Advisory field index registration (label is always indexed). */
+  /** Field index registration + physical build (label is always indexed).
+    * Registers the (label, field) entry, then re-lays the label's vertex
+    * partition out around the field (see class doc). The build is an
+    * explicit one-shot — at scale one range shuffle of one label's rows,
+    * the same cost class as the reference's index backfill
+    * (kvindex/kvindex.go AddVertexIndex scan). */
   def addIndex(graph: String, label: String, field: String): Unit = {
     val cur = listIndices(graph).toSet + ((label, field))
     java.nio.file.Files.writeString(idxFile(graph),
       cur.toSeq.sorted.map { case (l, f) => s"$l\t$f" }.mkString("\n"))
+    relayout(graph, label)
+  }
+
+  /** Rewrite one label's vertex partition with materialized, sorted
+    * `__idx_*` columns for every index registered on that label. No-op
+    * when the label has no stored rows yet (the index stays registered;
+    * a later save() + addIndex re-run builds it). */
+  private def relayout(graph: String, label: String): Unit = {
+    val part = new org.apache.hadoop.fs.Path(s"${dir(graph)}/vertices/label=$label")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(part)) return
+    val fields = listIndices(graph).collect { case (`label`, f) => f }.sorted
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    // partition files hold (gid, data) — label is the directory key; old
+    // __idx columns are recomputed rather than trusted
+    val base = spark.read.parquet(part.toString).select("gid", "data")
+    val withIdx = fields.foldLeft(base)((d, f) =>
+      d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f)))
+    val tmp = new org.apache.hadoop.fs.Path(part.toString + ".__reindex")
+    // range-sort: each output file (and row group) gets a tight min/max
+    // band of the leading index field
+    withIdx.orderBy(fields.map(f => col(Catalog.idxCol(f))): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(part, true)
+    if (!fs.rename(tmp, part))
+      throw new java.io.IOException(s"index re-layout: rename $tmp -> $part failed")
   }
 
   def deleteIndex(graph: String, label: String, field: String): Unit = {
@@ -86,4 +138,10 @@ class Catalog(spark: SparkSession, root: String) {
     else java.nio.file.Files.readString(p).split("\n").filter(_.nonEmpty).toSeq
       .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }
   }
+}
+
+object Catalog {
+  /** Parquet column name materializing an indexed field's extraction. */
+  def idxCol(field: String): String =
+    "__idx_" + field.replaceAll("[^A-Za-z0-9_]", "_")
 }

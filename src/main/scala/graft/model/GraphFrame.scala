@@ -25,6 +25,18 @@ import org.apache.spark.sql.types._
   * compiler uses it to prune adjacency joins to the reachable labels. */
 case class EdgeType(from: String, label: String, to: String)
 
+/** Physical field index over a SAVED graph (Catalog.addIndex re-layout —
+  * the Spark analogue of the reference's vertex field indices,
+  * kvindex/kvindex.go:88-145, which turn `has()` scans into index seeks):
+  * `vertices` is the same vertex rowset re-read WITH its materialized
+  * `__idx_<field>` columns (each the stored `get_json_object(data, $.f)`
+  * of an indexed field, rows range-sorted by it at build time), and
+  * `entries` the (label, field) pairs covered. The traversal compiler
+  * seeds label-restricted point lookups from this frame so the predicate
+  * lands on a real parquet column — pushed filter + row-group skip —
+  * instead of a post-scan JSON extraction. */
+case class FieldIndex(vertices: DataFrame, entries: Set[(String, String)])
+
 case class GraphFrame(vertices: DataFrame, edges: DataFrame,
                       topology: Option[Seq[EdgeType]] = None,
                       /** Same edge rows as `edges` but physically
@@ -32,7 +44,11 @@ case class GraphFrame(vertices: DataFrame, edges: DataFrame,
                         * [[BucketedGraph]]); in()/inE() hops read this copy
                         * when present so neither adjacency direction
                         * shuffles the edge side. */
-                      edgesByTo: Option[DataFrame] = None) {
+                      edgesByTo: Option[DataFrame] = None,
+                      /** Physical field index when the backing store has
+                        * one (see [[FieldIndex]]); absent for in-memory /
+                        * unindexed graphs. */
+                      fieldIndex: Option[FieldIndex] = None) {
   /** Persist as label-partitioned parquet (the "label index" of the
     * reference's KV backends becomes partition pruning). The topology
     * contract round-trips as a tiny JSON dataset so a saved+loaded graph

@@ -202,6 +202,58 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate join must project codes and tables, not vectors:\n$j"))
   }
 
+  test("field index: indexed has() pushes a real parquet filter; results unchanged") {
+    import graft.model.{Catalog, GraphFrame}
+    import graft.gripql.{Query, P}
+    import graft.compiler.Traversal
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val cat = new Catalog(spark, root)
+    val v = (0 until 500).map { i =>
+      (s"v$i", if (i % 5 == 0) "Person" else "Thing",
+        s"""{"name":"n${i % 97}","age":${i % 80}}""")
+    }.toDF("gid", "label", "data")
+    val e = Seq.empty[(String, String, String, String, String)]
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("g", GraphFrame(v, e))
+    val q = Query().V().hasLabel("Person").has(P.eq_("name", "n42"))
+    val plainRows = Traversal.run(spark, cat.graph("g"), q)
+      .select("gid").collect().map(_.getString(0)).sorted
+
+    cat.addIndex("g", "Person", "name")
+    val g = cat.graph("g")
+    assert(g.fieldIndex.exists(_.entries == Set(("Person", "name"))))
+    val out = Traversal.run(spark, g, q)
+    // the physical scan must carry the materialized column as a PUSHED
+    // parquet filter (row-group min/max skip over the sorted layout) —
+    // not just a post-scan JSON extraction
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("__idx_name"),
+      s"indexed has() must push __idx_name to the parquet scan:\n$p")
+    // and the rows are exactly the unindexed ones
+    assert(out.select("gid").collect().map(_.getString(0)).sorted
+      .sameElements(plainRows))
+    assert(plainRows.nonEmpty)
+
+    // an index on only SOME of the restricted labels must NOT rewrite
+    // (null __idx rows in uncovered labels would be wrongly dropped)
+    val qBoth = Query().V().hasLabel("Person", "Thing").has(P.eq_("name", "n42"))
+    val pBoth = Traversal.run(spark, g, qBoth).queryExecution.executedPlan.toString
+    assert(!pBoth.contains("__idx_name"),
+      s"partially-covered label set must not use the index:\n$pBoth")
+    val bothRows = Traversal.run(spark, g, qBoth)
+      .select("gid").collect().map(_.getString(0)).sorted
+    val bothPlain = Traversal.run(spark, cat.graph("g").copy(fieldIndex = None), qBoth)
+      .select("gid").collect().map(_.getString(0)).sorted
+    assert(bothRows.sameElements(bothPlain) && bothRows.length > plainRows.length)
+
+    // ot_index metadata surface still intact after the physical build
+    assert(cat.listIndices("g") == Seq(("Person", "name")))
+    cat.deleteIndex("g", "Person", "name")
+    assert(cat.listIndices("g").isEmpty)
+    assert(cat.graph("g").fieldIndex.isEmpty)
+  }
+
   test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
     val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a_id", "b_id")
     val p = plan(Dedup.survivorsBy(docs, "doc_id",
