@@ -524,6 +524,11 @@ object Dedup {
     * pairs — one collect, zero iterative jobs, bounded memory (~50 MB at
     * the 1M default). Above it, the distributed star loop runs; the two
     * paths compute the same assignment. */
+  /** Rounds the last [[clusters]] call's distributed star loop ran
+    * (0 = local union-find path taken). Observability for scale tests and
+    * BASELINE notes; plan-building is single-threaded per session. */
+  @volatile private[graft] var lastClusterRounds: Int = -1
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                maxIters: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
     val idType = pairs.schema(aCol).dataType
@@ -561,6 +566,7 @@ object Dedup {
     var prevSig = sig(edges)
     if (prevSig._1 <= localThreshold) {
       // the local result is plain driver rows — the seed checkpoint can go
+      lastClusterRounds = 0
       val out = clustersLocal(edges, idType)
       release(edgeIds)
       return out
@@ -596,6 +602,7 @@ object Dedup {
     // the final round's checkpoint intentionally stays persisted: the
     // returned plan reads from it (callers release it with their usual
     // post-query cleanup, e.g. Bench's scoped unpersist)
+    lastClusterRounds = iter
     if (!converged)
       org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
         s"clusters: not converged after $maxIters rounds; assignments may chain")

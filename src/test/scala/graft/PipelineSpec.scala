@@ -355,6 +355,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size <= before + 1)
   }
 
+  test("clusters at scale: 2M+ pairs engage the distributed star loop; equals union-find") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // ~2.18M edges over ~3.3M nodes: twenty 50k-node chains (adversarial
+    // diameter for plain min-propagation) plus 1.2M functional-graph edges
+    // inside 1000 blocks of 1200 nodes
+    val chains = spark.range(0L, 1000000L)
+      .filter((col("id") + 1) % 50000 =!= 0)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val blocks = spark.range(0L, 1200000L).select(
+      (col("id") + 10000000L).as("a_id"),
+      (expr("(id div 1200) * 1200") + (col("id") * 7919) % 1200 + 10000000L).as("b_id"))
+    // materialized seed: feeding the raw Union(Project(Range)) plan into
+    // clusters trips a Spark 4.1 optimizer fault (UnionBase.
+    // rewriteConstraints "key not found" on the pushed-through alias) that
+    // has nothing to do with the operator under test
+    val pairs = chains.union(blocks).localCheckpoint(true)
+    // distributed path must engage at the DEFAULT threshold (2.18M > 1M)
+    val dist = Dedup.clusters(pairs, "a_id", "b_id")
+    val distOut = dist.persist()
+    val nDist = distOut.count()
+    val rounds = Dedup.lastClusterRounds
+    assert(rounds > 0, s"expected the distributed star loop, got rounds=$rounds")
+    // star rounds are O(log n) — a linear (diameter-bound) regression on
+    // the 50k chains would blow straight past this
+    assert(rounds <= 20, s"star loop took $rounds rounds on 2M pairs")
+    // the driver union-find over the same edges is the ground truth
+    val local = Dedup.clusters(pairs, "a_id", "b_id", localThreshold = Long.MaxValue)
+    assert(Dedup.lastClusterRounds == 0)
+    val localOut = local.persist()
+    assert(localOut.count() == nDist)
+    val mismatches = distOut.withColumnRenamed("cluster_id", "d")
+      .join(localOut.withColumnRenamed("cluster_id", "l"), "id")
+      .filter(col("d") =!= col("l")).count()
+    assert(mismatches == 0L, s"$mismatches assignments differ between paths")
+    // chains are analytically known: every chain node maps to its chain head
+    val badChain = distOut.filter(col("id") < 1000000L)
+      .filter(col("cluster_id") =!= expr("(id div 50000) * 50000")).count()
+    assert(badChain == 0L, s"$badChain chain nodes not mapped to their chain head")
+    distOut.unpersist(); localOut.unpersist()
+    info(s"distributed path: $rounds rounds over ${pairs.count()} pairs")
+  }
+
   test("clusters: empty pair list and string ids") {
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.clusters(empty, "a_id", "b_id").count() == 0)
