@@ -648,6 +648,19 @@ edges:
         .distinct().orderBy("gid").limit(3)
       graft.model.GraphAlgos.betweennessSampled(g, "near_dup", seeds, maxHops = 4)
     }),
+    // EXACT Brandes (q85): every component endpoint is a source, horizon
+    // past the near-dup clusters' diameters — completes the centrality
+    // family next to the q84 sample. Near-dup components are dup clusters
+    // (tiny diameter), so the per-seed frontier frames stay
+    // cluster-bounded: Σ cluster² rows, not |V|², at any corpus scale.
+    "q85_betweenness_x" -> ((s, d) => {
+      val g = dedupGraph(s, d)
+      val e = g.edges.filter(col("label") === "near_dup")
+      val seeds = e.select(col("from").as("gid"))
+        .union(e.select(col("to").as("gid")))
+        .distinct()
+      graft.model.GraphAlgos.betweennessSampled(g, "near_dup", seeds, maxHops = 8)
+    }),
     // similarity-weighted PageRank: rank flows ∝ 1/(1+symmetric-difference)
     // along near-dup edges; 2 rounds unrolled in the oracle
     "q79_pagerank_w" -> ((s, d) =>
@@ -797,39 +810,43 @@ edges:
   /** Corpus-report oracle: the p07/p08/p09 signal fragments composed into
     * one summary row; quantile_cont mirrors Spark's interpolated exact
     * `percentile` (the q41 pairing). */
-  /** q84 oracle: Brandes with both sweeps unrolled per BFS layer (fixed
-    * 4-hop horizon). sg_L counts shortest paths into layer L through
-    * shortest-path-DAG edges (e.u at L−1, e.v at L — exactly the min-dist
-    * frame's adjacent layer pairs); dl_L accumulates successor
-    * dependencies σ(v)/σ(w)·(1+δ(w)) from L+1 down. */
-  private def betweennessSql: String = {
-    val sg = (1 to 4).map { l =>
+  /** q84/q85 oracle: Brandes with both sweeps unrolled per BFS layer
+    * (fixed `hops` horizon). sg_L counts shortest paths into layer L
+    * through shortest-path-DAG edges (e.u at L−1, e.v at L — exactly the
+    * min-dist frame's adjacent layer pairs); dl_L accumulates successor
+    * dependencies σ(v)/σ(w)·(1+δ(w)) from L+1 down. q84 samples 3 seeds;
+    * q85 runs EXACT Brandes (`srcLimit` None = every component endpoint
+    * is a source) with a horizon past the near-dup clusters' diameters. */
+  private def betweennessSql(hops: Int, srcLimit: Option[Int]): String = {
+    val sg = (1 to hops).map { l =>
       s"sg$l AS MATERIALIZED (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma " +
       s"FROM md m JOIN e ON e.v = m.id JOIN sg${l - 1} p ON p.seed = m.seed AND p.id = e.u " +
       s"WHERE m.d = $l GROUP BY m.seed, m.id)"
     }.mkString(",\n")
-    val dl = (3 to 1 by -1).map { l =>
+    val dl = ((hops - 1) to 1 by -1).map { l =>
       s"dl$l AS MATERIALIZED (SELECT s.seed, s.id, s.sigma, coalesce(c.delta, 0.0) AS delta " +
       s"FROM sg$l s LEFT JOIN (" +
       s"SELECT s2.seed, s2.id, sum(CAST(s2.sigma AS DOUBLE) / w.sigma * (1 + w.delta)) AS delta " +
       s"FROM sg$l s2 JOIN e ON e.u = s2.id JOIN dl${l + 1} w ON w.seed = s2.seed AND w.id = e.v " +
       s"GROUP BY s2.seed, s2.id) c ON c.seed = s.seed AND c.id = s.id)"
     }.mkString(",\n")
+    val limit = srcLimit.fold("")(n => s" LIMIT $n")
+    val allDl = (1 to hops).map(l => s"SELECT * FROM dl$l").mkString(" UNION ALL ")
     s"""WITH RECURSIVE $shingleCtes,
        |pr AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b FROM p WHERE j >= 0.5),
        |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
-       |src AS MATERIALIZED (SELECT gid AS s FROM (SELECT a AS gid FROM pr UNION SELECT b FROM pr) ORDER BY gid LIMIT 3),
+       |src AS MATERIALIZED (SELECT gid AS s FROM (SELECT a AS gid FROM pr UNION SELECT b FROM pr) ORDER BY gid$limit),
        |walk(seed, id, d) AS (
        |  SELECT s, s, 0 FROM src
        |  UNION
-       |  SELECT walk.seed, e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < 4),
+       |  SELECT walk.seed, e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.id WHERE walk.d < $hops),
        |md AS MATERIALIZED (SELECT seed, id, min(d) AS d FROM walk GROUP BY seed, id),
        |sg0 AS (SELECT seed, id, CAST(1 AS BIGINT) AS sigma FROM md WHERE d = 0),
        |$sg,
-       |dl4 AS (SELECT seed, id, sigma, 0.0 AS delta FROM sg4),
+       |dl$hops AS (SELECT seed, id, sigma, 0.0 AS delta FROM sg$hops),
        |$dl
        |SELECT id AS gid, round(sum(delta), 6) AS betweenness
-       |FROM (SELECT * FROM dl1 UNION ALL SELECT * FROM dl2 UNION ALL SELECT * FROM dl3 UNION ALL SELECT * FROM dl4)
+       |FROM ($allDl)
        |GROUP BY id""".stripMargin
   }
 
@@ -1422,7 +1439,8 @@ edges:
          |SELECT src.s AS gid, coalesce(n_reached, CAST(0 AS BIGINT)) AS n_reached,
          |  coalesce(eccentricity, CAST(0 AS BIGINT)) AS eccentricity
          |FROM src LEFT JOIN agg ON agg.seed = src.s""".stripMargin,
-    "q84_betweenness" -> betweennessSql,
+    "q84_betweenness" -> betweennessSql(4, Some(3)),
+    "q85_betweenness_x" -> betweennessSql(8, None),
     "p18_dedup_clusters" -> clusterSql,
     "p19_curate" -> curateSql,
     "p05_sim_topk" -> ("WITH q AS (SELECT vec_id AS qid, cast(embedding AS double[]) AS qv FROM embeddings WHERE vec_id < 10), " +
