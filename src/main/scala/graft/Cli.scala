@@ -19,6 +19,7 @@ import graft.compiler.Traversal
   *   graft dump <graph> [--vertices|--edges]           → ND-JSON on stdout
   *   graft query <graph> "V().hasLabel('x').count()"   → ND-JSON on stdout
   *   graft schema <graph> [--sample-n N]               → sampled schema JSON
+  *   graft index add|drop <graph> <label> <field> | list <graph>
   *   graft mapping <graph> <config.yaml> <sourcesDir> [--id coll=col ...]
   *   graft job submit <graph> <query> | list <graph> | view <graph> <id>
   *             | resume <graph> <id> <extension> | drop <graph> <id>
@@ -27,7 +28,7 @@ import graft.compiler.Traversal
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
-      """usage: graft <create|drop|list|info|load|dump|query|schema|mapping|gripper-serve|gripper-plugin|job|server> ...
+      """usage: graft <create|drop|list|info|load|dump|query|schema|index|mapping|gripper-serve|gripper-plugin|job|server> ...
         |see Cli.scala scaladoc for per-command arguments""".stripMargin)
     sys.exit(2)
   }
@@ -124,6 +125,17 @@ object Cli {
       val n = opt(rest, "--sample-n").map(_.toInt).getOrElse(50)
       val sg = catalog.getSchema(g, n)
       printNdjson(sg.vertices); printNdjson(sg.edges)
+
+    // field index surface (reference: cmd/index — AddIndex/DeleteIndex/
+    // ListIndices): `add` also runs the physical re-layout (Catalog doc)
+    case "index" :: "add" :: g :: label :: field :: Nil =>
+      catalog.addIndex(g, label, field)
+      println(s"indexed ($label, $field) on $g")
+    case "index" :: "drop" :: g :: label :: field :: Nil =>
+      catalog.deleteIndex(g, label, field)
+      println(s"dropped index ($label, $field) on $g")
+    case "index" :: "list" :: g :: Nil =>
+      catalog.listIndices(g).foreach { case (l, f) => println(s"$l\t$f") }
 
     case "mapping" :: g :: conf :: sources :: rest =>
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(conf)), "UTF-8")

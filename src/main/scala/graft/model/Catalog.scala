@@ -22,7 +22,15 @@ class Catalog(spark: SparkSession, root: String) {
   private def dir(graph: String) = s"$root/$graph"
   private def idxFile(graph: String) = java.nio.file.Paths.get(s"$root/$graph/.indices")
 
-  def createGraph(name: String, g: GraphFrame): Unit = g.save(dir(name))
+  def createGraph(name: String, g: GraphFrame): Unit = {
+    g.save(dir(name))
+    // a (re)save writes plain (gid, label, data) files; any REGISTERED
+    // index must be rebuilt over the new rows, or the next load would
+    // read the index columns as all-null and indexed filters would
+    // wrongly drop every row (the reference backfills its field indices
+    // on write the same way, kvindex/kvindex.go AddVertexIndex)
+    listIndices(name).map(_._1).distinct.foreach(relayout(name, _))
+  }
 
   def dropGraph(name: String): Unit = {
     def rm(f: java.io.File): Unit = {

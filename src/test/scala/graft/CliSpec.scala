@@ -59,6 +59,16 @@ class CliSpec extends AnyFunSuite {
     val dump = run("dump", "sw", "--vertices")
     assert(dump.linesIterator.size > 30 && dump.contains("\"gid\""))
 
+    // field index surface: add runs the physical re-layout; the indexed
+    // query answers identically; list/drop round-trip the metadata
+    val pre = run("query", "sw", "V().hasLabel('Planet').has(gripql.eq('name', 'Tatooine'))")
+    assert(run("index", "add", "sw", "Planet", "name").contains("indexed (Planet, name)"))
+    assert(run("index", "list", "sw").trim == "Planet\tname")
+    val post = run("query", "sw", "V().hasLabel('Planet').has(gripql.eq('name', 'Tatooine'))")
+    assert(post == pre && post.contains("Tatooine"))
+    assert(run("index", "drop", "sw", "Planet", "name").contains("dropped index"))
+    assert(run("index", "list", "sw").trim.isEmpty)
+
     assert(run("drop", "sw").contains("dropped sw"))
     assert(!run("list").linesIterator.toSeq.contains("sw"))
     } finally Cli.homeOverride = None // don't leak the scratch store to later suites

@@ -247,6 +247,19 @@ class PlanShapeSpec extends AnyFunSuite {
       .select("gid").collect().map(_.getString(0)).sorted
     assert(bothRows.sameElements(bothPlain) && bothRows.length > plainRows.length)
 
+    // a RE-SAVE over an indexed graph must rebuild the index over the new
+    // rows — stale .indices metadata over plain re-saved files would read
+    // all-null index columns and wrongly drop every indexed match
+    val v2 = (0 until 100).map { i =>
+      (s"w$i", "Person", s"""{"name":"n${i % 7}"}""")
+    }.toDF("gid", "label", "data")
+    cat.createGraph("g", GraphFrame(v2, e))
+    val afterResave = Traversal.run(spark,
+      cat.graph("g"), Query().V().hasLabel("Person").has(P.eq_("name", "n3")))
+      .select("gid").collect().map(_.getString(0)).sorted
+    val expected2 = (0 until 100).filter(_ % 7 == 3).map(i => s"w$i").sorted
+    assert(afterResave.toSeq == expected2, afterResave.mkString(","))
+
     // ot_index metadata surface still intact after the physical build
     assert(cat.listIndices("g") == Seq(("Person", "name")))
     cat.deleteIndex("g", "Person", "name")
