@@ -101,7 +101,10 @@ class Catalog(spark: SparkSession, root: String) {
     * partition out around the field (see class doc). The build is an
     * explicit one-shot — at scale one range shuffle of one label's rows,
     * the same cost class as the reference's index backfill
-    * (kvindex/kvindex.go AddVertexIndex scan). */
+    * (kvindex/kvindex.go AddVertexIndex scan). The re-layout REPLACES the
+    * label's files: GraphFrames loaded before addIndex hold stale file
+    * listings and must be re-loaded via [[graph]] (the usual DDL-vs-open-
+    * reader contract; the reference's KV backfill has the same hazard). */
   def addIndex(graph: String, label: String, field: String): Unit = {
     val cur = listIndices(graph).toSet + ((label, field))
     java.nio.file.Files.writeString(idxFile(graph),

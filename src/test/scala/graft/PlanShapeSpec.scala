@@ -267,6 +267,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cat.graph("g").fieldIndex.isEmpty)
   }
 
+  test("field index: randomized equivalence — indexed plans answer exactly like unindexed ones") {
+    import graft.model.{Catalog, GraphFrame}
+    import graft.gripql.{Query, P}
+    import graft.compiler.Traversal
+    val rnd = new scala.util.Random(20260815L)
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-prop").toString
+    val cat = new Catalog(spark, root)
+    val labels = Seq("A", "B", "C")
+    // values drawn from a small pool so EQ/WITHIN hit; ~15% of rows MISS
+    // the field entirely; ~10% carry a JSON-null value
+    val v = (0 until 800).map { i =>
+      val l = labels(rnd.nextInt(3))
+      val d = rnd.nextInt(100) match {
+        case m if m < 15 => """{"other":1}"""
+        case m if m < 25 => """{"tag":null}"""
+        case _ => s"""{"tag":"t${rnd.nextInt(12)}","n":${rnd.nextInt(50)}}"""
+      }
+      (s"v$i", l, d)
+    }.toDF("gid", "label", "data")
+    val e = Seq.empty[(String, String, String, String, String)]
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("pg", GraphFrame(v, e))
+    cat.addIndex("pg", "A", "tag")
+    cat.addIndex("pg", "B", "tag")
+    // re-load AFTER the re-layout: addIndex swaps the label's files, so
+    // frames loaded before it are stale (the documented contract)
+    val plain = cat.graph("pg").copy(fieldIndex = None)
+    val indexed = cat.graph("pg")
+    def rows(g: GraphFrame, q: Query): Seq[String] =
+      Traversal.run(spark, g, q).select("gid").collect().map(_.getString(0)).sorted.toSeq
+    val queries = Seq(
+      // fully covered label sets — the rewrite fires
+      Query().V().hasLabel("A").has(P.eq_("tag", "t3")),
+      Query().V().hasLabel("A", "B").has(P.eq_("tag", "t7")),
+      Query().V().hasLabel("B").has(P.within("tag", "t1", "t5")),
+      // uncovered / partially covered — the rewrite must stay off
+      Query().V().hasLabel("C").has(P.eq_("tag", "t3")),
+      Query().V().hasLabel("A", "C").has(P.eq_("tag", "t3")),
+      Query().V().has(P.eq_("tag", "t3")),
+      // non-string and non-indexed-field predicates never rewrite
+      Query().V().hasLabel("A").has(P.gt("n", 25)),
+      Query().V().hasLabel("A").has(P.eq_("other", 1)),
+      // composition: filters around hops-of-zero still agree
+      Query().V().hasLabel("A").has(P.eq_("tag", "t2")).hasId(
+        (0 until 800 by 3).map(i => s"v$i"): _*))
+    for (q <- queries)
+      assert(rows(indexed, q) == rows(plain, q), s"mismatch for $q")
+    // the covered EQ query really did rewrite
+    val p = Traversal.run(spark, indexed,
+      Query().V().hasLabel("A").has(P.eq_("tag", "t3")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__idx_tag"), p)
+  }
+
   test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
     val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a_id", "b_id")
     val p = plan(Dedup.survivorsBy(docs, "doc_id",
