@@ -271,6 +271,11 @@ edges:
     "q65_pagerank" -> ((s, d) =>
       graft.model.GraphAlgos.pageRank(gripperGraph(s, d), "region", iters = 3)
         .select(col("gid"), round(col("rank"), 4).as("pr"))),
+    // Katz centrality (attenuated walk counts), 3 rounds unrolled in the
+    // oracle — completes the walk-based centrality pair next to PageRank
+    "q86_katz" -> ((s, d) =>
+      graft.model.GraphAlgos.katzCentrality(gripperGraph(s, d), "region", iters = 3)
+        .select(col("gid"), round(col("katz"), 6).as("katz"))),
     // synchronous label propagation on the same graph, 2 rounds unrolled
     // in the oracle; ties break to the string-min community on both sides
     "q66_labelprop" -> ((s, d) =>
@@ -1127,6 +1132,19 @@ edges:
          |c2 AS (SELECT e.v AS gid, sum(p.r / o.od) AS c FROM edges e JOIN pr2 p ON p.gid = e.u JOIN outdeg o ON o.u = e.u GROUP BY e.v),
          |pr3 AS (SELECT v.gid, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params) + CAST(0.85 AS DOUBLE) * (coalesce(c.c, 0) + (SELECT dm FROM d2) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c2 c ON v.gid = c.gid)
          |SELECT gid, round(r, 4) AS pr FROM pr3""".stripMargin,
+    // Katz x_{t+1} = 1 + 0.1·Σ_{u→v} x_t(u), 3 rounds from x_0 = 1
+    "q86_katz" ->
+      s"""WITH verts AS (SELECT 'n:' || n_nationkey AS gid FROM nation
+         |  UNION ALL SELECT 'r:' || r_regionkey FROM region),
+         |edges AS (SELECT 'n:' || n_nationkey AS u, 'r:' || n_regionkey AS v FROM nation),
+         |k0 AS (SELECT gid, CAST(1.0 AS DOUBLE) AS x FROM verts),
+         |c0 AS (SELECT e.v AS gid, sum(p.x) AS c FROM edges e JOIN k0 p ON p.gid = e.u GROUP BY e.v),
+         |k1 AS (SELECT v.gid, CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * coalesce(c.c, 0) AS x FROM verts v LEFT JOIN c0 c ON v.gid = c.gid),
+         |c1 AS (SELECT e.v AS gid, sum(p.x) AS c FROM edges e JOIN k1 p ON p.gid = e.u GROUP BY e.v),
+         |k2 AS (SELECT v.gid, CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * coalesce(c.c, 0) AS x FROM verts v LEFT JOIN c1 c ON v.gid = c.gid),
+         |c2 AS (SELECT e.v AS gid, sum(p.x) AS c FROM edges e JOIN k2 p ON p.gid = e.u GROUP BY e.v),
+         |k3 AS (SELECT v.gid, CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * coalesce(c.c, 0) AS x FROM verts v LEFT JOIN c2 c ON v.gid = c.gid)
+         |SELECT gid, round(x, 6) AS katz FROM k3""".stripMargin,
     // 2 unrolled synchronous LPA rounds; argmax by (count desc, community
     // asc) via row_number matches the engine's min(struct(-cnt, community))
     "q66_labelprop" ->

@@ -286,6 +286,41 @@ object GraphAlgos {
     ranks
   }
 
+  /** Katz centrality: x_{t+1}(v) = β + α · Σ_{u→v} x_t(u) — the
+    * attenuated-walk-count centrality (Katz 1953), the classic companion
+    * to [[pageRank]] that rewards reachability by MANY short walks
+    * instead of normalizing by out-degree. α must stay below the
+    * reciprocal spectral radius for the fixpoint to exist; callers unroll
+    * a fixed `iters` (the engine-vs-oracle contract, like pageRank's).
+    *
+    * Scale shape identical to [[pageRank]]: edge list repartitioned by
+    * source once + checkpointed, per round one narrow x-frame shuffle;
+    * no dangling machinery (Katz has no mass conservation). */
+  def katzCentrality(g: GraphFrame, edgeLabel: String, iters: Int = 3,
+                     alpha: Double = 0.1, beta: Double = 1.0,
+                     undirected: Boolean = false): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val verts = g.vertices.select(col("gid")).distinct().localCheckpoint(true)
+    val base = g.edges.filter(col("label") === edgeLabel)
+      .select(col("from").as("u"), col("to").as("v"))
+    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+             else base).repartition(col("u")).localCheckpoint(true)
+    var x = verts.withColumn("katz", lit(beta))
+    var i = 0
+    while (i < iters) {
+      val contribs = x.join(e, col("gid") === col("u"))
+        .select(col("v"), col("katz").as("__c"))
+        .groupBy(col("v").as("gid")).agg(sum("__c").as("__c"))
+      x = verts.join(contribs, Seq("gid"), "left")
+        .select(col("gid"),
+          (lit(beta) + lit(alpha) * coalesce(col("__c"), lit(0.0))).as("katz"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    x
+  }
+
   /** Edge-weighted PageRank: rank flows along each edge in proportion to
     * its weight share of the source's total out-weight,
     * contrib(u→v) = rank(u)·w(u,v)/W(u) — on a similarity graph (pass

@@ -161,6 +161,24 @@ class GraphAlgosSpec extends AnyFunSuite {
     got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12, got.toString))
   }
 
+  test("katzCentrality: closed-form chain, undirected pair, label filter") {
+    // chain a->b->c, plus a 'likes' edge that must not count:
+    // x0 = 1 everywhere; b = 1 + .1 = 1.1 (stable); c = 1 + .1·x(b) → 1.11
+    val v = Seq("a", "b", "c").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "link", "b", "c", "{}"),
+      ("e3", "likes", "c", "a", "{}")).toDF("gid", "label", "from", "to", "data")
+    val got = GraphAlgos.katzCentrality(GraphFrame(v, e), "link", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 1.0) < 1e-12 && math.abs(got("b") - 1.1) < 1e-12 &&
+      math.abs(got("c") - 1.11) < 1e-12, got.toString)
+    // undirected pair: x3 = 1 + .1·(1 + .1·(1 + .1)) = 1.111 on both ends
+    val v2 = Seq("a", "b").map(g => (g, "n", "{}")).toDF("gid", "label", "data")
+    val e2 = Seq(("e1", "link", "a", "b", "{}")).toDF("gid", "label", "from", "to", "data")
+    val u = GraphAlgos.katzCentrality(GraphFrame(v2, e2), "link", iters = 3,
+      undirected = true).as[(String, Double)].collect().toMap
+    assert(u.values.forall(x => math.abs(x - 1.111) < 1e-12), u.toString)
+  }
+
   test("triangle count: K4 has 4, direction and duplicates don't inflate") {
     // K4 on {a,b,c,d} = 4 triangles; edges deliberately mixed-direction
     // with one reversed duplicate (a->b AND b->a must canonicalize to one)
