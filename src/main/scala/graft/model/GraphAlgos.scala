@@ -315,7 +315,10 @@ object GraphAlgos {
       x = verts.join(contribs, Seq("gid"), "left")
         .select(col("gid"),
           (lit(beta) + lit(alpha) * coalesce(col("__c"), lit(0.0))).as("katz"))
-        .localCheckpoint(true)
+      // bound lineage every third round only (aggregateNeighborhood's
+      // cadence) — an eager materialization per round is pure scheduler
+      // overhead on the short horizons centrality smoothing uses
+      if ((i + 1) % 3 == 0 && i + 1 < iters) x = x.localCheckpoint(true)
       i += 1
     }
     x
