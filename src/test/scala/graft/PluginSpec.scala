@@ -203,6 +203,23 @@ class PluginSpec extends AnyFunSuite {
     }
   }
 
+  test("pluginDirFromConfig reads Server.PluginDir from grip-style YAML") {
+    val conf = java.nio.file.Files.createTempFile("srv", ".yml")
+    java.nio.file.Files.writeString(conf,
+      """Server:
+        |  HTTPPort: 8201
+        |  PluginDir: /opt/grip-plugins
+        |""".stripMargin)
+    assert(GraftServer.pluginDirFromConfig(conf.toString) == Some("/opt/grip-plugins"))
+    // absent key, absent Server block, non-map root: all None, no throw
+    java.nio.file.Files.writeString(conf, "Server:\n  HTTPPort: 8201\n")
+    assert(GraftServer.pluginDirFromConfig(conf.toString).isEmpty)
+    java.nio.file.Files.writeString(conf, "Other: 1\n")
+    assert(GraftServer.pluginDirFromConfig(conf.toString).isEmpty)
+    java.nio.file.Files.writeString(conf, "- just\n- a list\n")
+    assert(GraftServer.pluginDirFromConfig(conf.toString).isEmpty)
+  }
+
   test("gripper-plugin entrypoint refuses to run outside a plugin harness") {
     val bin = writePluginDir()
     val conf = java.nio.file.Files.createTempFile("conf", ".json")
