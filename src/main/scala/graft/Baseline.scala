@@ -136,6 +136,51 @@ object Baseline {
     results("simhash_neardup_5k") = timeIt { graft.pipeline.Dedup.nearDupSimhash(c5, "doc_id", "text").count() }
     results("simhash_neardup_50k") = timeIt { graft.pipeline.Dedup.nearDupSimhash(c50, "doc_id", "text").count() }
 
+    // physical field-index probe: 2M one-label vertices, string point
+    // predicate on an indexed field. The unindexed plan decodes every
+    // row's data column through the JSON extraction; the indexed layout
+    // (materialized __idx column, range-sorted files) answers from a
+    // pushed parquet filter over stats-pruned files/row groups. The
+    // rows-read metric is the skip evidence; the time ratio is the win.
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, format_string}
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-baseline-idx").toString
+      val cat = new graft.model.Catalog(spark, idxRoot)
+      val pv = spark.range(2000000L).select(
+        concat(lit("v"), col("id")).as("gid"), lit("Person").as("label"),
+        format_string("""{"name":"n%d","pad":"%08d"}""", col("id") % 10000, col("id")).as("data"))
+      val pe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GraphFrame.edgeSchema)
+      cat.createGraph("idxprobe", GraphFrame(pv, pe))
+      val pq = Q.V().hasLabel("Person").has(graft.gripql.P.eq_("name", "n4242"))
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+        // collect() executes THIS df's plan (count() would plan a separate
+        // aggregate query and leave these metrics untouched)
+        df.collect()
+        def scans(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case other => other.children.map(scans).sum
+        }
+        scans(df.queryExecution.executedPlan)
+      }
+      // plain measurements BEFORE the build: the re-layout replaces the
+      // label's files, so pre-index frames are stale afterwards
+      val plainG = cat.graph("idxprobe").copy(fieldIndex = None)
+      results("idx_point_plain_2m") = median3 {
+        Traversal.run(spark, plainG, pq).count() }
+      val rowsPlain = scala.util.Try(scanRows(Traversal.run(spark, plainG, pq))).getOrElse(-1L)
+      results("idx_build_2m") = timeIt { cat.addIndex("idxprobe", "Person", "name") }
+      val ig = cat.graph("idxprobe")
+      results("idx_point_indexed_2m") = median3 {
+        Traversal.run(spark, ig, pq).count() }
+      val rowsIdx = scala.util.Try(scanRows(Traversal.run(spark, ig, pq))).getOrElse(-1L)
+      results("idx_scan_rows_plain") = rowsPlain.toDouble
+      results("idx_scan_rows_indexed") = rowsIdx.toDouble
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline","unit":"sec","workloads":$qs,"cpus":$cpus}""")
     spark.stop()
