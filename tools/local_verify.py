@@ -87,8 +87,14 @@ def main(sf_dir, out_dir):
         if name not in results:
             results[name] = {"ok": False, "error": "no output dir (Spark-side failure?)"}
     npass = sum(1 for r in results.values() if r.get("ok"))
+    ntotal = len(results)
+    # tally INSIDE the object and the human-readable line on stderr: stdout
+    # is redirected into the ORACLE_SF01_r{N}.json artifact, which must stay
+    # a single json.load-able document (r11's trailing "PASS 149/149" line
+    # broke every downstream parser)
+    results["_pass"] = f"{npass}/{ntotal}"
     print(json.dumps(results, indent=1, default=str))
-    print(f"PASS {npass}/{len(results)}")
+    print(f"PASS {npass}/{ntotal}", file=sys.stderr)
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
