@@ -181,6 +181,113 @@ object Baseline {
       results("idx_scan_rows_indexed") = rowsIdx.toDouble
     }
 
+    // AQE skew-join probe (r12): a power-law hop at 10M edges where one
+    // "celebrity" vertex owns 20% of the edges — the supernode shape a
+    // 100× property graph is guaranteed to have. With broadcast disabled
+    // (the big-data regime) the hop is a sort-merge join on e.from, and
+    // the hub key lands 2M edge rows in one reduce partition; AQE's skew
+    // handling must split it instead of leaving one straggler task. The
+    // probe lowers the skew thresholds to fire at ~100 MB probe scale —
+    // at production scale the 256 MB default fires with no tuning.
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, when, pmod, xxhash64}
+      val nV = 1000000L
+      val sv = spark.range(nV + 1).select(
+        when(col("id") === nV, lit("hub")).otherwise(concat(lit("v"), col("id"))).as("gid"),
+        lit("Person").as("label"), lit("{}").as("data")).localCheckpoint(true)
+      val se = spark.range(10000000L).select(
+        concat(lit("e"), col("id")).as("gid"), lit("knows").as("label"),
+        when(col("id") % 5 === 0, lit("hub"))
+          .otherwise(concat(lit("v"), pmod(xxhash64(col("id")), lit(nV)))).as("from"),
+        concat(lit("v"), pmod(xxhash64(col("id"), lit(1L)), lit(nV))).as("to"),
+        lit("{}").as("data")).localCheckpoint(true)
+      val sg = GraphFrame(sv, se)
+      val sq = Q.V().hasLabel("Person").out("knows").count()
+      def hopWithPlan(): (Double, Boolean) = {
+        val out = Traversal.run(spark, sg, sq)
+        val t = timeIt { out.collect() }
+        (t, out.queryExecution.executedPlan.toString.contains("skew=true"))
+      }
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        val (tOn, split) = hopWithPlan()
+        results("skew_hop_10m_aqe") = tOn
+        results("skew_hop_10m_aqe_split") = if (split) 1.0 else 0.0
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val (tOff, _) = hopWithPlan()
+        results("skew_hop_10m_noskewjoin") = tOff
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      }
+      sv.unpersist(); se.unpersist()
+    }
+
+    // jump-loop scale probe (r12), mirroring the components scale proof:
+    // a 1M-vertex ring walked by a counter-terminated mark/jump loop, so
+    // the frontier stays 1M rows for EVERY round. Linear 20r/5r scaling
+    // (~4×) is the evidence the per-iteration localCheckpoint keeps
+    // lineage flat — quadratic lineage would superlinearize the total
+    // (reference semantics: engine/logic/jump.go; ot_repeat.py:35-57).
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+      val n = 1000000L
+      val lv = spark.range(n).select(concat(lit("v"), col("id")).as("gid"),
+        lit("N").as("label"), lit("{}").as("data")).localCheckpoint(true)
+      val le = spark.range(n).select(concat(lit("e"), col("id")).as("gid"),
+        lit("n").as("label"), concat(lit("v"), col("id")).as("from"),
+        concat(lit("v"), pmod(col("id") + 1L, lit(n))).as("to"),
+        lit("{}").as("data")).localCheckpoint(true)
+      val lg = GraphFrame(lv, le)
+      // emit=false pure walk: downstream sees nothing (reference
+      // jump.go:155-190), the work IS the k rounds, and the engine frees
+      // each round's frontier checkpoint as the next materializes — loop
+      // storage stays O(1 round) at any depth. The counter lives on a
+      // MARK ($s.c): set() on the current element is dropped when out()
+      // replaces it (the reference's set-then-hop rule).
+      def walk(k: Int) = Q.V().hasLabel("N")
+        .set("c", graft.gripql.GValue.GInt(0)).as("s")
+        .mark("a").increment("$s.c", 1).out("n")
+        .jump("a", Some(graft.gripql.P.lt("$s.c", k)), emit = false).count()
+      def runWalk(k: Int): Unit = Traversal.run(spark, lg, walk(k)).collect()
+      runWalk(2) // warm the loop machinery
+      results("jump_ring_1m_5r") = timeIt { runWalk(5) }
+      results("jump_ring_1m_20r") = timeIt { runWalk(20) }
+      lv.unpersist(); le.unpersist()
+    }
+
+    // incremental-ingest probe (r12): MutableGraph's merge is an anti-join
+    // + union + full label rewrite per save — correct, but the write cost
+    // tracks the LABEL size, not the delta size. Upserting the same 1k
+    // vertices into a 200k-row label vs a 2M-row label isolates that:
+    // near-10× growth = the overwrite dominating, the number that
+    // motivates the delta-log/MERGE-INTO collapse the class doc names.
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, format_string}
+      val upRoot = java.nio.file.Files.createTempDirectory("graft-baseline-up").toString
+      val cat = new graft.model.Catalog(spark, upRoot)
+      val ee = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GraphFrame.edgeSchema)
+      for ((nRows, tag) <- Seq((200000L, "200k"), (2000000L, "2m"))) {
+        val pv = spark.range(nRows).select(
+          concat(lit("v"), col("id")).as("gid"), lit("Person").as("label"),
+          format_string("""{"n":%d}""", col("id")).as("data"))
+        cat.createGraph(s"up$tag", GraphFrame(pv, ee))
+        val g0 = GraphFrame.load(spark, s"$upRoot/up$tag")
+        val mg = new graft.model.MutableGraph(spark, g0.vertices, g0.edges, Some(g0))
+        (0 until 1000).foreach(i => mg.addVertex(s"u$i", "Person", s"""{"n":$i}"""))
+        results(s"upsert_1k_into_$tag") = timeIt {
+          mg.graph.save(s"$upRoot/up$tag.merged")
+        }
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline","unit":"sec","workloads":$qs,"cpus":$cpus}""")
     spark.stop()

@@ -22,6 +22,13 @@ object Bench {
       System.err.println(f"[bench] waiting for box to settle: 5-min loadavg ${load5}%.2f")
       Thread.sleep(15000)
     }
+    // the settled verdict is taken HERE, before this process creates the
+    // Spark session: the warmup + calibration below intentionally load all
+    // 32 cores for a minute or more, so a loadavg read at suite start
+    // (r11's mistake) reports the bench's own work as foreign contention
+    // and stamps a clean run settled:false
+    val settledLoad = load5
+    val settled = settledLoad <= 1.0
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -196,10 +203,7 @@ object Bench {
     // measured 107 vs 129 s purely on this) — the flag makes a poisoned
     // artifact machine-detectable instead of requiring a human to read
     // the loadavg fields
-    // Try-guarded: loadavg() returns "" when /proc/loadavg is unreadable,
-    // and an exception here would lose the total line it annotates
-    val settled = scala.util.Try(loadBefore.split(",")(1).toDouble <= 1.0).getOrElse(false)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)},"settled":$settled}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_presession":${f3(settledLoad)},"load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)},"settled":$settled}""")
     spark.stop()
   }
 }

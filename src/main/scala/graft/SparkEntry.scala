@@ -673,6 +673,28 @@ edges:
         lit(1.0) / (lit(1.0) + get_json_object(col("data"), "$.w").cast("double")),
         iters = 2, undirected = true)
         .select(col("gid"), round(col("rank"), 7).as("prw"))),
+    // q87: centrality composed WITH the statement algebra (q62's pattern
+    // for the algorithm family): q79's scores become vertex properties of
+    // the near-dup graph, and a GripQL traversal seeds on the max-score
+    // vertices with a NUMERIC has() then hops both() to their neighbors —
+    // algorithm output driving traversal predicates. The max is a 1-row
+    // driver scalar (bounded metadata, like the loop frontier counts);
+    // ties are exact because both sides compare their own round(…,7)
+    // values, which q79's hash parity pins bit-identical.
+    "q87_centrality_traversal" -> ((s, d) => {
+      val g0 = dedupGraph(s, d)
+      val scores = graft.model.GraphAlgos.pageRankWeighted(g0, "near_dup",
+        lit(1.0) / (lit(1.0) + get_json_object(col("data"), "$.w").cast("double")),
+        iters = 2, undirected = true)
+        .select(col("gid"), round(col("rank"), 7).as("prw"))
+      val maxVal = scores.agg(max(col("prw"))).head().getDouble(0)
+      val verts = g0.vertices.select("gid", "label")
+        .join(scores, Seq("gid"))
+        .select(col("gid"), col("label"), to_json(struct(col("prw"))).as("data"))
+      val kg = graft.model.GraphFrame(verts, g0.edges)
+      g1(Traversal.run(s, kg,
+        Query().V().has(P.gte("prw", maxVal)).both("near_dup").distinct("_gid")))
+    }),
     // 2-round mean neighbor aggregation (GraphSAGE-style smoothing) of
     // per-doc token counts over the near-dup graph
     "q76_nbr_mean" -> ((s, d) => {
@@ -745,6 +767,28 @@ edges:
 
   private val shingleCte =
     s"WITH $shingleCtes\nSELECT a_id, b_id FROM p WHERE j >= 0.5"
+
+  /** q79/q87's shared similarity-weighted-PageRank chain: the near-dup
+    * pair weights, symmetric edge list `e`, and 2 unrolled power-iteration
+    * rounds ending at `pr2` (scores as raw doubles — consumers round). */
+  private val prwScoreCtes =
+    s"""$shingleCtes,
+       |pw AS MATERIALIZED (SELECT shc.a_id, shc.b_id, shc.i, la.n AS na, lb.n AS nb
+       |  FROM shc JOIN shn la ON la.doc_id = shc.a_id JOIN shn lb ON lb.doc_id = shc.b_id),
+       |prw AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
+       |  1.0 / (1 + na + nb - 2*i) AS w
+       |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v, w FROM prw UNION ALL SELECT b, a, w FROM prw),
+       |verts AS (SELECT 'd:' || doc_id AS gid FROM documents),
+       |ow AS MATERIALIZED (SELECT u, sum(w) AS ow FROM e GROUP BY u),
+       |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |pr0 AS (SELECT gid, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS r FROM verts),
+       |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr0 WHERE gid NOT IN (SELECT u FROM ow)),
+       |c0 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr0 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
+       |pr1 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d0) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c0 c ON v.gid = c.gid),
+       |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr1 WHERE gid NOT IN (SELECT u FROM ow)),
+       |c1 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr1 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
+       |pr2 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d1) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c1 c ON v.gid = c.gid)""".stripMargin
 
   /** Cross-parity variant of the shingle pair CTE for the incremental
     * near-dup oracle: pairs only between odd (new) and even (reference)
@@ -1352,24 +1396,16 @@ edges:
     // (ow, d0/d1, c0/c1) — MATERIALIZED stops DuckDB re-evaluating the
     // 12.5M-pair intersect per reference (measured runaway without it)
     "q79_pagerank_w" ->
-      s"""WITH $shingleCtes,
-         |pw AS MATERIALIZED (SELECT shc.a_id, shc.b_id, shc.i, la.n AS na, lb.n AS nb
-         |  FROM shc JOIN shn la ON la.doc_id = shc.a_id JOIN shn lb ON lb.doc_id = shc.b_id),
-         |prw AS MATERIALIZED (SELECT 'd:' || a_id AS a, 'd:' || b_id AS b,
-         |  1.0 / (1 + na + nb - 2*i) AS w
-         |  FROM pw WHERE i * 1.0 / (na + nb - i) >= 0.5),
-         |e AS MATERIALIZED (SELECT a AS u, b AS v, w FROM prw UNION ALL SELECT b, a, w FROM prw),
-         |verts AS (SELECT 'd:' || doc_id AS gid FROM documents),
-         |ow AS MATERIALIZED (SELECT u, sum(w) AS ow FROM e GROUP BY u),
-         |params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
-         |pr0 AS (SELECT gid, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS r FROM verts),
-         |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr0 WHERE gid NOT IN (SELECT u FROM ow)),
-         |c0 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr0 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
-         |pr1 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d0) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c0 c ON v.gid = c.gid),
-         |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM pr1 WHERE gid NOT IN (SELECT u FROM ow)),
-         |c1 AS (SELECT e.v AS gid, sum(p.r * e.w / o.ow) AS c FROM e JOIN pr1 p ON p.gid = e.u JOIN ow o ON o.u = e.u GROUP BY e.v),
-         |pr2 AS (SELECT v.gid, 0.15 / (SELECT n FROM params) + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d1) / (SELECT n FROM params)) AS r FROM verts v LEFT JOIN c1 c ON v.gid = c.gid)
+      s"""WITH $prwScoreCtes
          |SELECT gid, round(r, 7) AS prw FROM pr2""".stripMargin,
+    // q87: q79's scores re-read through the statement algebra — the max-
+    // score vertices seed a numeric has() and a both() hop; e carries both
+    // directions exactly like the engine's both("near_dup")
+    "q87_centrality_traversal" ->
+      s"""WITH $prwScoreCtes,
+         |scores AS MATERIALIZED (SELECT gid, round(r, 7) AS prw FROM pr2),
+         |tops AS (SELECT gid FROM scores WHERE prw >= (SELECT max(prw) FROM scores))
+         |SELECT DISTINCT e.v AS gid FROM e JOIN tops t ON e.u = t.gid""".stripMargin,
     // per-vertex triangle credits from the closed-wedge join + degrees;
     // string-canonical orientation (least/greatest on 'd:' gids) matches
     // the Spark side, and corner credits are orientation-invariant anyway

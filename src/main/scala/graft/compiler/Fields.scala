@@ -124,7 +124,9 @@ object Conditions {
   // (reference: engine/logic/match.go:27-69 cast.ToFloat64E semantics).
   private def num(c: Column): Column = c.try_cast("double")
 
-  private def valueNum(v: GValue): Option[Double] = v match {
+  // also used by Traversal's index-seed rewrite, which must interpret
+  // constants EXACTLY like the engine predicate it mirrors
+  private[compiler] def valueNum(v: GValue): Option[Double] = v match {
     case GNum(d) => Some(d)
     case GInt(i) => Some(i.toDouble)
     case GString(s) => scala.util.Try(s.toDouble).toOption
@@ -143,7 +145,7 @@ object Conditions {
     case obj: GObj => raw === lit(GValue.toJson(obj))
   }
 
-  private def rangePair(v: GValue): (Double, Double) = v match {
+  private[compiler] def rangePair(v: GValue): (Double, Double) = v match {
     case GArray(Seq(a, b)) => (valueNum(a).getOrElse(Double.NaN), valueNum(b).getOrElse(Double.NaN))
     case _ => (Double.NaN, Double.NaN)
   }

@@ -173,10 +173,18 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     * `__idx_<field>` parquet column — a plain column comparison Spark
     * pushes into the scan (row-group min/max skip over the build-time
     * range-sorted layout), the reference's kvindex seek
-    * (kvindex/kvindex.go:88-145). Only exactly-equivalent forms are
-    * rewritten (EQ/WITHIN over strings — the same `raw === lit`
-    * comparisons Conditions compiles); the original filter still runs on
-    * the travelers, so this is a strictly additive scan predicate. */
+    * (kvindex/kvindex.go:88-145, term + range iteration :307-460). Only
+    * exactly-equivalent forms are rewritten: EQ/WITHIN over strings run
+    * against the string `__idx_*` column (the same `raw === lit`
+    * comparisons Conditions compiles); ordered predicates (GT/GTE/LT/LTE/
+    * INSIDE/OUTSIDE/BETWEEN) and numeric EQ/WITHIN run against the stored
+    * float64 `__idxn_*` column — materialized `try_cast(extract AS
+    * double)`, identical to the engine comparison's cast
+    * (engine/logic/match.go:27-69 cast.ToFloat64E; non-castable ⇒ null ⇒
+    * row dropped, matching "non-castable compares false"). NEQ/WITHOUT
+    * are never rewritten: they KEEP rows whose field is missing, which a
+    * pushed column comparison would drop. The original filter still runs
+    * on the travelers, so this is a strictly additive scan predicate. */
   private def indexSeedPredicate(): Option[Column] = g.fieldIndex.flatMap { fi =>
     val prefix = stmts.drop(1).takeWhile {
       case _: Stmt.Has | _: Stmt.HasLabel | _: Stmt.HasId => true
@@ -195,15 +203,38 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
           Some(parts.mkString("."))
         else None
       }
+      def strCol(key: String): Option[Column] =
+        fieldOf(key).filter(covered).map(f => col(graft.model.Catalog.idxCol(f)))
+      def numCol(key: String): Option[Column] =
+        fieldOf(key).filter(covered).map(f => col(graft.model.Catalog.idxNumCol(f)))
       val conjuncts = prefix.collect { case Stmt.Has(e) => e }.flatMap {
-        case HasExpr.Cond(key, GValue.GString(s), CondOp.EQ) =>
-          fieldOf(key).filter(covered)
-            .map(f => col(graft.model.Catalog.idxCol(f)) === lit(s))
-        case HasExpr.Cond(key, GValue.GArray(vs), CondOp.WITHIN)
-            if vs.nonEmpty && vs.forall(_.isInstanceOf[GValue.GString]) =>
-          fieldOf(key).filter(covered).map(f =>
-            col(graft.model.Catalog.idxCol(f))
-              .isin(vs.collect { case GValue.GString(s) => s }: _*))
+        case HasExpr.Cond(key, v, CondOp.EQ) => v match {
+          case GValue.GString(s) => strCol(key).map(_ === lit(s))
+          case GValue.GNum(d) => numCol(key).map(_ === lit(d))
+          case GValue.GInt(i) => numCol(key).map(_ === lit(i.toDouble))
+          case _ => None
+        }
+        case HasExpr.Cond(key, GValue.GArray(vs), CondOp.WITHIN) if vs.nonEmpty =>
+          if (vs.forall(_.isInstanceOf[GValue.GString]))
+            strCol(key).map(_.isin(vs.collect { case GValue.GString(s) => s }: _*))
+          else if (vs.forall(x => x.isInstanceOf[GValue.GNum] || x.isInstanceOf[GValue.GInt]))
+            numCol(key).map(_.isin(vs.flatMap(Conditions.valueNum): _*))
+          else None
+        case HasExpr.Cond(key, v, op @ (CondOp.GT | CondOp.GTE | CondOp.LT | CondOp.LTE)) =>
+          for (d <- Conditions.valueNum(v); c <- numCol(key)) yield op match {
+            case CondOp.GT => c > lit(d)
+            case CondOp.GTE => c >= lit(d)
+            case CondOp.LT => c < lit(d)
+            case _ => c <= lit(d)
+          }
+        case HasExpr.Cond(key, v, op @ (CondOp.INSIDE | CondOp.OUTSIDE | CondOp.BETWEEN)) =>
+          val (a, b) = Conditions.rangePair(v)
+          if (a.isNaN || b.isNaN) None
+          else numCol(key).map(c => op match {
+            case CondOp.INSIDE => c > lit(a) && c < lit(b)
+            case CondOp.OUTSIDE => c < lit(a) || c > lit(b)
+            case _ => c >= lit(a) && c < lit(b)
+          })
         case _ => None
       }
       conjuncts.reduceOption(_ && _)
@@ -656,18 +687,45 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
             def overrun(): Nothing = throw new IllegalStateException(
               s"jump loop to mark '$mark' exceeded $maxIters iterations with a non-empty frontier; " +
               "raise maxIters if the walk is legitimately this deep")
+            val loopDebug = sys.env.contains("GRAFT_LOOP_DEBUG")
+            // emit=false walks need only the LATEST frontier checkpoint:
+            // freeing the previous round's blocks right after the new
+            // round's counts() materializes keeps loop storage at O(1
+            // round) regardless of depth — without this, a 1M-row
+            // frontier accumulates ~0.4 GB/round until eviction spills
+            // every later round to disk (measured: rounds 1-9 constant
+            // 1.8-2 s, rounds 16+ at 5.7-6.4 s once storage passed 4 GB).
+            // emit=true keeps its batches: they ARE the result. The sweep
+            // is id-based — free loop-era persistent RDDs that existed
+            // before this round's checkpoint (the new one is already
+            // materialized by counts(), so nothing can recompute through
+            // the freed lineage).
+            def freeStale(beforeRound: scala.collection.Set[Int]): Unit = if (!emit) {
+              for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
+                   if beforeRound.contains(id) && !persistedBefore.contains(id))
+                rdd.unpersist(false)
+            }
             while (nFront > 0 && downstreamLimit.forall(emittedCount < _)) {
               if (iter >= maxIters) overrun()
               val k = math.min(unrollK, maxIters - iter)
               if (k <= 1) {
                 iter += 1
+                val rt0 = if (loopDebug) System.nanoTime() else 0L
+                val beforeRound = spark.sparkContext.getPersistentRDDs.keySet
                 arrivals = applyBody(condCol.map(arrivals.filter).getOrElse(arrivals))
                   .localCheckpoint(false)
                 val c = counts(arrivals); nArr = c._1; nFront = c._2
                 arrivals = sized(arrivals, nArr)
+                freeStale(beforeRound)
                 if (emit) {
                   emitted = Some(emitted.get.unionByName(arrivals))
                   emittedCount += nArr
+                }
+                if (loopDebug) {
+                  val st = spark.sparkContext.getRDDStorageInfo
+                  System.err.println(f"[loop] round $iter ${(System.nanoTime() - rt0) / 1e9}%.2f s " +
+                    f"rows=$nArr front=$nFront storageMem=${st.map(_.memSize).sum >> 20}MB " +
+                    f"storageDisk=${st.map(_.diskSize).sum >> 20}MB rdds=${st.length}")
                 }
               } else {
                 // k chained stages, tagged and unioned under ONE checkpoint;
@@ -679,6 +737,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
                 // references `vars` several times). The barrier keeps k
                 // small independent plans composed at the RDD level — still
                 // ONE job materializes the whole block.
+                val beforeRound = spark.sparkContext.getPersistentRDDs.keySet
                 var d2 = arrivals
                 val stages = (1 to k).map { j =>
                   d2 = applyBody(condCol.map(d2.filter).getOrElse(d2))
@@ -699,6 +758,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
                 iter += jEnd
                 nArr = stats(k - 1)._1; nFront = stats(k - 1)._2
                 arrivals = sized(u.filter(col("__stage") === k).drop("__stage"), nArr)
+                freeStale(beforeRound) // u is materialized; prior blocks are dead weight
                 if (emit) {
                   emitted = Some(emitted.get.unionByName(u.drop("__stage")))
                   emittedCount += stats.map(_._1).sum

@@ -29,7 +29,9 @@ class Catalog(spark: SparkSession, root: String) {
     // read the index columns as all-null and indexed filters would
     // wrongly drop every row (the reference backfills its field indices
     // on write the same way, kvindex/kvindex.go AddVertexIndex)
-    listIndices(name).map(_._1).distinct.foreach(relayout(name, _))
+    val reg = listIndices(name)
+    reg.map(_._1).distinct.foreach(l =>
+      relayout(name, l, reg.collect { case (`l`, f) => f }.sorted))
   }
 
   def dropGraph(name: String): Unit = {
@@ -61,9 +63,11 @@ class Catalog(spark: SparkSession, root: String) {
       // re-read vertices WITH the materialized index columns (absent in
       // some label partitions → null there; the compiler only uses an
       // index column under a label restriction fully covered by entries)
-      val extra = idx.map(_._2).distinct.sorted.map(f =>
+      val extra = idx.map(_._2).distinct.sorted.flatMap(f => Seq(
         org.apache.spark.sql.types.StructField(Catalog.idxCol(f),
-          org.apache.spark.sql.types.StringType, nullable = true))
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField(Catalog.idxNumCol(f),
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
       val schema = org.apache.spark.sql.types.StructType(
         GraphFrame.vertexSchema.fields.toSeq ++ extra)
       val iv = spark.read.schema(schema).parquet(s"${dir(name)}/vertices")
@@ -107,34 +111,57 @@ class Catalog(spark: SparkSession, root: String) {
     * reader contract; the reference's KV backfill has the same hazard). */
   def addIndex(graph: String, label: String, field: String): Unit = {
     val cur = listIndices(graph).toSet + ((label, field))
+    // build FIRST, register after: if the relayout Spark job fails, a
+    // pre-registered entry would make graph() serve a FieldIndex whose
+    // covered column reads all-null and indexed queries silently return
+    // zero rows — registration must imply a materialized column
+    relayout(graph, label, cur.collect { case (`label`, f) => f }.toSeq.sorted)
     java.nio.file.Files.writeString(idxFile(graph),
       cur.toSeq.sorted.map { case (l, f) => s"$l\t$f" }.mkString("\n"))
-    relayout(graph, label)
   }
 
   /** Rewrite one label's vertex partition with materialized, sorted
-    * `__idx_*` columns for every index registered on that label. No-op
-    * when the label has no stored rows yet (the index stays registered;
-    * a later save() + addIndex re-run builds it). */
-  private def relayout(graph: String, label: String): Unit = {
+    * `__idx_*` (string) and `__idxn_*` (float64 try_cast — the reference's
+    * cast.ToFloat64E comparison type, engine/logic/match.go:27-69) columns
+    * for every index in `fields`. No-op when the label has no stored rows
+    * yet (the index stays registered; a later save() + addIndex re-run
+    * builds it).
+    *
+    * Crash-safety: the rewrite is staged OUTSIDE vertices/ (a temp dir
+    * inside it would itself read as a valid `label=X.__reindex` partition
+    * with duplicate rows), then swapped live→backup, staged→live,
+    * delete-backup — no window loses the partition without a recoverable
+    * copy on disk. */
+  private def relayout(graph: String, label: String, fields: Seq[String]): Unit = {
     val part = new org.apache.hadoop.fs.Path(s"${dir(graph)}/vertices/label=$label")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(part)) return
-    val fields = listIndices(graph).collect { case (`label`, f) => f }.sorted
     import org.apache.spark.sql.functions.{col, get_json_object}
     // partition files hold (gid, data) — label is the directory key; old
     // __idx columns are recomputed rather than trusted
     val base = spark.read.parquet(part.toString).select("gid", "data")
     val withIdx = fields.foldLeft(base)((d, f) =>
-      d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f)))
-    val tmp = new org.apache.hadoop.fs.Path(part.toString + ".__reindex")
-    // range-sort: each output file (and row group) gets a tight min/max
-    // band of the leading index field
-    withIdx.orderBy(fields.map(f => col(Catalog.idxCol(f))): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(part, true)
-    if (!fs.rename(tmp, part))
-      throw new java.io.IOException(s"index re-layout: rename $tmp -> $part failed")
+      d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f))
+        .withColumn(Catalog.idxNumCol(f), col(Catalog.idxCol(f)).try_cast("double")))
+    val stageRoot = new org.apache.hadoop.fs.Path(s"${dir(graph)}/.reindex")
+    val stage = new org.apache.hadoop.fs.Path(stageRoot, s"label=$label")
+    // range-sort, numeric interpretation leading per field: each output
+    // file (and row group) gets a tight min/max band of the leading index
+    // field in BOTH the float64 and the string reading (equal strings have
+    // equal casts, so they stay adjacent under the numeric-first sort)
+    withIdx.orderBy(fields.flatMap(f =>
+        Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
+      .write.mode("overwrite").parquet(stage.toString)
+    val backup = new org.apache.hadoop.fs.Path(stageRoot, s"label=$label.__old")
+    fs.delete(backup, true)
+    if (!fs.rename(part, backup))
+      throw new java.io.IOException(s"index re-layout: rename $part -> $backup failed")
+    if (!fs.rename(stage, part)) {
+      fs.rename(backup, part) // restore the live partition before raising
+      throw new java.io.IOException(s"index re-layout: rename $stage -> $part failed")
+    }
+    fs.delete(backup, true)
+    fs.delete(stageRoot, true) // scratch only ever holds this swap's dirs
   }
 
   def deleteIndex(graph: String, label: String, field: String): Unit = {
@@ -153,6 +180,23 @@ class Catalog(spark: SparkSession, root: String) {
 
 object Catalog {
   /** Parquet column name materializing an indexed field's extraction. */
-  def idxCol(field: String): String =
-    "__idx_" + field.replaceAll("[^A-Za-z0-9_]", "_")
+  def idxCol(field: String): String = "__idx_" + safe(field)
+
+  /** Sibling column materializing `try_cast(__idx_<f> AS double)` — the
+    * float64 reading the reference's ordered comparisons use
+    * (engine/logic/match.go cast.ToFloat64E); stored so numeric range
+    * predicates push down as plain double comparisons. */
+  def idxNumCol(field: String): String = "__idxn_" + safe(field)
+
+  /** Injective sanitization: distinct raw fields must never share a
+    * column name ('a.b' and 'a_b' both sanitize to a_b — the collision
+    * would silently drop one field's extraction in relayout and duplicate
+    * column names in graph()'s read schema), so any field that needed
+    * escaping carries a short hash of its raw spelling. */
+  private def safe(field: String): String = {
+    val s = field.replaceAll("[^A-Za-z0-9_]", "_")
+    if (s == field) s
+    else s + "_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(field) & 0xffffff)
+  }
 }

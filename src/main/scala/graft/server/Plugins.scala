@@ -151,24 +151,36 @@ final class Plugins(spark: SparkSession, pluginDir: Option[String] = None) {
     // scan stdout for the handshake line; a Spark-backed child can take
     // tens of seconds to come up, so the deadline is generous but finite
     val deadline = System.nanoTime() + Plugins.launchTimeoutSec * 1000L * 1000 * 1000
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
+    val stdout = proc.getInputStream
     var addr: Option[(String, Int)] = None
     try {
-      // poll-read so a silent hung child still hits the deadline (a
-      // blocking readLine would wait forever); EOF with a dead child ends
-      // the scan early
+      // poll-read with MANUAL line assembly so a silent or dribbling
+      // child still hits the deadline: readLine() after ready() would
+      // block forever on a partial line without a newline (ready() is
+      // true from the first buffered char), and GraftServer's serial
+      // handler executor would wedge the whole REST surface behind it
       var eof = false
+      val acc = new StringBuilder
+      val chunk = new Array[Byte](8192)
+      def scanLine(line: String): Unit = line.split('|') match {
+        case Array(_, _, "tcp", hp, "grpc", _*) =>
+          val i = hp.lastIndexOf(':')
+          if (i > 0 && hp.drop(i + 1).forall(_.isDigit))
+            addr = Some((hp.take(i), hp.drop(i + 1).toInt))
+        case _ => () // child chatter before the handshake — ignore
+      }
       while (addr.isEmpty && !eof && System.nanoTime() < deadline) {
-        if (reader.ready()) {
-          val line = reader.readLine()
-          if (line == null) eof = true
-          else line.split('|') match {
-            case Array(_, _, "tcp", hp, "grpc", _*) =>
-              val i = hp.lastIndexOf(':')
-              if (i > 0 && hp.drop(i + 1).forall(_.isDigit))
-                addr = Some((hp.take(i), hp.drop(i + 1).toInt))
-            case _ => () // child chatter before the handshake — ignore
+        if (stdout.available() > 0) {
+          val n = stdout.read(chunk, 0, math.min(stdout.available(), chunk.length))
+          if (n < 0) eof = true
+          else {
+            acc.append(new String(chunk, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+            var nl = acc.indexOf("\n")
+            while (addr.isEmpty && nl >= 0) {
+              scanLine(acc.substring(0, nl).stripSuffix("\r"))
+              acc.delete(0, nl + 1)
+              nl = acc.indexOf("\n")
+            }
           }
         } else if (!proc.isAlive) eof = true
         else Thread.sleep(50)
@@ -183,7 +195,8 @@ final class Plugins(spark: SparkSession, pluginDir: Option[String] = None) {
       // drain the rest of the child's stdout in the background so the
       // child never blocks on a full pipe
       val drainer = new Thread(() => {
-        try { while (reader.readLine() != null) () } catch { case _: Exception => () }
+        val b = new Array[Byte](8192)
+        try { while (stdout.read(b) >= 0) () } catch { case _: Exception => () }
       }, s"gripper-$name-stdout")
       drainer.setDaemon(true); drainer.start()
       var client: GripperClient = null

@@ -90,4 +90,58 @@ class LoopSpec extends AnyFunSuite {
       Traversal.run(spark, tiny, q).count()
     }
   }
+
+  test("scale: 20-round mark/jump over a 1M-row frontier stays linear per round") {
+    // the components loop's scale proof, mirrored for mark/jump
+    // (reference: engine/logic/jump.go; conformance ot_repeat.py:35-57):
+    // a 1M-vertex ring walked by a counter-terminated loop keeps the
+    // frontier at exactly 1M rows EVERY round, so 20-round vs 5-round
+    // wall-time directly measures per-round cost. Near-linear scaling
+    // (~4×, asserted < 8× for box noise) is the evidence the
+    // per-iteration localCheckpoint keeps lineage flat — quadratic
+    // lineage growth would superlinearize the total and eventually
+    // overflow the planner. Correctness: the ring is a bijection, so
+    // every round preserves exactly n travelers.
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val n = 1000000L
+    val lv = spark.range(n).select(concat(lit("v"), col("id")).as("gid"),
+      lit("N").as("label"), lit("{}").as("data")).localCheckpoint(true)
+    val le = spark.range(n).select(concat(lit("e"), col("id")).as("gid"),
+      lit("n").as("label"), concat(lit("v"), col("id")).as("from"),
+      concat(lit("v"), pmod(col("id") + 1L, lit(n))).as("to"),
+      lit("{}").as("data")).localCheckpoint(true)
+    val lg = GraphFrame(lv, le)
+    // jump semantics (reference engine/logic/jump.go:155-190): travelers
+    // matching the condition go BACK to the mark; downstream sees copies
+    // only under emit=true. A pure emit=false walk therefore ends with 0
+    // rows — the loop's work is the k rounds themselves — and only ever
+    // needs the LATEST frontier checkpoint, which the engine frees
+    // round-by-round (an emit=true loop's result is semantically
+    // O(rounds×frontier): its batches are kept because they ARE the
+    // result). The counter lives on a MARK ($s.c): set() on the current
+    // element is dropped when out() replaces it (the set-then-hop rule).
+    def walk(k: Int) = Q.V().hasLabel("N").set("c", GValue.GInt(0)).as("s")
+      .mark("a").increment("$s.c", 1).out("n")
+      .jump("a", Some(P.lt("$s.c", k)), emit = false).count()
+    def runWalk(k: Int): Long =
+      Traversal.run(spark, lg, walk(k)).head().getLong(0)
+    assert(runWalk(2) == 0) // warm the loop machinery before timing
+    val t0 = System.nanoTime()
+    assert(runWalk(5) == 0)
+    val t5 = (System.nanoTime() - t0) / 1e9
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val t1 = System.nanoTime()
+    assert(runWalk(20) == 0)
+    val t20 = (System.nanoTime() - t1) / 1e9
+    // the loop storage did not accumulate: at most the final (empty)
+    // result checkpoint survives the run — every per-round frontier
+    // checkpoint was freed as the next round materialized (the session is
+    // shared across suites, so the check is scoped to NEW rdd ids)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    assert(leaked.size <= 1, s"loop leaked ${leaked.size} persisted RDDs")
+    info(f"1M-row frontier: 5 rounds $t5%.1f s, 20 rounds $t20%.1f s (ratio ${t20 / t5}%.2f)")
+    assert(t20 < t5 * 8,
+      f"20 rounds took $t20%.1f s vs $t5%.1f s for 5 — superlinear per-round growth")
+    lv.unpersist(); le.unpersist()
+  }
 }

@@ -291,6 +291,8 @@ class PlanShapeSpec extends AnyFunSuite {
     cat.createGraph("pg", GraphFrame(v, e))
     cat.addIndex("pg", "A", "tag")
     cat.addIndex("pg", "B", "tag")
+    cat.addIndex("pg", "A", "n")
+    cat.addIndex("pg", "B", "n")
     // re-load AFTER the re-layout: addIndex swaps the label's files, so
     // frames loaded before it are stale (the documented contract)
     val plain = cat.graph("pg").copy(fieldIndex = None)
@@ -306,8 +308,21 @@ class PlanShapeSpec extends AnyFunSuite {
       Query().V().hasLabel("C").has(P.eq_("tag", "t3")),
       Query().V().hasLabel("A", "C").has(P.eq_("tag", "t3")),
       Query().V().has(P.eq_("tag", "t3")),
-      // non-string and non-indexed-field predicates never rewrite
+      // numeric predicates over the indexed float64 column (r12): every
+      // ordered op, numeric EQ/WITHIN, and the never-rewritten NEQ/WITHOUT
+      // (they keep missing-field rows a pushed comparison would drop)
       Query().V().hasLabel("A").has(P.gt("n", 25)),
+      Query().V().hasLabel("A", "B").has(P.lte("n", 10)),
+      Query().V().hasLabel("B").has(P.between("n", 5, 20)),
+      Query().V().hasLabel("A").has(P.inside("n", 5, 20)),
+      Query().V().hasLabel("A").has(P.outside("n", 5, 45)),
+      Query().V().hasLabel("A").has(P.eq_("n", 7)),
+      Query().V().hasLabel("B").has(P.within("n", 3, 14, 41)),
+      Query().V().hasLabel("A").has(P.neq("n", 7)),
+      Query().V().hasLabel("A").has(P.without("n", 3, 14)),
+      // ordered comparison on a non-castable STRING field: engine says
+      // false everywhere, the idxn column is all-null — both empty
+      Query().V().hasLabel("A").has(P.gt("tag", 3)),
       Query().V().hasLabel("A").has(P.eq_("other", 1)),
       // composition: filters around hops-of-zero still agree
       Query().V().hasLabel("A").has(P.eq_("tag", "t2")).hasId(
@@ -319,6 +334,26 @@ class PlanShapeSpec extends AnyFunSuite {
       Query().V().hasLabel("A").has(P.eq_("tag", "t3")))
       .queryExecution.executedPlan.toString
     assert(p.contains("__idx_tag"), p)
+    // ...and the covered numeric range rewrote onto the float64 column as
+    // a PUSHED parquet filter (the kvindex range-seek analogue)
+    val pn = Traversal.run(spark, indexed,
+      Query().V().hasLabel("A").has(P.gt("n", 25)))
+      .queryExecution.executedPlan.toString
+    assert(pn.contains("PushedFilters") && pn.contains("__idxn_n"),
+      s"numeric range must push __idxn_n to the parquet scan:\n$pn")
+    // NEQ stays off the index
+    val pneq = Traversal.run(spark, indexed,
+      Query().V().hasLabel("A").has(P.neq("n", 7)))
+      .queryExecution.executedPlan.toString
+    assert(!pneq.contains("__idxn_n"), s"NEQ must not rewrite:\n$pneq")
+  }
+
+  test("field index: idxCol is injective for punctuated fields") {
+    import graft.model.Catalog
+    assert(Catalog.idxCol("a_b") == "__idx_a_b") // plain names stay stable
+    assert(Catalog.idxCol("a.b") != Catalog.idxCol("a_b"))
+    assert(Catalog.idxCol("a.b") != Catalog.idxCol("a-b"))
+    assert(Catalog.idxNumCol("a.b") != Catalog.idxNumCol("a_b"))
   }
 
   test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
