@@ -213,12 +213,12 @@ object Baseline {
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        val (tOn, split) = hopWithPlan()
-        results("skew_hop_10m_aqe") = tOn
+        val (_, split) = hopWithPlan() // warm + capture the plan verdict
+        results("skew_hop_10m_aqe") = median3 { hopWithPlan() }
         results("skew_hop_10m_aqe_split") = if (split) 1.0 else 0.0
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        val (tOff, _) = hopWithPlan()
-        results("skew_hop_10m_noskewjoin") = tOff
+        hopWithPlan()
+        results("skew_hop_10m_noskewjoin") = median3 { hopWithPlan() }
       } finally {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
@@ -274,7 +274,10 @@ object Baseline {
       val cat = new graft.model.Catalog(spark, upRoot)
       val ee = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GraphFrame.edgeSchema)
-      for ((nRows, tag) <- Seq((200000L, "200k"), (2000000L, "2m"))) {
+      // 200k→2M→20M: at the small end fixed job overhead dominates and the
+      // upsert time barely moves; the 20M point exposes the label-size-
+      // proportional full-rewrite term the MERGE-INTO note is about
+      for ((nRows, tag) <- Seq((200000L, "200k"), (2000000L, "2m"), (20000000L, "20m"))) {
         val pv = spark.range(nRows).select(
           concat(lit("v"), col("id")).as("gid"), lit("Person").as("label"),
           format_string("""{"n":%d}""", col("id")).as("data"))
@@ -286,6 +289,30 @@ object Baseline {
           mg.graph.save(s"$upRoot/up$tag.merged")
         }
       }
+      // the delta path (r12): 2M rows × ~0.5 KB incompressible documents
+      // across 20 labels, 1k upserts into ONE. saveIncremental's probe
+      // scans two thin key columns and rewrites one label's partition;
+      // the full save re-encodes every byte of all 20 — write
+      // amplification scales with row BYTES, which is exactly what the
+      // 30-byte synthetic rows of the earlier probes hid (20M×30 B
+      // measured incremental 3.4 s vs full 3.9 s; real documents are
+      // KB-scale and the gap is the partition ratio).
+      import org.apache.spark.sql.functions.sha2
+      val pad = concat((0 until 8).map(k =>
+        sha2(concat(col("id").cast("string"), lit(s"k$k")), 256)): _*)
+      val mv = spark.range(2000000L).select(
+        concat(lit("v"), col("id")).as("gid"),
+        concat(lit("L"), col("id") % 20).as("label"),
+        format_string("""{"n":%d,"pad":"%s"}""", col("id"), pad).as("data"))
+      cat.createGraph("upml", GraphFrame(mv, ee))
+      val mgi = graft.model.MutableGraph(spark,
+        GraphFrame.load(spark, s"$upRoot/upml"))
+      (0 until 1000).foreach(i => mgi.addVertex(s"u$i", "L7", s"""{"n":$i}"""))
+      results("upsert_1k_incr_2m_wide_20lbl") = timeIt { mgi.saveIncremental(s"$upRoot/upml") }
+      val mgf = graft.model.MutableGraph(spark,
+        GraphFrame.load(spark, s"$upRoot/upml"))
+      (0 until 1000).foreach(i => mgf.addVertex(s"w$i", "L7", s"""{"n":$i}"""))
+      results("upsert_1k_full_2m_wide_20lbl") = timeIt { mgf.graph.save(s"$upRoot/upml.full") }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.model.{Catalog, GraphFrame, Gripper, Jobs, Rdf}
+import graft.model.{Catalog, GraphFrame, Gripper, Jobs, MutableGraph, Rdf}
 import graft.gripql.Parser
 import graft.compiler.Traversal
 
@@ -16,6 +16,9 @@ import graft.compiler.Traversal
   *   graft list
   *   graft info <graph>
   *   graft load <graph> --vertices f.jsonl --edges f.jsonl | --rdf f.nt
+  *     [--merge]  → upsert into an existing graph, rewriting only the
+  *                  touched label partitions (reference: cmd/load BulkAdds
+  *                  into the live graph rather than replacing it)
   *   graft dump <graph> [--vertices|--edges]           → ND-JSON on stdout
   *   graft query <graph> "V().hasLabel('x').count()"   → ND-JSON on stdout
   *   graft schema <graph> [--sample-n N]               → sampled schema JSON
@@ -98,8 +101,15 @@ object Cli {
           opt(rest, "--vertices").getOrElse(usage()),
           opt(rest, "--edges").getOrElse(usage()))
       }
-      catalog.createGraph(g, gf)
-      println(s"loaded $g")
+      if (rest.contains("--merge") && catalog.listGraphs().contains(g)) {
+        val mg = MutableGraph(spark, catalog.graph(g))
+        val errs = mg.bulkAddFrames(gf.vertices, gf.edges)
+        catalog.upsertGraph(g, mg)
+        println(s"merged into $g ($errs invalid elements skipped)")
+      } else {
+        catalog.createGraph(g, gf)
+        println(s"loaded $g")
+      }
 
     case "dump" :: g :: rest =>
       val gf = catalog.graph(g)

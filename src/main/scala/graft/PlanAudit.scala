@@ -104,6 +104,32 @@ edges:
     println("==== mix_shuffle_free ====")
     graft.pipeline.Curation.mix(docsDf, "doc_id", "source",
       Map("src0" -> 2.5, "src1" -> 0.4)).explain("formatted")
+    // physical field index (r12): the indexed STRING point predicate and
+    // the NUMERIC range predicate must both reach the vertex scan as
+    // PushedFilters on the materialized __idx_* / __idxn_* columns (the
+    // kvindex term/range seek as parquet row-group skipping)
+    println("==== field_index_seeks ====")
+    locally {
+      import org.apache.spark.sql.functions.{col, concat, lit, format_string}
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft-audit-idx").toString
+      val cat = new graft.model.Catalog(spark, idxRoot)
+      val pv = spark.range(100000L).select(
+        concat(lit("v"), col("id")).as("gid"), lit("Person").as("label"),
+        format_string("""{"name":"n%d","age":%d}""", col("id") % 997, col("id") % 80).as("data"))
+      val pe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.GraphFrame.edgeSchema)
+      cat.createGraph("auditidx", graft.model.GraphFrame(pv, pe))
+      cat.addIndex("auditidx", "Person", "name")
+      cat.addIndex("auditidx", "Person", "age")
+      val ig = cat.graph("auditidx")
+      println("---- string point seek ----")
+      Traversal.run(spark, ig,
+        Q.V().hasLabel("Person").has(P.eq_("name", "n42"))).explain("formatted")
+      println("---- numeric range seek ----")
+      Traversal.run(spark, ig,
+        Q.V().hasLabel("Person").has(P.between("age", 10, 12))).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -34,6 +34,24 @@ class Catalog(spark: SparkSession, root: String) {
       relayout(name, l, reg.collect { case (`l`, f) => f }.sorted))
   }
 
+  /** Persist a mutated graph in place, rewriting only the label
+    * partitions the edits touched ([[MutableGraph.saveIncremental]]),
+    * then rebuild any registered field indices over exactly those labels
+    * — the incremental counterpart of [[createGraph]]'s full
+    * save-and-rebuild (the reference's per-mutation index maintenance,
+    * kvindex/kvindex.go AddVertexIndex, amortized into the flush). */
+  def upsertGraph(name: String, mg: MutableGraph): Unit = {
+    val touched = mg.saveIncremental(dir(name))
+    val reg = listIndices(name)
+    val labels = touched match {
+      case Some((tv, _)) => reg.map(_._1).distinct.filter(tv)
+      case None => reg.map(_._1).distinct // full save path: rebuild all
+    }
+    labels.foreach(l => relayout(name, l, reg.collect { case (`l`, f) => f }.sorted))
+    // the relayout swapped files out from under the just-saved frames
+    if (labels.nonEmpty) mg.repoint(GraphFrame.load(spark, dir(name)))
+  }
+
   def dropGraph(name: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

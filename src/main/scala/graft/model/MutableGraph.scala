@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * in bounded chunks or takes a DataFrame outright ([[bulkAddFrames]]),
   * so driver memory never scales with ingest size; everything pending
   * flushes as ONE merge before any read. At scale the write-back is a
-  * partition-overwrite of label-partitioned parquet ([[GraphFrame.save]]);
-  * on a lakehouse table format this whole class collapses into MERGE INTO.
+  * partition-overwrite of label-partitioned parquet: [[saveIncremental]]
+  * rewrites ONLY the label partitions the edits touched (the MERGE INTO
+  * shape on plain parquet — on a lakehouse table format it becomes the
+  * literal statement), while [[save]] is the full replace.
   */
 /** Thread-safety: every public method synchronizes on the instance —
   * the REST facade serializes requests but the gRPC dispatch pool (and a
@@ -28,6 +30,18 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
 
   private var v: DataFrame = v0
   private var e: DataFrame = e0
+  // ---- delta tracking for [[saveIncremental]]: which label partitions of
+  // the last-persisted state have pending changes. Upserts record a LAZY
+  // (gid, label) projection per merged batch (no extra job on the edit
+  // path); deletes record labels eagerly (they already run lookups).
+  // vBase/eBase snapshot the frames as of the last load/save — the disk
+  // state whose partitions the gid probe must be evaluated against.
+  private var vBase: DataFrame = v0
+  private var eBase: DataFrame = e0
+  private val deltaV = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val deltaE = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val delTouchV = scala.collection.mutable.Set.empty[String]
+  private val delTouchE = scala.collection.mutable.Set.empty[String]
   private val vBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
   private val eBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, String)]
   // sealed pending batches (columns + "__seq"): driver memory stays bounded
@@ -143,6 +157,13 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
 
   def deleteVertex(gid: String): Unit = synchronized {
     flush()
+    // record the victim's label and its incident edges' labels — those
+    // disk partitions must rewrite on the next incremental save (two
+    // bounded lookups; deletes are single-element DML, not bulk ingest)
+    delTouchV ++= v.filter(col("gid") === gid)
+      .select("label").collect().map(_.getString(0))
+    delTouchE ++= e.filter(col("from") === gid || col("to") === gid)
+      .select("label").distinct().collect().map(_.getString(0))
     v = v.filter(col("gid") =!= gid)
     // incident edges go with the vertex (reference: ot_update.py test_delete_edge)
     e = e.filter(col("from") =!= gid && col("to") =!= gid)
@@ -150,6 +171,8 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
 
   def deleteEdge(gid: String): Unit = synchronized {
     flush()
+    delTouchE ++= e.filter(col("gid") === gid)
+      .select("label").collect().map(_.getString(0))
     e = e.filter(col("gid") =!= gid)
   }
 
@@ -162,12 +185,14 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     sealBuffers()
     if (vFrames.nonEmpty) {
       val newV = lastWins(vFrames.reduce(_ unionByName _)).drop("__seq")
+      deltaV += newV.select("gid", "label") // lazy — captured frames are immutable
       v = v.join(broadcast(newV.select("gid")), Seq("gid"), "left_anti")
         .unionByName(newV)
       vFrames.clear()
     }
     if (eFrames.nonEmpty) {
       val newE = lastWins(eFrames.reduce(_ unionByName _)).drop("__seq")
+      deltaE += newE.select("gid", "label")
       e = e.join(broadcast(newE.select("gid")), Seq("gid"), "left_anti")
         .unionByName(newE)
       eFrames.clear()
@@ -212,6 +237,109 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
   }
 
   def save(dir: String): Unit = graph.save(dir)
+
+  /** Persist the merged state IN PLACE over a previous [[GraphFrame.save]]
+    * layout, rewriting only the label partitions the edits touched — the
+    * delta-aware collapse of "MERGE INTO" onto plain label-partitioned
+    * parquet (the class doc's lakehouse note made real). A plain
+    * `save(dir)` back into the directory the graph was loaded from is
+    * impossible anyway (Spark refuses to overwrite an input path); this
+    * method stages each touched partition from the still-live old files,
+    * then swaps staged→live per label with a backup (the same hardened
+    * rename dance as Catalog's index relayout — no crash window loses a
+    * partition without a recoverable copy).
+    *
+    * Touched labels = labels of upserted rows ∪ labels the upserted gids
+    * HAD on disk (a gid moving labels rewrites both partitions) ∪ labels
+    * recorded by deletes. The gid probe is one semi-join against the
+    * last-persisted frames; at 100 TB the cost scales with the delta and
+    * the touched partitions, never the whole graph.
+    *
+    * `dir` must be the directory this graph's base frames were loaded
+    * from (the probe discovers old partitions by joining against THOSE
+    * frames) — merging into some other store needs a load-edit-save
+    * cycle against that store.
+    *
+    * Returns the touched (vertexLabels, edgeLabels), or None when the
+    * target had no prior save and a full [[save]] ran instead. Mutations
+    * invalidate a declared topology, so like a mutated full save the
+    * sidecar is dropped. After the call the instance reads from the
+    * freshly persisted files (the in-place analogue of the re-load the
+    * DDL-vs-open-reader contract would otherwise demand). */
+  def saveIncremental(dir: String): Option[(Set[String], Set[String])] = synchronized {
+    flush()
+    val vPath = new org.apache.hadoop.fs.Path(s"$dir/vertices")
+    val fs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val result =
+      if (!fs.exists(vPath)) { graph.save(dir); None }
+      else {
+        val tV = touchedLabels(vBase, deltaV.toSeq, delTouchV.toSet)
+        val tE = touchedLabels(eBase, deltaE.toSeq, delTouchE.toSet)
+        writeTouched(v, s"$dir/vertices", tV)
+        writeTouched(e, s"$dir/edges", tE)
+        val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
+        if (fs.exists(tPath)) fs.delete(tPath, true)
+        Some((tV, tE))
+      }
+    val fresh = GraphFrame.load(spark, dir)
+    v = fresh.vertices; e = fresh.edges
+    vBase = v; eBase = e
+    deltaV.clear(); deltaE.clear(); delTouchV.clear(); delTouchE.clear()
+    result
+  }
+
+  /** Re-read the persisted state (Catalog.upsertGraph calls this after an
+    * index relayout swaps a just-saved label's files — the old listing
+    * would dangle). Only valid when nothing is pending. */
+  private[model] def repoint(g: GraphFrame): Unit = synchronized {
+    require(vBuf.isEmpty && eBuf.isEmpty && vFrames.isEmpty && eFrames.isEmpty,
+      "repoint with pending mutations would drop them")
+    v = g.vertices; e = g.edges
+    vBase = v; eBase = e
+    deltaV.clear(); deltaE.clear(); delTouchV.clear(); delTouchE.clear()
+  }
+
+  private def touchedLabels(base: DataFrame, deltas: Seq[DataFrame],
+                            fromDeletes: Set[String]): Set[String] = {
+    if (deltas.isEmpty) fromDeletes
+    else {
+      val d = deltas.reduce(_ unionByName _)
+      // labels the upserted gids already occupied on disk — their
+      // partitions lose the old row versions in the rewrite
+      val oldHit = base.join(d.select("gid").distinct(), Seq("gid"), "left_semi")
+        .select("label")
+      oldHit.unionByName(d.select("label")).distinct()
+        .collect().map(_.getString(0)).toSet ++ fromDeletes
+    }
+  }
+
+  /** Stage the touched-label slice of `df` (computed from the still-live
+    * old files), then swap each label partition into place. A label whose
+    * rows all vanished is deleted rather than left stale. */
+  private def writeTouched(df: DataFrame, path: String, labels: Set[String]): Unit = {
+    if (labels.isEmpty) return
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(live)
+    val stage = new org.apache.hadoop.fs.Path(live.getParent, s".delta-stage-${live.getName}")
+    fs.delete(stage, true)
+    df.filter(col("label").isin(labels.toSeq.sorted: _*))
+      .write.mode("overwrite").partitionBy("label").parquet(stage.toString)
+    for (l <- labels.toSeq.sorted) {
+      val livePart = new org.apache.hadoop.fs.Path(live, s"label=$l")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"label=$l")
+      val backup = new org.apache.hadoop.fs.Path(stage, s"label=$l.__old")
+      fs.delete(backup, true)
+      if (fs.exists(livePart) && !fs.rename(livePart, backup))
+        throw new java.io.IOException(s"incremental save: rename $livePart -> $backup failed")
+      if (fs.exists(staged) && !fs.rename(staged, livePart)) {
+        fs.rename(backup, livePart) // restore before raising
+        throw new java.io.IOException(s"incremental save: rename $staged -> $livePart failed")
+      }
+      fs.delete(backup, true)
+    }
+    fs.delete(stage, true)
+  }
 }
 
 object MutableGraph {

@@ -58,6 +58,20 @@ class CliSpec extends AnyFunSuite {
 
     val dump = run("dump", "sw", "--vertices")
     assert(dump.linesIterator.size > 30 && dump.contains("\"gid\""))
+    val nV = dump.linesIterator.size
+
+    // incremental merge: upsert one new Planet + overwrite one, touching
+    // only that label's partition; the graph keeps every other row
+    val extra = java.nio.file.Files.createTempFile("cli-merge", ".jsonl")
+    java.nio.file.Files.writeString(extra,
+      """{"gid":"Planet:99","label":"Planet","data":{"name":"Arrakis"}}""" + "\n" +
+      """{"gid":"Planet:1","label":"Planet","data":{"name":"Tatooine","terrain":"desert"}}""" + "\n")
+    val none = java.nio.file.Files.createTempFile("cli-merge-e", ".jsonl")
+    assert(run("load", "sw", "--vertices", extra.toString,
+      "--edges", none.toString, "--merge").contains("merged into sw"))
+    assert(run("dump", "sw", "--vertices").linesIterator.size == nV + 1)
+    val merged = run("query", "sw", "V().hasLabel('Planet').has(gripql.eq('name', 'Arrakis'))")
+    assert(merged.contains("Planet:99"), merged)
 
     // field index surface: add runs the physical re-layout; the indexed
     // query answers identically; list/drop round-trip the metadata

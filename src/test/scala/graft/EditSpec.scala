@@ -216,4 +216,106 @@ class EditSpec extends AnyFunSuite {
     assert(mg.derivedTopology.toSet ==
       Set(graft.model.EdgeType("x", "z", "y"), graft.model.EdgeType("y", "w", "x")))
   }
+
+  /** Part-files of one label partition (path + length — a rewrite changes
+    * the file names, an untouched partition keeps them bit-for-bit). */
+  private def partFiles(dir: String, side: String, label: String): Set[(String, Long)] = {
+    val d = new java.io.File(s"$dir/$side/label=$label")
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length())).toSet
+  }
+
+  test("saveIncremental rewrites only the touched label partitions, in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-incsave").toString
+    val v = (0 until 300).map(i => (s"v$i", s"L${i % 3}", s"""{"n":$i}"""))
+      .toDF("gid", "label", "data")
+    val e = (0 until 100).map(i => (s"e$i", s"E${i % 2}", s"v$i", s"v${i + 100}", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    GraphFrame(v, e).save(dir)
+    val g0 = GraphFrame.load(spark, dir)
+    val mg = MutableGraph(spark, g0)
+    // upsert into L0 only (one new row + one overwrite), plus a gid that
+    // MOVES from L1 to L0 — its OLD partition must rewrite too
+    mg.addVertex("v900", "L0", """{"n":900}""")
+    mg.addVertex("v0", "L0", """{"n":-1}""")
+    mg.addVertex("v1", "L0", """{"n":901}""") // was L1
+    val untouchedBefore = partFiles(dir, "vertices", "L2")
+    val eBefore = (partFiles(dir, "edges", "E0"), partFiles(dir, "edges", "E1"))
+    val touched = mg.saveIncremental(dir)
+    assert(touched.contains((Set("L0", "L1"), Set.empty[String])), touched.toString)
+    // untouched partitions kept their exact files; edges untouched entirely
+    assert(partFiles(dir, "vertices", "L2") == untouchedBefore)
+    assert((partFiles(dir, "edges", "E0"), partFiles(dir, "edges", "E1")) == eBefore)
+    // reloaded state is the merged truth
+    val g1 = GraphFrame.load(spark, dir)
+    assert(g1.vertices.count() == 301)
+    assert(g1.vertices.filter(col("gid") === "v1").select("label", "data")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("L0", """{"n":901}""")))
+    assert(g1.vertices.filter(col("gid") === "v0").select("data")
+      .head().getString(0) == """{"n":-1}""")
+    // the instance itself reads the persisted state and stays usable
+    assert(n(mg.graph, Q.V().hasLabel("L0")) ==
+      g1.vertices.filter(col("label") === "L0").count())
+  }
+
+  test("saveIncremental: deletes rewrite victim partitions and drop emptied labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-incsave-del").toString
+    val v = Seq(("a", "solo", "{}"), ("b", "big", "{}"), ("c", "big", "{}"))
+      .toDF("gid", "label", "data")
+    val e = Seq(("e1", "link", "a", "b", "{}"), ("e2", "other", "b", "c", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    GraphFrame(v, e).save(dir)
+    val mg = MutableGraph(spark, GraphFrame.load(spark, dir))
+    mg.deleteVertex("a") // empties label 'solo' AND removes incident e1 (label 'link')
+    val touched = mg.saveIncremental(dir)
+    assert(touched.contains((Set("solo"), Set("link"))), touched.toString)
+    assert(!new java.io.File(s"$dir/vertices/label=solo").exists())
+    assert(!new java.io.File(s"$dir/edges/label=link").exists())
+    val g1 = GraphFrame.load(spark, dir)
+    assert(g1.vertices.count() == 2 && g1.edges.count() == 1)
+    assert(g1.edges.head().getAs[String]("gid") == "e2")
+  }
+
+  test("saveIncremental without a prior save falls back to a full save") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incsave-new").toString + "/g"
+    val mg = MutableGraph.empty(spark)
+    mg.addVertex("x", "node", "{}")
+    assert(mg.saveIncremental(dir).isEmpty) // None = full save ran
+    assert(GraphFrame.load(spark, dir).vertices.count() == 1)
+  }
+
+  test("Catalog.upsertGraph keeps a physical field index correct over incremental saves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-incsave-idx").toString
+    val cat = new graft.model.Catalog(spark, root)
+    val v = (0 until 200).map(i => (s"v$i", if (i % 2 == 0) "P" else "Qq", s"""{"name":"n${i % 9}"}"""))
+      .toDF("gid", "label", "data")
+    val e = Seq.empty[(String, String, String, String, String)]
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("ig", GraphFrame(v, e))
+    cat.addIndex("ig", "P", "name")
+    val mg = MutableGraph(spark, cat.graph("ig"))
+    mg.addVertex("v998", "P", """{"name":"n3"}""")
+    mg.addVertex("v0", "P", """{"name":"nX"}""") // overwrite: leaves n-group 0
+    cat.upsertGraph("ig", mg)
+    // indexed query over the RE-BUILT index answers the merged truth
+    val q = Q.V().hasLabel("P").has(P.eq_("name", "n3"))
+    val got = Traversal.run(spark, cat.graph("ig"), q)
+      .select("gid").collect().map(_.getString(0)).sorted.toSeq
+    val want = ((0 until 200).filter(i => i % 2 == 0 && i % 9 == 3).map(i => s"v$i")
+      :+ "v998").sorted
+    assert(got == want, s"got $got")
+    // the plan still runs through the pushed index column
+    val plan = Traversal.run(spark, cat.graph("ig"), q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__idx_name"), plan)
+    // and the mg instance survived the relayout repoint
+    assert(n(mg.graph, Q.V().hasLabel("P")) == 101)
+  }
 }
