@@ -507,4 +507,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Seq((7L, 0L), (7L, 1L), (7L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming graph ingest upserts micro-batches through touched-partition rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GraphIngestStreaming
+    import graft.streaming.GraphIngestStreaming.VertexEvent
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val cat = new graft.model.Catalog(spark, root)
+    // pre-existing INDEXED graph: per-batch upserts must keep the
+    // physical field index correct (touched labels relayout per batch)
+    val v0 = Seq(("p1", "P", """{"name":"a"}"""), ("q1", "Qq", """{"name":"z"}"""))
+      .toDF("gid", "label", "data")
+    val e0 = Seq.empty[(String, String, String, String, String)]
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("sg", graft.model.GraphFrame(v0, e0))
+    cat.addIndex("sg", "P", "name")
+    val input = MemoryStream[VertexEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch(GraphIngestStreaming.vertexUpserts(cat, "sg"))
+      .start()
+    try {
+      input.addData(VertexEvent("p2", "P", """{"name":"b"}"""))
+      q.processAllAvailable()
+      // second batch: new row + an overwrite of batch-1's row
+      input.addData(
+        VertexEvent("p3", "P", """{"name":"b"}"""),
+        VertexEvent("p2", "P", """{"name":"c"}"""))
+      q.processAllAvailable()
+      val g = cat.graph("sg")
+      assert(g.vertices.count() == 4)
+      // the indexed predicate answers the post-stream truth (the index
+      // was rebuilt per batch, not left stale over the rewritten label)
+      val out = graft.compiler.Traversal.run(spark, g,
+        gripql.Query().V().hasLabel("P").has(gripql.P.eq_("name", "b")))
+        .select("gid").collect().map(_.getString(0)).toSet
+      assert(out == Set("p3"), out.toString)
+      val plan = graft.compiler.Traversal.run(spark, g,
+        gripql.Query().V().hasLabel("P").has(gripql.P.eq_("name", "b")))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__idx_name"), plan)
+      // untouched label survived every batch untouched
+      assert(g.vertices.filter(col("label") === "Qq").count() == 1)
+    } finally q.stop()
+  }
 }
