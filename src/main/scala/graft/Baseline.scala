@@ -179,6 +179,30 @@ object Baseline {
       val rowsIdx = scala.util.Try(scanRows(Traversal.run(spark, ig, pq))).getOrElse(-1L)
       results("idx_scan_rows_plain") = rowsPlain.toDouble
       results("idx_scan_rows_indexed") = rowsIdx.toDouble
+
+      // numeric-range seek (r12): the same layout with a NUMERIC field
+      // leading the sort — GT/LT/BETWEEN rewrite onto the float64
+      // __idxn column as a pushed range filter, so the 20-row answer
+      // reads only the row groups whose min/max band intersects
+      // [4242, 4243). A separate graph so `num` is the leading (only)
+      // index field; on a graph where another field leads, numeric
+      // skipping is stats-assisted rather than clustered.
+      val nv = spark.range(2000000L).select(
+        concat(lit("v"), col("id")).as("gid"), lit("Person").as("label"),
+        format_string("""{"num":%d,"pad":"%08d"}""", col("id") % 100000, col("id")).as("data"))
+      cat.createGraph("idxprobe_n", GraphFrame(nv, pe))
+      val nq = Q.V().hasLabel("Person").has(graft.gripql.P.between("num", 4242, 4243))
+      val plainN = cat.graph("idxprobe_n").copy(fieldIndex = None)
+      results("idxn_range_plain_2m") = median3 {
+        Traversal.run(spark, plainN, nq).count() }
+      val rowsPlainN = scala.util.Try(scanRows(Traversal.run(spark, plainN, nq))).getOrElse(-1L)
+      cat.addIndex("idxprobe_n", "Person", "num")
+      val ign = cat.graph("idxprobe_n")
+      results("idxn_range_indexed_2m") = median3 {
+        Traversal.run(spark, ign, nq).count() }
+      val rowsIdxN = scala.util.Try(scanRows(Traversal.run(spark, ign, nq))).getOrElse(-1L)
+      results("idxn_scan_rows_plain") = rowsPlainN.toDouble
+      results("idxn_scan_rows_indexed") = rowsIdxN.toDouble
     }
 
     // AQE skew-join probe (r12): a power-law hop at 10M edges where one

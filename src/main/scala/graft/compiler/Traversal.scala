@@ -194,8 +194,10 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     if (labelSets.isEmpty) None
     else {
       val labels = labelSets.reduce(_ intersect _)
-      def covered(field: String): Boolean =
-        labels.nonEmpty && labels.forall(l => fi.entries((l, field)))
+      // string vs numeric coverage are separate sets: the stored files
+      // may carry only the string column (pre-r12 layout) — see FieldIndex
+      def covered(entries: Set[(String, String)])(field: String): Boolean =
+        labels.nonEmpty && labels.forall(l => entries((l, field)))
       // data-field key with no mark namespace and no reserved head
       def fieldOf(key: String): Option[String] = {
         val (ns, parts) = FieldRef.parse(key)
@@ -204,9 +206,9 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         else None
       }
       def strCol(key: String): Option[Column] =
-        fieldOf(key).filter(covered).map(f => col(graft.model.Catalog.idxCol(f)))
+        fieldOf(key).filter(covered(fi.entries)).map(f => col(graft.model.Catalog.idxCol(f)))
       def numCol(key: String): Option[Column] =
-        fieldOf(key).filter(covered).map(f => col(graft.model.Catalog.idxNumCol(f)))
+        fieldOf(key).filter(covered(fi.numEntries)).map(f => col(graft.model.Catalog.idxNumCol(f)))
       val conjuncts = prefix.collect { case Stmt.Has(e) => e }.flatMap {
         case HasExpr.Cond(key, v, CondOp.EQ) => v match {
           case GValue.GString(s) => strCol(key).map(_ === lit(s))

@@ -78,18 +78,35 @@ class Catalog(spark: SparkSession, root: String) {
     val idx = listIndices(name)
     if (idx.isEmpty) g
     else {
-      // re-read vertices WITH the materialized index columns (absent in
-      // some label partitions → null there; the compiler only uses an
-      // index column under a label restriction fully covered by entries)
-      val extra = idx.map(_._2).distinct.sorted.flatMap(f => Seq(
-        org.apache.spark.sql.types.StructField(Catalog.idxCol(f),
-          org.apache.spark.sql.types.StringType, nullable = true),
-        org.apache.spark.sql.types.StructField(Catalog.idxNumCol(f),
-          org.apache.spark.sql.types.DoubleType, nullable = true)))
-      val schema = org.apache.spark.sql.types.StructType(
-        GraphFrame.vertexSchema.fields.toSeq ++ extra)
-      val iv = spark.read.schema(schema).parquet(s"${dir(name)}/vertices")
-      g.copy(fieldIndex = Some(FieldIndex(iv, idx.toSet)))
+      // coverage is decided from the files ON DISK, per indexed label:
+      // a registry entry only serves the predicate forms whose column its
+      // stored partition really carries. This is what makes reading an
+      // index directory built by an OLDER layout safe — e.g. a pre-r12
+      // build has only the string `__idx_*` column, and rewriting a
+      // numeric predicate onto the (imposed-schema, all-null) `__idxn_*`
+      // would silently drop every row. One footer read per indexed label.
+      val storedCols: Map[String, Set[String]] = idx.map(_._1).distinct.map { l =>
+        val p = s"${dir(name)}/vertices/label=$l"
+        l -> (try spark.read.parquet(p).schema.fieldNames.toSet
+              catch { case scala.util.control.NonFatal(_) => Set.empty[String] })
+      }.toMap
+      val strOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxCol(f)) }.toSet
+      val numOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxNumCol(f)) }.toSet
+      if (strOk.isEmpty) g
+      else {
+        // re-read vertices WITH the materialized index columns (absent in
+        // some label partitions → null there; the compiler only uses an
+        // index column under a label restriction fully covered by entries)
+        val extra = idx.map(_._2).distinct.sorted.flatMap(f => Seq(
+          org.apache.spark.sql.types.StructField(Catalog.idxCol(f),
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField(Catalog.idxNumCol(f),
+            org.apache.spark.sql.types.DoubleType, nullable = true)))
+        val schema = org.apache.spark.sql.types.StructType(
+          GraphFrame.vertexSchema.fields.toSeq ++ extra)
+        val iv = spark.read.schema(schema).parquet(s"${dir(name)}/vertices")
+        g.copy(fieldIndex = Some(FieldIndex(iv, strOk, numOk)))
+      }
     }
   }
 

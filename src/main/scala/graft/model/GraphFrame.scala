@@ -35,7 +35,16 @@ case class EdgeType(from: String, label: String, to: String)
   * seeds label-restricted point lookups from this frame so the predicate
   * lands on a real parquet column — pushed filter + row-group skip —
   * instead of a post-scan JSON extraction. */
-case class FieldIndex(vertices: DataFrame, entries: Set[(String, String)])
+/** `entries` = (label, field) pairs whose STRING `__idx_*` column is
+  * materialized in the stored files; `numEntries` ⊆ entries additionally
+  * have the float64 `__idxn_*` column (r12 layout) and so can serve
+  * numeric range predicates. The split exists because coverage is decided
+  * from the files actually on disk, not the registry: an index directory
+  * built by an older layout must not have numeric predicates rewritten
+  * onto a column its files don't carry (the imposed read schema would
+  * yield all-null and the pushed filter would silently drop every row). */
+case class FieldIndex(vertices: DataFrame, entries: Set[(String, String)],
+                      numEntries: Set[(String, String)] = Set.empty)
 
 case class GraphFrame(vertices: DataFrame, edges: DataFrame,
                       topology: Option[Seq[EdgeType]] = None,

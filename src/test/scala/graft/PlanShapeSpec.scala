@@ -348,6 +348,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pneq.contains("__idxn_n"), s"NEQ must not rewrite:\n$pneq")
   }
 
+  test("field index: a pre-upgrade layout (string column only) never serves numeric rewrites") {
+    // simulate an index directory built by the pre-r12 relayout: the
+    // stored partition carries __idx_<f> but NOT __idxn_<f>. Coverage is
+    // decided from the files on disk, so numeric predicates must stay on
+    // the engine filter (rewriting onto the imposed all-null __idxn
+    // column would silently drop every row) while string point
+    // predicates still use the index.
+    import graft.model.{Catalog, GraphFrame}
+    import graft.gripql.{Query, P}
+    import graft.compiler.Traversal
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-old").toString
+    val cat = new Catalog(spark, root)
+    val v = (0 until 400).map(i => (s"v$i", "P", s"""{"n":${i % 50}}"""))
+      .toDF("gid", "label", "data")
+    val e = Seq.empty[(String, String, String, String, String)]
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("old", GraphFrame(v, e))
+    cat.addIndex("old", "P", "n")
+    // strip the numeric column from the stored files (the old layout)
+    val part = s"$root/old/vertices/label=P"
+    val tmp = s"$root/old/.strip"
+    spark.read.parquet(part).drop(Catalog.idxNumCol("n"))
+      .write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(part))
+    assert(new java.io.File(tmp).renameTo(new java.io.File(part)))
+
+    val g = cat.graph("old")
+    assert(g.fieldIndex.exists(fi =>
+      fi.entries == Set(("P", "n")) && fi.numEntries.isEmpty))
+    val nq = Query().V().hasLabel("P").has(P.gt("n", 25))
+    val got = Traversal.run(spark, g, nq)
+      .select("gid").collect().map(_.getString(0)).sorted.toSeq
+    val want = (0 until 400).filter(_ % 50 > 25).map(i => s"v$i").sorted
+    assert(got == want)
+    val plan = Traversal.run(spark, g, nq).queryExecution.executedPlan.toString
+    assert(!plan.contains("__idxn_n"), s"numeric rewrite on a string-only layout:\n$plan")
+    // the string column still serves point predicates
+    val sq = Query().V().hasLabel("P").has(P.eq_("n", "25"))
+    val splan = Traversal.run(spark, g, sq).queryExecution.executedPlan.toString
+    assert(splan.contains("__idx_n"), splan)
+  }
+
   test("field index: idxCol is injective for punctuated fields") {
     import graft.model.Catalog
     assert(Catalog.idxCol("a_b") == "__idx_a_b") // plain names stay stable
