@@ -681,6 +681,26 @@ edges:
     // driver scalar (bounded metadata, like the loop frontier counts);
     // ties are exact because both sides compare their own round(…,7)
     // values, which q79's hash parity pins bit-identical.
+    // q88: the physical NUMERIC field index end-to-end through the
+    // oracle gate — build a catalog graph from the customer table, index
+    // c_acctbal (materialized float64 __idxn column, numerically-sorted
+    // layout), and answer a BETWEEN range seek through the rewritten
+    // pushed-filter scan. The temp store is per-invocation scratch; the
+    // entry's cost is dominated by the one-shot index build, like p58.
+    "q88_indexed_range" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      val cat = new graft.model.Catalog(s, root)
+      val v = s.read.parquet(s"$d/customer.parquet").select(
+        concat(lit("c:"), col("c_custkey")).as("gid"),
+        lit("customer").as("label"),
+        to_json(struct(col("c_acctbal"))).as("data"))
+      val e = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.GraphFrame.edgeSchema)
+      cat.createGraph("q88", graft.model.GraphFrame(v, e))
+      cat.addIndex("q88", "customer", "c_acctbal")
+      g1(Traversal.run(s, cat.graph("q88"),
+        Query().V().hasLabel("customer").has(P.between("c_acctbal", 1000, 3000))))
+    }),
     "q87_centrality_traversal" -> ((s, d) => {
       val g0 = dedupGraph(s, d)
       val scores = graft.model.GraphAlgos.pageRankWeighted(g0, "near_dup",
@@ -1398,6 +1418,10 @@ edges:
     "q79_pagerank_w" ->
       s"""WITH $prwScoreCtes
          |SELECT gid, round(r, 7) AS prw FROM pr2""".stripMargin,
+    // q88: BETWEEN [a,b) — the engine compares the float64 cast of the
+    // stored JSON value; the oracle ranges over the original doubles
+    "q88_indexed_range" ->
+      "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 3000",
     // q87: q79's scores re-read through the statement algebra — the max-
     // score vertices seed a numeric has() and a both() hop; e carries both
     // directions exactly like the engine's both("near_dup")
