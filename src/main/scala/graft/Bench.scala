@@ -14,12 +14,16 @@ object Bench {
     // costs a whole round's perf signal.
     val settleBudget = sys.env.get("SPARK_GRAFT_SETTLE_SEC").flatMap(s =>
       scala.util.Try(s.toInt).toOption).getOrElse(420)
-    def load5: Double =
+    // None when /proc/loadavg is unreadable — the verdict below must stay
+    // conservative (settled:false) on a box we can't measure, and the
+    // settle loop must not spin its whole budget waiting on a read that
+    // will never succeed
+    def load5: Option[Double] =
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(1).toDouble).getOrElse(0.0)
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(1).toDouble).toOption
     val settleDeadline = System.nanoTime() + settleBudget * 1000000000L
-    while (load5 > 1.0 && System.nanoTime() < settleDeadline) {
-      System.err.println(f"[bench] waiting for box to settle: 5-min loadavg ${load5}%.2f")
+    while (load5.exists(_ > 1.0) && System.nanoTime() < settleDeadline) {
+      System.err.println(f"[bench] waiting for box to settle: 5-min loadavg ${load5.get}%.2f")
       Thread.sleep(15000)
     }
     // the settled verdict is taken HERE, before this process creates the
@@ -27,8 +31,8 @@ object Bench {
     // 32 cores for a minute or more, so a loadavg read at suite start
     // (r11's mistake) reports the bench's own work as foreign contention
     // and stamps a clean run settled:false
-    val settledLoad = load5
-    val settled = settledLoad <= 1.0
+    val settledLoad = load5.getOrElse(-1.0)
+    val settled = load5.exists(_ <= 1.0)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -679,8 +679,27 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
               outLabels = mergeLabels(outLabels, l2)
               d2
             }
-            val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-            var arrivals = df.localCheckpoint(false)
+            // ids of the localCheckpoints THIS loop created — the only
+            // RDDs the per-round and post-loop sweeps may free. Diffing
+            // the session-global getPersistentRDDs instead (the previous
+            // shape) would unpersist a concurrent query's checkpoint
+            // created mid-loop on a shared SparkSession (server/gRPC
+            // pool), and a checkpoint's truncated lineage cannot
+            // recompute. localCheckpoint registers its persist at call
+            // time on the driver, so the before/after diff brackets just
+            // this call — any concurrent id landing inside the bracket is
+            // at worst freed later than its owner intended, never while a
+            // job still needs it computed (unpersist leaves materialized
+            // block readers unaffected; recompute-after-free is what
+            // kills checkpoints, and we only free ids we created).
+            val ownIds = scala.collection.mutable.Set.empty[Int]
+            def ckpt(d: DataFrame): DataFrame = {
+              val before = spark.sparkContext.getPersistentRDDs.keySet
+              val c = d.localCheckpoint(false)
+              ownIds ++= spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+              c
+            }
+            var arrivals = ckpt(df)
             var (nArr, nFront) = counts(arrivals)
             arrivals = sized(arrivals, nArr)
             var emitted: Option[DataFrame] = if (emit) Some(arrivals) else None
@@ -698,14 +717,13 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
             // every later round to disk (measured: rounds 1-9 constant
             // 1.8-2 s, rounds 16+ at 5.7-6.4 s once storage passed 4 GB).
             // emit=true keeps its batches: they ARE the result. The sweep
-            // is id-based — free loop-era persistent RDDs that existed
-            // before this round's checkpoint (the new one is already
-            // materialized by counts(), so nothing can recompute through
-            // the freed lineage).
-            def freeStale(beforeRound: scala.collection.Set[Int]): Unit = if (!emit) {
-              for ((id, rdd) <- spark.sparkContext.getPersistentRDDs
-                   if beforeRound.contains(id) && !persistedBefore.contains(id))
-                rdd.unpersist(false)
+            // frees exactly the loop's OWN checkpoints that predate this
+            // round's (the new one is already materialized by counts(),
+            // so nothing can recompute through the freed lineage).
+            def freeStale(prevOwn: Set[Int]): Unit = if (!emit) {
+              val persisted = spark.sparkContext.getPersistentRDDs
+              for (id <- prevOwn; rdd <- persisted.get(id)) rdd.unpersist(false)
+              ownIds --= prevOwn
             }
             while (nFront > 0 && downstreamLimit.forall(emittedCount < _)) {
               if (iter >= maxIters) overrun()
@@ -713,12 +731,11 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
               if (k <= 1) {
                 iter += 1
                 val rt0 = if (loopDebug) System.nanoTime() else 0L
-                val beforeRound = spark.sparkContext.getPersistentRDDs.keySet
-                arrivals = applyBody(condCol.map(arrivals.filter).getOrElse(arrivals))
-                  .localCheckpoint(false)
+                val prevOwn = ownIds.toSet
+                arrivals = ckpt(applyBody(condCol.map(arrivals.filter).getOrElse(arrivals)))
                 val c = counts(arrivals); nArr = c._1; nFront = c._2
                 arrivals = sized(arrivals, nArr)
-                freeStale(beforeRound)
+                freeStale(prevOwn)
                 if (emit) {
                   emitted = Some(emitted.get.unionByName(arrivals))
                   emittedCount += nArr
@@ -739,14 +756,14 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
                 // references `vars` several times). The barrier keeps k
                 // small independent plans composed at the RDD level — still
                 // ONE job materializes the whole block.
-                val beforeRound = spark.sparkContext.getPersistentRDDs.keySet
+                val prevOwn = ownIds.toSet
                 var d2 = arrivals
                 val stages = (1 to k).map { j =>
                   d2 = applyBody(condCol.map(d2.filter).getOrElse(d2))
                   if (j < k) d2 = spark.createDataFrame(d2.rdd, d2.schema)
                   d2.withColumn("__stage", lit(j))
                 }
-                val u = stages.reduce(_ unionByName _).localCheckpoint(false)
+                val u = ckpt(stages.reduce(_ unionByName _))
                 val byStage = u.groupBy(col("__stage")).agg(
                     count(lit(1)), count(when(condCol.getOrElse(lit(true)), 1)))
                   .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -760,7 +777,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
                 iter += jEnd
                 nArr = stats(k - 1)._1; nFront = stats(k - 1)._2
                 arrivals = sized(u.filter(col("__stage") === k).drop("__stage"), nArr)
-                freeStale(beforeRound) // u is materialized; prior blocks are dead weight
+                freeStale(prevOwn) // u is materialized; prior blocks are dead weight
                 if (emit) {
                   emitted = Some(emitted.get.unionByName(u.drop("__stage")))
                   emittedCount += stats.map(_._1).sum
@@ -770,13 +787,16 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
             df = emitted.getOrElse(df.limit(0))
             labels = if (emit) outLabels else loopLabels
             // materialize the loop output, then free every intermediate
-            // checkpoint — including the pre-loop arrivals checkpoint that
-            // exists even when the loop ran zero iterations
+            // checkpoint this loop owns — including the pre-loop arrivals
+            // checkpoint that exists even when the loop ran zero
+            // iterations. Only the final eager checkpoint (the ids minted
+            // by THIS call) survives.
+            val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
             df = df.localCheckpoint(true)
-            val persistedAfter = spark.sparkContext.getPersistentRDDs
-            val newIds = persistedAfter.keySet -- persistedBefore
-            val keepId = if (newIds.nonEmpty) newIds.max else -1
-            for (id <- newIds if id != keepId; rdd <- persistedAfter.get(id)) rdd.unpersist(false)
+            val keep = spark.sparkContext.getPersistentRDDs.keySet.diff(beforeFinal)
+            val persisted = spark.sparkContext.getPersistentRDDs
+            for (id <- ownIds if !keep.contains(id); rdd <- persisted.get(id))
+              rdd.unpersist(false)
           }
 
         case Stmt.Unwind(field) if Traversal.fusableUnwindAgg(field, stmts.lift(i + 1)) =>

@@ -86,7 +86,7 @@ class Catalog(spark: SparkSession, root: String) {
       // numeric predicate onto the (imposed-schema, all-null) `__idxn_*`
       // would silently drop every row. One footer read per indexed label.
       val storedCols: Map[String, Set[String]] = idx.map(_._1).distinct.map { l =>
-        val p = s"${dir(name)}/vertices/label=$l"
+        val p = s"${dir(name)}/vertices/${Catalog.labelPartName(l)}"
         l -> (try spark.read.parquet(p).schema.fieldNames.toSet
               catch { case scala.util.control.NonFatal(_) => Set.empty[String] })
       }.toMap
@@ -166,9 +166,15 @@ class Catalog(spark: SparkSession, root: String) {
     * inside it would itself read as a valid `label=X.__reindex` partition
     * with duplicate rows), then swapped live→backup, staged→live,
     * delete-backup — no window loses the partition without a recoverable
-    * copy on disk. */
+    * copy on disk, and GraphFrame.load rolls an interrupted swap back.
+    * The atomic-rename requirement this rests on (HDFS/local yes,
+    * S3-class object stores NO) is the documented contract in
+    * [[GraphFrame.recoverInterruptedSwaps]]. */
   private def relayout(graph: String, label: String, fields: Seq[String]): Unit = {
-    val part = new org.apache.hadoop.fs.Path(s"${dir(graph)}/vertices/label=$label")
+    // self-heal a crashed previous relayout before probing the partition
+    GraphFrame.recoverInterruptedSwaps(spark, dir(graph))
+    val part = new org.apache.hadoop.fs.Path(
+      s"${dir(graph)}/vertices/${Catalog.labelPartName(label)}")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(part)) return
     import org.apache.spark.sql.functions.{col, get_json_object}
@@ -179,7 +185,7 @@ class Catalog(spark: SparkSession, root: String) {
       d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f))
         .withColumn(Catalog.idxNumCol(f), col(Catalog.idxCol(f)).try_cast("double")))
     val stageRoot = new org.apache.hadoop.fs.Path(s"${dir(graph)}/.reindex")
-    val stage = new org.apache.hadoop.fs.Path(stageRoot, s"label=$label")
+    val stage = new org.apache.hadoop.fs.Path(stageRoot, Catalog.labelPartName(label))
     // range-sort, numeric interpretation leading per field: each output
     // file (and row group) gets a tight min/max band of the leading index
     // field in BOTH the float64 and the string reading (equal strings have
@@ -187,7 +193,8 @@ class Catalog(spark: SparkSession, root: String) {
     withIdx.orderBy(fields.flatMap(f =>
         Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
       .write.mode("overwrite").parquet(stage.toString)
-    val backup = new org.apache.hadoop.fs.Path(stageRoot, s"label=$label.__old")
+    val backup = new org.apache.hadoop.fs.Path(stageRoot,
+      Catalog.labelPartName(label) + ".__old")
     fs.delete(backup, true)
     if (!fs.rename(part, backup))
       throw new java.io.IOException(s"index re-layout: rename $part -> $backup failed")
@@ -214,6 +221,18 @@ class Catalog(spark: SparkSession, root: String) {
 }
 
 object Catalog {
+  /** Directory name of a label partition exactly as Spark writes it.
+    * Partition VALUES are escaped on write (ExternalCatalogUtils
+    * .escapePathName: ':', '%', '/', '#', control chars, …), so every
+    * hand-built path that probes or swaps a written partition must
+    * escape identically — a raw `label=a:b` probe misses the real
+    * `label=a%3Ab` directory (and ':' even throws in Hadoop Path),
+    * which for the stage-swap protocols would silently discard the
+    * staged rows. */
+  def labelPartName(label: String): String =
+    "label=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(label)
+
   /** Parquet column name materializing an indexed field's extraction. */
   def idxCol(field: String): String = "__idx_" + safe(field)
 

@@ -108,9 +108,58 @@ object GraphFrame {
       .map(r => EdgeType(r.getString(0), r.getString(1), r.getString(2))).toSeq
   }
 
-  /** Load a saved graph, including the topology contract if present. */
+  /** Roll back any swap a crashed [[MutableGraph.saveIncremental]] or
+    * Catalog index relayout left half-done, restoring the pre-save state.
+    *
+    * COMMIT CONTRACT (read this before pointing `dir` at an object
+    * store): the stage-then-swap protocols commit each label partition
+    * with two `FileSystem.rename` calls. On HDFS and local filesystems
+    * rename is atomic, so every crash leaves each label either fully old
+    * (live partition intact, or moved to its `.__old` backup inside the
+    * stage directory) or fully new — this method restores the backups and
+    * discards uncommitted staged rows, so a load after ANY crash sees a
+    * consistent graph (labels the crash interrupted roll back; labels
+    * already swapped stay committed — per-label atomicity, exactly the
+    * granularity a partition-overwrite MERGE has). On S3-class object
+    * stores rename is copy+delete and NOT atomic: a crash mid-copy can
+    * leave a partial partition that this rollback cannot detect. Do not
+    * run the incremental-save/relayout paths against such a store without
+    * an atomic-rename layer (HDFS, a committer service, or a lakehouse
+    * table format whose manifest commit replaces the swap entirely —
+    * the full [[GraphFrame.save]] path is safe everywhere since Spark's
+    * own output committer handles it).
+    *
+    * Single-writer: recovery deletes the stage directories, so it must
+    * not run concurrently with a live save/relayout on the same `dir`
+    * (the same discipline the swap itself already requires). */
+  def recoverInterruptedSwaps(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((stageName, sideName) <- Seq(
+        (".delta-stage-vertices", "vertices"), (".delta-stage-edges", "edges"),
+        (".reindex", "vertices"))) {
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/$stageName")
+      val fs = stage.getFileSystem(conf)
+      if (fs.exists(stage)) {
+        val side = new org.apache.hadoop.fs.Path(s"$dir/$sideName")
+        for (st <- fs.listStatus(stage) if st.getPath.getName.endsWith(".__old")) {
+          val live = new org.apache.hadoop.fs.Path(side,
+            st.getPath.getName.stripSuffix(".__old"))
+          // crash between the two renames: the backup is the only copy
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+        }
+        // staged rows whose save never returned are uncommitted — discard
+        fs.delete(stage, true)
+      }
+    }
+  }
+
+  /** Load a saved graph, including the topology contract if present.
+    * Honors the swap protocols' crash recovery first (see
+    * [[recoverInterruptedSwaps]]), so a graph interrupted mid-
+    * incremental-save or mid-index-relayout loads intact. */
   def load(spark: SparkSession, dir: String): GraphFrame = {
     import spark.implicits._
+    recoverInterruptedSwaps(spark, dir)
     val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val topo =

@@ -277,8 +277,12 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
         val tE = touchedLabels(eBase, deltaE.toSeq, delTouchE.toSet)
         writeTouched(v, s"$dir/vertices", tV)
         writeTouched(e, s"$dir/edges", tE)
-        val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
-        if (fs.exists(tPath)) fs.delete(tPath, true)
+        // the sidecar is only invalidated by actual mutations — a no-op
+        // incremental save must not drop a declared topology
+        if (tV.nonEmpty || tE.nonEmpty) {
+          val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
+          if (fs.exists(tPath)) fs.delete(tPath, true)
+        }
         Some((tV, tE))
       }
     val fresh = GraphFrame.load(spark, dir)
@@ -315,20 +319,32 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
 
   /** Stage the touched-label slice of `df` (computed from the still-live
     * old files), then swap each label partition into place. A label whose
-    * rows all vanished is deleted rather than left stale. */
+    * rows all vanished is deleted rather than left stale.
+    *
+    * Commit protocol: per-label stage-then-swap via two atomic renames,
+    * rolled back on load after a crash — the atomic-rename requirement
+    * (HDFS/local yes, S3-class object stores NO) and the recovery
+    * semantics are the documented contract in
+    * [[GraphFrame.recoverInterruptedSwaps]]. */
   private def writeTouched(df: DataFrame, path: String, labels: Set[String]): Unit = {
     if (labels.isEmpty) return
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(live)
+    // self-heal any swap a crashed previous save left half-done BEFORE
+    // clearing the stage (the stage may hold the only copy of a partition)
+    GraphFrame.recoverInterruptedSwaps(spark, live.getParent.toString)
     val stage = new org.apache.hadoop.fs.Path(live.getParent, s".delta-stage-${live.getName}")
     fs.delete(stage, true)
     df.filter(col("label").isin(labels.toSeq.sorted: _*))
       .write.mode("overwrite").partitionBy("label").parquet(stage.toString)
     for (l <- labels.toSeq.sorted) {
-      val livePart = new org.apache.hadoop.fs.Path(live, s"label=$l")
-      val staged = new org.apache.hadoop.fs.Path(stage, s"label=$l")
-      val backup = new org.apache.hadoop.fs.Path(stage, s"label=$l.__old")
+      // Spark escapes partition VALUES on write — probe/swap paths must
+      // match the escaped spelling or a punctuated label's staged rows
+      // would be silently discarded (see Catalog.labelPartName)
+      val livePart = new org.apache.hadoop.fs.Path(live, Catalog.labelPartName(l))
+      val staged = new org.apache.hadoop.fs.Path(stage, Catalog.labelPartName(l))
+      val backup = new org.apache.hadoop.fs.Path(stage, Catalog.labelPartName(l) + ".__old")
       fs.delete(backup, true)
       if (fs.exists(livePart) && !fs.rename(livePart, backup))
         throw new java.io.IOException(s"incremental save: rename $livePart -> $backup failed")

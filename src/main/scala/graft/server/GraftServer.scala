@@ -140,7 +140,24 @@ class GraftServer(spark: SparkSession, port: Int,
   server.createContext("/v1/plugin", (ex: HttpExchange) => handleAux(ex))
   server.createContext("/v1/driver", (ex: HttpExchange) => handleAux(ex))
   server.createContext("/v1/table", (ex: HttpExchange) => handleAux(ex))
-  server.setExecutor(null) // serial — mutations per graph need no extra locking
+  // Concurrent handler pool — the reference's gRPC server dispatches every
+  // RPC on its own goroutine (server/server.go), and a serial executor
+  // wedges the whole REST surface behind one slow traversal stream or a
+  // hung plugin launch. Safety relies on: every registry being a
+  // ConcurrentHashMap; every MutableGraph mutation synchronizing on the
+  // instance; and `mg.graph` taking an immutable DataFrame SNAPSHOT under
+  // that lock — a concurrent edit reassigns the graph's frames, it never
+  // mutates what a running stream is reading (per-query snapshot
+  // isolation, the same contract the job-submit route already documents).
+  // Cached (unbounded) pool: handlers are dominated by Spark job waits,
+  // and a bounded pool could fill up with long streams and reintroduce
+  // the wedge; Spark's own scheduler bounds actual CPU concurrency.
+  private val handlerThreads = new java.util.concurrent.atomic.AtomicLong()
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, s"graft-http-${handlerThreads.incrementAndGet()}")
+    t.setDaemon(true)
+    t
+  }))
 
   def start(): Unit = server.start()
   def stop(): Unit = {
@@ -331,9 +348,13 @@ class GraftServer(spark: SparkSession, port: Int,
             .map(e => e.getKey -> (Gripper.DirSource(spark, e.getValue.asText()): Gripper.SourceProvider))
             .toMap).getOrElse(Map.empty[String, Gripper.SourceProvider])
           val mapped = Gripper.graph(cfg, Plugins.resolveSources(cfg, plugins, inline))
-          graphs.put(g, MutableGraph(spark, mapped))
-          mappings.put(g, cfg)
-          send(ex, 200, "{}")
+          // atomic claim — two concurrent AddMappings must not both win
+          if (graphs.putIfAbsent(g, MutableGraph(spark, mapped)) != null)
+            err(ex, 409, s"graph '$g' exists")
+          else {
+            mappings.put(g, cfg)
+            send(ex, 200, "{}")
+          }
         }
 
       case ("GET", g :: "mapping" :: Nil) =>
@@ -438,7 +459,7 @@ class GraftServer(spark: SparkSession, port: Int,
                     else Json.parseQuery(qNode.toString)
         val jobId = "job-" + java.util.UUID.randomUUID().toString.take(12)
         jobStates.put(g -> jobId, "RUNNING" -> null)
-        val graph = mg.graph // snapshot under the serial executor
+        val graph = mg.graph // immutable snapshot: later edits reassign, never mutate
         new Thread(() => {
           try {
             Jobs.submitAs(spark, graph, query, jobsDir(g), jobId)

@@ -160,7 +160,12 @@ final class Plugins(spark: SparkSession, pluginDir: Option[String] = None) {
       // true from the first buffered char), and GraftServer's serial
       // handler executor would wedge the whole REST surface behind it
       var eof = false
-      val acc = new StringBuilder
+      // accumulate BYTES and split on '\n' before decoding: a multi-byte
+      // UTF-8 character split across read chunks must not be decoded
+      // mid-sequence (per-chunk `new String` turns it into replacement
+      // chars — harmless for the ASCII handshake, corrupting for logged
+      // child chatter)
+      var acc = Array.emptyByteArray
       val chunk = new Array[Byte](8192)
       def scanLine(line: String): Unit = line.split('|') match {
         case Array(_, _, "tcp", hp, "grpc", _*) =>
@@ -174,12 +179,13 @@ final class Plugins(spark: SparkSession, pluginDir: Option[String] = None) {
           val n = stdout.read(chunk, 0, math.min(stdout.available(), chunk.length))
           if (n < 0) eof = true
           else {
-            acc.append(new String(chunk, 0, n, java.nio.charset.StandardCharsets.UTF_8))
-            var nl = acc.indexOf("\n")
+            acc = acc ++ chunk.take(n)
+            var nl = acc.indexOf('\n'.toByte)
             while (addr.isEmpty && nl >= 0) {
-              scanLine(acc.substring(0, nl).stripSuffix("\r"))
-              acc.delete(0, nl + 1)
-              nl = acc.indexOf("\n")
+              scanLine(new String(acc, 0, nl,
+                java.nio.charset.StandardCharsets.UTF_8).stripSuffix("\r"))
+              acc = acc.drop(nl + 1)
+              nl = acc.indexOf('\n'.toByte)
             }
           }
         } else if (!proc.isAlive) eof = true

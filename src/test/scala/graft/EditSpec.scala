@@ -318,4 +318,106 @@ class EditSpec extends AnyFunSuite {
     // and the mg instance survived the relayout repoint
     assert(n(mg.graph, Q.V().hasLabel("P")) == 101)
   }
+
+  test("saveIncremental handles labels Spark escapes in partition paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ':' '%' '#' are all escaped by Spark on write (label=a%3Ab...); the
+    // swap protocol must probe the ESCAPED directory or the staged rows
+    // are silently discarded (and ':' even throws in a raw Hadoop Path)
+    val punct = "a:b%c#d"
+    val dir = java.nio.file.Files.createTempDirectory("graft-incsave-esc").toString
+    val v = Seq(("v1", punct, """{"n":1}"""), ("v2", "plain", "{}"))
+      .toDF("gid", "label", "data")
+    val e = Seq(("e1", s"rel:$punct", "v1", "v2", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    GraphFrame(v, e).save(dir)
+    val mg = MutableGraph(spark, GraphFrame.load(spark, dir))
+    mg.addVertex("v3", punct, """{"n":3}""")
+    mg.addVertex("v1", punct, """{"n":-1}""") // overwrite within the escaped label
+    mg.addEdge("v3", "v2", s"rel:$punct", "{}", gid = "e2")
+    val touched = mg.saveIncremental(dir)
+    assert(touched.contains((Set(punct), Set(s"rel:$punct"))), touched.toString)
+    val g1 = GraphFrame.load(spark, dir)
+    assert(g1.vertices.filter(col("label") === punct).count() == 2)
+    assert(g1.vertices.filter(col("gid") === "v1").head().getAs[String]("data") == """{"n":-1}""")
+    assert(g1.edges.filter(col("label") === s"rel:$punct").count() == 2)
+    assert(g1.vertices.count() == 3)
+  }
+
+  test("Catalog index relayout handles labels Spark escapes in partition paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val punct = "ty:pe"
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-esc").toString
+    val cat = new graft.model.Catalog(spark, root)
+    val v = (0 until 50).map(i => (s"v$i", punct, s"""{"name":"n${i % 5}"}"""))
+      .toDF("gid", "label", "data")
+    val e = Seq.empty[(String, String, String, String, String)]
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("eg", GraphFrame(v, e))
+    cat.addIndex("eg", punct, "name")
+    val q = Q.V().hasLabel(punct).has(P.eq_("name", "n3"))
+    val run = Traversal.run(spark, cat.graph("eg"), q)
+    assert(run.count() == 10)
+    // the index column was really materialized and serves the predicate
+    assert(run.queryExecution.executedPlan.toString.contains("__idx_name"))
+  }
+
+  test("crash injection: an interrupted swap rolls back on load, intact either way") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val v = (0 until 40).map(i => (s"v$i", s"L${i % 2}", s"""{"n":$i}"""))
+      .toDF("gid", "label", "data")
+    val e = Seq(("e1", "z", "v0", "v1", "{}")).toDF("gid", "label", "from", "to", "data")
+    GraphFrame(v, e).save(dir)
+    def mv(a: String, b: String): Unit = {
+      val p = java.nio.file.Paths.get(b)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.move(java.nio.file.Paths.get(a), p)
+    }
+    def cp(a: String, b: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(b))
+      for (f <- new java.io.File(a).listFiles())
+        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(b, f.getName))
+    }
+    // crash state A — stage written, live intact (killed before the first
+    // rename): staged rows are uncommitted and must be discarded
+    cp(s"$dir/vertices/label=L1", s"$dir/.delta-stage-vertices/label=L0")
+    val gA = GraphFrame.load(spark, dir)
+    assert(gA.vertices.count() == 40)
+    assert(!new java.io.File(s"$dir/.delta-stage-vertices").exists())
+    // crash state B — live moved to backup, staged not yet swapped (killed
+    // between the two renames): the backup is the only copy and must
+    // restore; the staged rows must be discarded
+    cp(s"$dir/vertices/label=L1", s"$dir/.delta-stage-vertices/label=L0")
+    mv(s"$dir/vertices/label=L0", s"$dir/.delta-stage-vertices/label=L0.__old")
+    val gB = GraphFrame.load(spark, dir)
+    assert(gB.vertices.count() == 40)
+    assert(gB.vertices.filter(col("label") === "L0").count() == 20)
+    assert(!new java.io.File(s"$dir/.delta-stage-vertices").exists())
+    // same mid-swap crash in the index relayout's stage layout
+    mv(s"$dir/vertices/label=L0", s"$dir/.reindex/label=L0.__old")
+    val gC = GraphFrame.load(spark, dir)
+    assert(gC.vertices.filter(col("label") === "L0").count() == 20)
+    assert(!new java.io.File(s"$dir/.reindex").exists())
+    // and the graph stays fully usable for a follow-up incremental save
+    val mg = MutableGraph(spark, GraphFrame.load(spark, dir))
+    mg.addVertex("v100", "L0", """{"n":100}""")
+    mg.saveIncremental(dir)
+    assert(GraphFrame.load(spark, dir).vertices.count() == 41)
+  }
+
+  test("a no-op saveIncremental keeps a declared topology sidecar") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incsave-topo").toString
+    val v = Seq(("a", "x", "{}"), ("b", "y", "{}")).toDF("gid", "label", "data")
+    val e = Seq(("e1", "z", "a", "b", "{}")).toDF("gid", "label", "from", "to", "data")
+    GraphFrame(v, e, topology = Some(Seq(graft.model.EdgeType("x", "z", "y")))).save(dir)
+    val mg = MutableGraph(spark, GraphFrame.load(spark, dir))
+    assert(mg.saveIncremental(dir).contains((Set.empty[String], Set.empty[String])))
+    val g1 = GraphFrame.load(spark, dir)
+    assert(g1.topology.contains(Seq(graft.model.EdgeType("x", "z", "y"))))
+  }
 }

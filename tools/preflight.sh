@@ -23,4 +23,16 @@ grep -q "SMOKE OK" /tmp/preflight_smoke.log || {
   tail -20 /tmp/preflight_smoke.log
   exit 1
 }
-echo "[preflight] OK — compile green, smoke green. Safe to snapshot."
+echo "[preflight] conformance stamp ..."
+if [ ! -f artifacts/CONFORMANCE_LATEST.txt ]; then
+  echo "[preflight] FAIL: artifacts/CONFORMANCE_LATEST.txt missing — run tools/run_conformance.sh"
+  exit 1
+fi
+grep -q "^rc: 0$" artifacts/CONFORMANCE_LATEST.txt || {
+  echo "[preflight] FAIL: last recorded conformance run was not green:"
+  cat artifacts/CONFORMANCE_LATEST.txt
+  exit 1
+}
+sed -n '1,3p' artifacts/CONFORMANCE_LATEST.txt | sed 's/^/[preflight]   /'
+
+echo "[preflight] OK — compile green, smoke green, conformance stamp green. Safe to snapshot."

@@ -49,4 +49,15 @@ stop_server
   echo "== auth suite =="
   grep -E "^(Failed|Crashed|Passed [0-9]+ out)" "$OUT/auth_suite.log"
 } | tee "$OUT/summary.txt"
+
+# Stamp the run as a committed artifact (date + commit + counts + rc), so a
+# round can never CLAIM a conformance re-run its artifacts don't record
+# (VERDICT r12 finding #1: SURVEY and CONFORMANCE.md drifted).
+mkdir -p artifacts
+{
+  echo "date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
+  echo "commit: $(git rev-parse HEAD 2>/dev/null || echo unknown)"
+  echo "rc: $rc"
+  cat "$OUT/summary.txt"
+} > artifacts/CONFORMANCE_LATEST.txt
 exit $rc
