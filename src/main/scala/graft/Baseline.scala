@@ -69,9 +69,15 @@ object Baseline {
     val dir = java.nio.file.Files.createTempDirectory("graft-baseline").toString
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // focused runs: SPARK_GRAFT_BASELINE_SECTIONS=jsontax,streamidx runs
+    // only those probe sections (default: everything)
+    val sections = sys.env.get("SPARK_GRAFT_BASELINE_SECTIONS").map(_.split(",").toSet)
+    def sec(name: String): Boolean = sections.forall(_.contains(name))
+    def Q = Query()
+
+    if (sec("core")) {
     results("ingest_200k_150k") = timeIt { synth(spark).save(dir) }
     val g = GraphFrame.load(spark, dir)
-    def Q = Query()
     def run(q: Query): Unit = Traversal.run(spark, g, q).count()
 
     results("v_count") = median3 { run(Q.V().count()) }
@@ -100,7 +106,9 @@ object Baseline {
       }
       graft.model.BucketedGraph.drop(spark, "baseline_bg")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } // sec("core")
 
+    if (sec("corpus")) {
     // corpus scaling probe: the dedup family at bench scale (5k docs =
     // sf0.1's documents table) and at 10x, single timed run each after the
     // 5k warm-up — the 10x/1x ratio is the evidence that the LSH banded
@@ -135,7 +143,9 @@ object Baseline {
     graft.pipeline.Dedup.nearDupSimhash(c5, "doc_id", "text").count()
     results("simhash_neardup_5k") = timeIt { graft.pipeline.Dedup.nearDupSimhash(c5, "doc_id", "text").count() }
     results("simhash_neardup_50k") = timeIt { graft.pipeline.Dedup.nearDupSimhash(c50, "doc_id", "text").count() }
+    } // sec("corpus")
 
+    if (sec("index")) {
     // physical field-index probe: 2M one-label vertices, string point
     // predicate on an indexed field. The unindexed plan decodes every
     // row's data column through the JSON extraction; the indexed layout
@@ -204,7 +214,9 @@ object Baseline {
       results("idxn_scan_rows_plain") = rowsPlainN.toDouble
       results("idxn_scan_rows_indexed") = rowsIdxN.toDouble
     }
+    } // sec("index")
 
+    if (sec("skew")) {
     // AQE skew-join probe (r12): a power-law hop at 10M edges where one
     // "celebrity" vertex owns 20% of the edges — the supernode shape a
     // 100× property graph is guaranteed to have. With broadcast disabled
@@ -252,7 +264,9 @@ object Baseline {
       }
       sv.unpersist(); se.unpersist()
     }
+    } // sec("skew")
 
+    if (sec("loop")) {
     // jump-loop scale probe (r12), mirroring the components scale proof:
     // a 1M-vertex ring walked by a counter-terminated mark/jump loop, so
     // the frontier stays 1M rows for EVERY round. Linear 20r/5r scaling
@@ -285,7 +299,9 @@ object Baseline {
       results("jump_ring_1m_20r") = timeIt { runWalk(20) }
       lv.unpersist(); le.unpersist()
     }
+    } // sec("loop")
 
+    if (sec("ingest")) {
     // incremental-ingest probe (r12): MutableGraph's merge is an anti-join
     // + union + full label rewrite per save — correct, but the write cost
     // tracks the LABEL size, not the delta size. Upserting the same 1k
@@ -338,6 +354,100 @@ object Baseline {
       (0 until 1000).foreach(i => mgf.addVertex(s"w$i", "L7", s"""{"n":$i}"""))
       results("upsert_1k_full_2m_wide_20lbl") = timeIt { mgf.graph.save(s"$upRoot/upml.full") }
     }
+    } // sec("ingest")
+
+    if (sec("jsontax")) {
+    // JSON-parse-tax probe (r13, VERDICT task 5): every has() on an
+    // UNINDEXED field pays get_json_object + try_cast per row
+    // (Fields.scala); at 100 TB that parse is the dominant scan cost for
+    // ad-hoc predicates. Isolate it: the same 2M-row numeric predicate,
+    // selective enough that result handling is negligible but WIDE enough
+    // (~50% of rows pass) that parquet row-group stats cannot shortcut
+    // the scan — over (a) the stored JSON text (the engine's unindexed
+    // path), (b) a shredded double sidecar column (what a sampled-schema-
+    // driven shred would store), (c) a stored VariantType column (Spark
+    // 4's semi-structured binary encoding). The (a)/(b) ratio is the
+    // parse tax; (c) sits between (binary navigation, no text parse).
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, format_string,
+        get_json_object, try_parse_json, try_variant_get}
+      val root = java.nio.file.Files.createTempDirectory("graft-jsontax").toString
+      val base = spark.range(2000000L).select(
+        concat(lit("v"), col("id")).as("gid"),
+        format_string(
+          """{"num":%d,"name":"n%d","pad":"%08d","tags":["a","b"],"extra":{"x":%d}}""",
+          col("id") % 100000, col("id") % 10000, col("id"), col("id") % 7).as("data"))
+      base.write.mode("overwrite").parquet(s"$root/json")
+      base.withColumn("num_shred",
+          get_json_object(col("data"), "$.num").try_cast("double"))
+        .write.mode("overwrite").parquet(s"$root/shred")
+      val canVariant =
+        try {
+          base.withColumn("var", try_parse_json(col("data")))
+            .write.mode("overwrite").parquet(s"$root/variant")
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      val jdf = spark.read.parquet(s"$root/json")
+      val sdf = spark.read.parquet(s"$root/shred")
+      // the numeric has() expression exactly as Fields.scala compiles it
+      val jsonPred = get_json_object(col("data"), "$.num").try_cast("double") >= lit(50000.0)
+      def cnt(df: org.apache.spark.sql.DataFrame,
+              p: org.apache.spark.sql.Column): Unit =
+        assert(df.filter(p).count() == 1000000L)
+      cnt(jdf, jsonPred) // warm
+      results("jsontax_json_parse_2m") = median3 { cnt(jdf, jsonPred) }
+      results("jsontax_shredded_2m") = median3 {
+        cnt(sdf, col("num_shred") >= lit(50000.0)) }
+      if (canVariant) {
+        val vdf = spark.read.parquet(s"$root/variant")
+        val vPred = try_variant_get(col("var"), "$.num", "double") >= lit(50000.0)
+        cnt(vdf, vPred) // warm
+        results("jsontax_variant_2m") = median3 { cnt(vdf, vPred) }
+      }
+      // context row: the same predicate through the full traversal engine
+      val jg = GraphFrame(jdf.select(col("gid"), lit("P").as("label"), col("data")),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          GraphFrame.edgeSchema))
+      val tq = Q.V().hasLabel("P").has(graft.gripql.P.gte("num", 50000))
+      Traversal.run(spark, jg, tq).count() // warm
+      results("jsontax_traversal_2m") = median3 {
+        assert(Traversal.run(spark, jg, tq).count() == 1000000L) }
+    }
+    } // sec("jsontax")
+
+    if (sec("streamidx")) {
+    // index-maintenance-under-ingest probe (r13, VERDICT task 6):
+    // Catalog.upsertGraph re-lays a touched INDEXED label out label-wide
+    // regardless of batch size — a 1k-row micro-batch into a 2M-row label
+    // pays the same rebuild as a 100k one. The 1k-vs-100k delta shows how
+    // much of the per-batch cost is batch-proportional (the merge) vs
+    // label-proportional (the rebuild); the unindexed twin isolates the
+    // rebuild itself. If rebuild dominates at production batch sizes, an
+    // incremental sorted-merge into the existing layout is the r14 shape.
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, format_string}
+      val root = java.nio.file.Files.createTempDirectory("graft-stridx").toString
+      val cat = new graft.model.Catalog(spark, root)
+      val ee = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GraphFrame.edgeSchema)
+      def freshGraph(name: String, indexed: Boolean): graft.model.MutableGraph = {
+        val pv = spark.range(2000000L).select(
+          concat(lit("v"), col("id")).as("gid"), lit("P").as("label"),
+          format_string("""{"k":"v%07d","pad":"%08d"}""", col("id"), col("id")).as("data"))
+        cat.createGraph(name, GraphFrame(pv, ee))
+        if (indexed) cat.addIndex(name, "P", "k")
+        graft.model.MutableGraph(spark, cat.graph(name))
+      }
+      for ((batch, tag) <- Seq(1000 -> "1k", 100000 -> "100k")) {
+        val mgI = freshGraph(s"si_$tag", indexed = true)
+        (0 until batch).foreach(i => mgI.addVertex(s"u$i", "P", s"""{"k":"u%07d"}""".format(i)))
+        results(s"stridx_upsert_${tag}_indexed_2m") = timeIt { cat.upsertGraph(s"si_$tag", mgI) }
+        val mgP = freshGraph(s"sp_$tag", indexed = false)
+        (0 until batch).foreach(i => mgP.addVertex(s"u$i", "P", s"""{"k":"u%07d"}""".format(i)))
+        results(s"stridx_upsert_${tag}_plain_2m") = timeIt { cat.upsertGraph(s"sp_$tag", mgP) }
+      }
+    }
+    } // sec("streamidx")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline","unit":"sec","workloads":$qs,"cpus":$cpus}""")

@@ -137,15 +137,24 @@ object Cli {
       printNdjson(sg.vertices); printNdjson(sg.edges)
 
     // field index surface (reference: cmd/index — AddIndex/DeleteIndex/
-    // ListIndices): `add` also runs the physical re-layout (Catalog doc)
+    // ListIndices): `add` also runs the physical re-layout (Catalog doc).
+    // `--edges` targets the edge-side index (value-add; the reference
+    // indexes vertices only).
     case "index" :: "add" :: g :: label :: field :: Nil =>
       catalog.addIndex(g, label, field)
       println(s"indexed ($label, $field) on $g")
+    case "index" :: "add" :: "--edges" :: g :: label :: field :: Nil =>
+      catalog.addEdgeIndex(g, label, field)
+      println(s"indexed edges ($label, $field) on $g")
     case "index" :: "drop" :: g :: label :: field :: Nil =>
       catalog.deleteIndex(g, label, field)
       println(s"dropped index ($label, $field) on $g")
+    case "index" :: "drop" :: "--edges" :: g :: label :: field :: Nil =>
+      catalog.deleteEdgeIndex(g, label, field)
+      println(s"dropped edge index ($label, $field) on $g")
     case "index" :: "list" :: g :: Nil =>
-      catalog.listIndices(g).foreach { case (l, f) => println(s"$l\t$f") }
+      catalog.listIndices(g).foreach { case (l, f) => println(s"V\t$l\t$f") }
+      catalog.listEdgeIndices(g).foreach { case (l, f) => println(s"E\t$l\t$f") }
 
     case "mapping" :: g :: conf :: sources :: rest =>
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(conf)), "UTF-8")

@@ -701,6 +701,54 @@ edges:
       g1(Traversal.run(s, cat.graph("q88"),
         Query().V().hasLabel("customer").has(P.between("c_acctbal", 1000, 3000))))
     }),
+    // q89: the EDGE-side physical field index (value-add — the
+    // reference's AddIndex is vertex-only): orders become "placed" edges
+    // customer→order carrying o_totalprice; addEdgeIndex materializes the
+    // sorted float64 __idxn layout on the edge label partition and the
+    // E()-rooted BETWEEN seek runs as a pushed parquet filter.
+    "q89_edge_indexed_range" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q89").toString
+      val cat = new graft.model.Catalog(s, root)
+      val cust = s.read.parquet(s"$d/customer.parquet").select(
+        concat(lit("c:"), col("c_custkey")).as("gid"),
+        lit("customer").as("label"), lit("{}").as("data"))
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      val ov = ord.select(concat(lit("o:"), col("o_orderkey")).as("gid"),
+        lit("order").as("label"), lit("{}").as("data"))
+      val e = ord.select(concat(lit("pl:"), col("o_orderkey")).as("gid"),
+        lit("placed").as("label"),
+        concat(lit("c:"), col("o_custkey")).as("from"),
+        concat(lit("o:"), col("o_orderkey")).as("to"),
+        to_json(struct(col("o_totalprice"))).as("data"))
+      cat.createGraph("q89", graft.model.GraphFrame(cust.unionByName(ov), e))
+      cat.addEdgeIndex("q89", "placed", "o_totalprice")
+      g1(Traversal.run(s, cat.graph("q89"),
+        Query().E().hasLabel("placed").has(P.between("o_totalprice", 1000, 20000))))
+    }),
+    // q90: end-to-end DDL composition — create an INDEXED graph from half
+    // the customers, merge-load the other half through the incremental
+    // save (upsertGraph = saveIncremental × index relayout × repoint),
+    // then answer the indexed range seek over the MERGED truth.
+    "q90_merge_indexed_seek" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q90").toString
+      val cat = new graft.model.Catalog(s, root)
+      val cust = s.read.parquet(s"$d/customer.parquet").select(
+        concat(lit("c:"), col("c_custkey")).as("gid"),
+        lit("customer").as("label"),
+        to_json(struct(col("c_acctbal"))).as("data"),
+        col("c_custkey"))
+      val e = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.GraphFrame.edgeSchema)
+      cat.createGraph("q90", graft.model.GraphFrame(
+        cust.filter(col("c_custkey") % 2 === 0).drop("c_custkey"), e))
+      cat.addIndex("q90", "customer", "c_acctbal")
+      val mg = graft.model.MutableGraph(s, cat.graph("q90"))
+      mg.bulkAddFrames(vertices = cust.filter(col("c_custkey") % 2 =!= 0)
+        .drop("c_custkey"))
+      cat.upsertGraph("q90", mg)
+      g1(Traversal.run(s, cat.graph("q90"),
+        Query().V().hasLabel("customer").has(P.between("c_acctbal", 1000, 3000))))
+    }),
     "q87_centrality_traversal" -> ((s, d) => {
       val g0 = dedupGraph(s, d)
       val scores = graft.model.GraphAlgos.pageRankWeighted(g0, "near_dup",
@@ -1421,6 +1469,14 @@ edges:
     // q88: BETWEEN [a,b) — the engine compares the float64 cast of the
     // stored JSON value; the oracle ranges over the original doubles
     "q88_indexed_range" ->
+      "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 3000",
+    // q89: the edge-index seek answers from the stored float64 cast of
+    // the edge property; the oracle ranges over the original doubles
+    "q89_edge_indexed_range" ->
+      "SELECT 'pl:' || o_orderkey AS gid FROM orders WHERE o_totalprice >= 1000 AND o_totalprice < 20000",
+    // q90: the merged truth is ALL customers — half stored at create,
+    // half merge-loaded through the incremental save before the seek
+    "q90_merge_indexed_seek" ->
       "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 3000",
     // q87: q79's scores re-read through the statement algebra — the max-
     // score vertices seed a numeric has() and a both() hop; e carries both

@@ -185,7 +185,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     * are never rewritten: they KEEP rows whose field is missing, which a
     * pushed column comparison would drop. The original filter still runs
     * on the travelers, so this is a strictly additive scan predicate. */
-  private def indexSeedPredicate(): Option[Column] = g.fieldIndex.flatMap { fi =>
+  private def indexSeedPredicate(fiOpt: Option[graft.model.FieldIndex]): Option[Column] = fiOpt.flatMap { fi =>
     val prefix = stmts.drop(1).takeWhile {
       case _: Stmt.Has | _: Stmt.HasLabel | _: Stmt.HasId => true
       case _ => false
@@ -243,17 +243,19 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     }
   }
 
-  /** Seed travelers from the vertex/edge tables. */
+  /** Seed travelers from the vertex/edge tables. V() seeds consult the
+    * vertex field index, E() seeds the edge-side one (addEdgeIndex) —
+    * the same rewrite, the same exactly-equivalent-forms-only rule. */
   private def seed(ids: Seq[String], fromVerts: Boolean): DataFrame = {
-    val base0 =
-      if (!fromVerts) g.edges
-      else indexSeedPredicate() match {
-        // filter on the index frame FIRST (real columns → pushed filters),
-        // then project back to the traveler shape
-        case Some(pred) => g.fieldIndex.get.vertices.filter(pred)
-          .select("gid", "label", "data")
-        case None => g.vertices
-      }
+    val fiOpt = if (fromVerts) g.fieldIndex else g.edgeFieldIndex
+    val shapeCols = if (fromVerts) Seq("gid", "label", "data")
+                    else Seq("gid", "label", "from", "to", "data")
+    val base0 = indexSeedPredicate(fiOpt) match {
+      // filter on the index frame FIRST (real columns → pushed filters),
+      // then project back to the traveler shape
+      case Some(pred) => fiOpt.get.rows.filter(pred).select(shapeCols.map(col): _*)
+      case None => if (fromVerts) g.vertices else g.edges
+    }
     val base = if (ids.nonEmpty) base0.filter(col("gid").isin(ids: _*)) else base0
     val cur = if (fromVerts) vertexStruct(base) else edgeStruct(base)
     shape(base, cur,

@@ -32,6 +32,9 @@ class Catalog(spark: SparkSession, root: String) {
     val reg = listIndices(name)
     reg.map(_._1).distinct.foreach(l =>
       relayout(name, l, reg.collect { case (`l`, f) => f }.sorted))
+    val regE = listEdgeIndices(name)
+    regE.map(_._1).distinct.foreach(l =>
+      relayout(name, l, regE.collect { case (`l`, f) => f }.sorted, side = "edges"))
   }
 
   /** Persist a mutated graph in place, rewriting only the label
@@ -41,15 +44,24 @@ class Catalog(spark: SparkSession, root: String) {
     * save-and-rebuild (the reference's per-mutation index maintenance,
     * kvindex/kvindex.go AddVertexIndex, amortized into the flush). */
   def upsertGraph(name: String, mg: MutableGraph): Unit = {
-    val touched = mg.saveIncremental(dir(name))
     val reg = listIndices(name)
-    val labels = touched match {
-      case Some((tv, _)) => reg.map(_._1).distinct.filter(tv)
-      case None => reg.map(_._1).distinct // full save path: rebuild all
+    val regE = listEdgeIndices(name)
+    def byLabel(r: Seq[(String, String)]): Map[String, Seq[String]] =
+      r.groupBy(_._1).map { case (l, fs) => l -> fs.map(_._2).sorted }
+    // touched INDEXED labels are written in the index layout by the save
+    // itself — one fused rewrite instead of plain-write + relayout (the
+    // r13 streaming-ingest probe: 14.9 s → one label pass per batch)
+    val touched = mg.saveIncremental(dir(name), byLabel(reg), byLabel(regE))
+    touched match {
+      case Some(_) => () // incremental path: fused, nothing left to build
+      case None => // full save path (first save): plain files, build all
+        reg.map(_._1).distinct.foreach(l =>
+          relayout(name, l, reg.collect { case (`l`, f) => f }.sorted))
+        regE.map(_._1).distinct.foreach(l =>
+          relayout(name, l, regE.collect { case (`l`, f) => f }.sorted, side = "edges"))
+        if (reg.nonEmpty || regE.nonEmpty)
+          mg.repoint(GraphFrame.load(spark, dir(name)))
     }
-    labels.foreach(l => relayout(name, l, reg.collect { case (`l`, f) => f }.sorted))
-    // the relayout swapped files out from under the just-saved frames
-    if (labels.nonEmpty) mg.repoint(GraphFrame.load(spark, dir(name)))
   }
 
   def dropGraph(name: String): Unit = {
@@ -75,26 +87,35 @@ class Catalog(spark: SparkSession, root: String) {
     val g = if (g0.topology.isEmpty && hasPostedSchema(name))
       g0.copy(topology = Some(topologyOf(getSchema(name))))
     else g0
-    val idx = listIndices(name)
-    if (idx.isEmpty) g
+    g.copy(
+      fieldIndex = storedIndex(name, "vertices", listIndices(name),
+        GraphFrame.vertexSchema),
+      edgeFieldIndex = storedIndex(name, "edges", listEdgeIndices(name),
+        GraphFrame.edgeSchema))
+  }
+
+  /** FieldIndex over one side's stored files, or None when nothing is
+    * registered/covered. Coverage is decided from the files ON DISK, per
+    * indexed label: a registry entry only serves the predicate forms
+    * whose column its stored partition really carries. This is what makes
+    * reading an index directory built by an OLDER layout safe — e.g. a
+    * pre-r12 build has only the string `__idx_*` column, and rewriting a
+    * numeric predicate onto the (imposed-schema, all-null) `__idxn_*`
+    * would silently drop every row. One footer read per indexed label. */
+  private def storedIndex(name: String, side: String, idx: Seq[(String, String)],
+                          baseSchema: org.apache.spark.sql.types.StructType): Option[FieldIndex] = {
+    if (idx.isEmpty) None
     else {
-      // coverage is decided from the files ON DISK, per indexed label:
-      // a registry entry only serves the predicate forms whose column its
-      // stored partition really carries. This is what makes reading an
-      // index directory built by an OLDER layout safe — e.g. a pre-r12
-      // build has only the string `__idx_*` column, and rewriting a
-      // numeric predicate onto the (imposed-schema, all-null) `__idxn_*`
-      // would silently drop every row. One footer read per indexed label.
       val storedCols: Map[String, Set[String]] = idx.map(_._1).distinct.map { l =>
-        val p = s"${dir(name)}/vertices/${Catalog.labelPartName(l)}"
+        val p = s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
         l -> (try spark.read.parquet(p).schema.fieldNames.toSet
               catch { case scala.util.control.NonFatal(_) => Set.empty[String] })
       }.toMap
       val strOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxCol(f)) }.toSet
       val numOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxNumCol(f)) }.toSet
-      if (strOk.isEmpty) g
+      if (strOk.isEmpty) None
       else {
-        // re-read vertices WITH the materialized index columns (absent in
+        // re-read the side WITH the materialized index columns (absent in
         // some label partitions → null there; the compiler only uses an
         // index column under a label restriction fully covered by entries)
         val extra = idx.map(_._2).distinct.sorted.flatMap(f => Seq(
@@ -103,9 +124,9 @@ class Catalog(spark: SparkSession, root: String) {
           org.apache.spark.sql.types.StructField(Catalog.idxNumCol(f),
             org.apache.spark.sql.types.DoubleType, nullable = true)))
         val schema = org.apache.spark.sql.types.StructType(
-          GraphFrame.vertexSchema.fields.toSeq ++ extra)
-        val iv = spark.read.schema(schema).parquet(s"${dir(name)}/vertices")
-        g.copy(fieldIndex = Some(FieldIndex(iv, strOk, numOk)))
+          baseSchema.fields.toSeq ++ extra)
+        val rows = spark.read.schema(schema).parquet(s"${dir(name)}/$side")
+        Some(FieldIndex(rows, strOk, numOk))
       }
     }
   }
@@ -151,8 +172,23 @@ class Catalog(spark: SparkSession, root: String) {
     // covered column reads all-null and indexed queries silently return
     // zero rows — registration must imply a materialized column
     relayout(graph, label, cur.collect { case (`label`, f) => f }.toSeq.sorted)
-    java.nio.file.Files.writeString(idxFile(graph),
-      cur.toSeq.sorted.map { case (l, f) => s"$l\t$f" }.mkString("\n"))
+    writeIndices(graph,
+      cur.toSeq.map { case (l, f) => ("V", l, f) } ++
+        listEdgeIndices(graph).map { case (l, f) => ("E", l, f) })
+  }
+
+  /** Edge-side field index (value-add: the reference's AddIndex is
+    * vertex-only, gripql/gripql.proto:468-481) — same build-then-register
+    * discipline and relayout machinery as [[addIndex]], applied to the
+    * edge label partition; the traversal compiler seeds E()-rooted
+    * label-restricted predicates from it the same way. */
+  def addEdgeIndex(graph: String, label: String, field: String): Unit = {
+    val cur = listEdgeIndices(graph).toSet + ((label, field))
+    relayout(graph, label, cur.collect { case (`label`, f) => f }.toSeq.sorted,
+      side = "edges")
+    writeIndices(graph,
+      listIndices(graph).map { case (l, f) => ("V", l, f) } ++
+        cur.toSeq.map { case (l, f) => ("E", l, f) })
   }
 
   /** Rewrite one label's vertex partition with materialized, sorted
@@ -170,21 +206,27 @@ class Catalog(spark: SparkSession, root: String) {
     * The atomic-rename requirement this rests on (HDFS/local yes,
     * S3-class object stores NO) is the documented contract in
     * [[GraphFrame.recoverInterruptedSwaps]]. */
-  private def relayout(graph: String, label: String, fields: Seq[String]): Unit = {
+  private def relayout(graph: String, label: String, fields: Seq[String],
+                       side: String = "vertices"): Unit = {
     // self-heal a crashed previous relayout before probing the partition
     GraphFrame.recoverInterruptedSwaps(spark, dir(graph))
     val part = new org.apache.hadoop.fs.Path(
-      s"${dir(graph)}/vertices/${Catalog.labelPartName(label)}")
+      s"${dir(graph)}/$side/${Catalog.labelPartName(label)}")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(part)) return
     import org.apache.spark.sql.functions.{col, get_json_object}
-    // partition files hold (gid, data) — label is the directory key; old
-    // __idx columns are recomputed rather than trusted
-    val base = spark.read.parquet(part.toString).select("gid", "data")
+    // partition files hold (gid[, from, to], data) — label is the
+    // directory key; old __idx columns are recomputed rather than trusted
+    val keyCols = if (side == "edges") Seq("gid", "from", "to") else Seq("gid")
+    val base = spark.read.parquet(part.toString)
+      .select((keyCols :+ "data").map(col): _*)
     val withIdx = fields.foldLeft(base)((d, f) =>
       d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f))
         .withColumn(Catalog.idxNumCol(f), col(Catalog.idxCol(f)).try_cast("double")))
-    val stageRoot = new org.apache.hadoop.fs.Path(s"${dir(graph)}/.reindex")
+    // side-specific stage roots so crash recovery knows where a backup
+    // belongs (".reindex" stays the vertex spelling for back-compat)
+    val stageRoot = new org.apache.hadoop.fs.Path(
+      s"${dir(graph)}/${if (side == "edges") ".reindex-edges" else ".reindex"}")
     val stage = new org.apache.hadoop.fs.Path(stageRoot, Catalog.labelPartName(label))
     // range-sort, numeric interpretation leading per field: each output
     // file (and row group) gets a tight min/max band of the leading index
@@ -206,18 +248,48 @@ class Catalog(spark: SparkSession, root: String) {
     fs.delete(stageRoot, true) // scratch only ever holds this swap's dirs
   }
 
-  def deleteIndex(graph: String, label: String, field: String): Unit = {
-    val cur = listIndices(graph).toSet - ((label, field))
-    java.nio.file.Files.writeString(idxFile(graph),
-      cur.toSeq.sorted.map { case (l, f) => s"$l\t$f" }.mkString("\n"))
-  }
+  def deleteIndex(graph: String, label: String, field: String): Unit =
+    writeIndices(graph,
+      (listIndices(graph).toSet - ((label, field))).toSeq
+        .map { case (l, f) => ("V", l, f) } ++
+      listEdgeIndices(graph).map { case (l, f) => ("E", l, f) })
 
-  def listIndices(graph: String): Seq[(String, String)] = {
+  def deleteEdgeIndex(graph: String, label: String, field: String): Unit =
+    writeIndices(graph,
+      listIndices(graph).map { case (l, f) => ("V", l, f) } ++
+      (listEdgeIndices(graph).toSet - ((label, field))).toSeq
+        .map { case (l, f) => ("E", l, f) })
+
+  def listIndices(graph: String): Seq[(String, String)] =
+    allIndices(graph).collect { case ("V", l, f) => (l, f) }
+
+  /** Edge-side registrations (see [[addEdgeIndex]]). */
+  def listEdgeIndices(graph: String): Seq[(String, String)] =
+    allIndices(graph).collect { case ("E", l, f) => (l, f) }
+
+  /** Registry file format: one entry per line — vertex entries as
+    * `label\tfield` (the pre-r13 spelling, so old registries read
+    * unchanged), edge entries as `E\tlabel\tfield`. */
+  private def allIndices(graph: String): Seq[(String, String, String)] = {
     val p = idxFile(graph)
     if (!java.nio.file.Files.exists(p)) Nil
     else java.nio.file.Files.readString(p).split("\n").filter(_.nonEmpty).toSeq
-      .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }
+      .map { l =>
+        l.split("\t", 3) match {
+          case Array("E", lbl, f) => ("E", lbl, f)
+          case Array(a, b) => ("V", a, b)
+          case Array(a, b, c) => ("V", a, s"$b\t$c") // degenerate tab-in-field
+          case _ => ("V", l, "")
+        }
+      }
   }
+
+  private def writeIndices(graph: String, all: Seq[(String, String, String)]): Unit =
+    java.nio.file.Files.writeString(idxFile(graph),
+      all.distinct.sorted.map {
+        case ("E", l, f) => s"E\t$l\t$f"
+        case (_, l, f) => s"$l\t$f"
+      }.mkString("\n"))
 }
 
 object Catalog {

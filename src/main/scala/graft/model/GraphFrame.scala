@@ -42,8 +42,10 @@ case class EdgeType(from: String, label: String, to: String)
   * from the files actually on disk, not the registry: an index directory
   * built by an older layout must not have numeric predicates rewritten
   * onto a column its files don't carry (the imposed read schema would
-  * yield all-null and the pushed filter would silently drop every row). */
-case class FieldIndex(vertices: DataFrame, entries: Set[(String, String)],
+  * yield all-null and the pushed filter would silently drop every row).
+  * `rows` is the SAME element rowset (vertices or, for an edge index,
+  * edges) re-read with the materialized index columns. */
+case class FieldIndex(rows: DataFrame, entries: Set[(String, String)],
                       numEntries: Set[(String, String)] = Set.empty)
 
 case class GraphFrame(vertices: DataFrame, edges: DataFrame,
@@ -57,7 +59,13 @@ case class GraphFrame(vertices: DataFrame, edges: DataFrame,
                       /** Physical field index when the backing store has
                         * one (see [[FieldIndex]]); absent for in-memory /
                         * unindexed graphs. */
-                      fieldIndex: Option[FieldIndex] = None) {
+                      fieldIndex: Option[FieldIndex] = None,
+                      /** Edge-side physical field index — value-add over
+                        * the reference, whose AddIndex is vertex-only
+                        * (gripql/gripql.proto AddIndex); the same relayout
+                        * machinery applies verbatim to edge label
+                        * partitions (Catalog.addEdgeIndex). */
+                      edgeFieldIndex: Option[FieldIndex] = None) {
   /** Persist as label-partitioned parquet (the "label index" of the
     * reference's KV backends becomes partition pruning). The topology
     * contract round-trips as a tiny JSON dataset so a saved+loaded graph
@@ -136,7 +144,7 @@ object GraphFrame {
     val conf = spark.sparkContext.hadoopConfiguration
     for ((stageName, sideName) <- Seq(
         (".delta-stage-vertices", "vertices"), (".delta-stage-edges", "edges"),
-        (".reindex", "vertices"))) {
+        (".reindex", "vertices"), (".reindex-edges", "edges"))) {
       val stage = new org.apache.hadoop.fs.Path(s"$dir/$stageName")
       val fs = stage.getFileSystem(conf)
       if (fs.exists(stage)) {

@@ -77,9 +77,15 @@ class CliSpec extends AnyFunSuite {
     // query answers identically; list/drop round-trip the metadata
     val pre = run("query", "sw", "V().hasLabel('Planet').has(gripql.eq('name', 'Tatooine'))")
     assert(run("index", "add", "sw", "Planet", "name").contains("indexed (Planet, name)"))
-    assert(run("index", "list", "sw").trim == "Planet\tname")
+    assert(run("index", "list", "sw").trim == "V\tPlanet\tname")
     val post = run("query", "sw", "V().hasLabel('Planet').has(gripql.eq('name', 'Tatooine'))")
     assert(post == pre && post.contains("Tatooine"))
+    // edge-side index (value-add): same round-trip through --edges
+    assert(run("index", "add", "--edges", "sw", "residents", "x")
+      .contains("indexed edges (residents, x)"))
+    assert(run("index", "list", "sw").trim.linesIterator.toSeq.sorted ==
+      Seq("E\tresidents\tx", "V\tPlanet\tname"))
+    assert(run("index", "drop", "--edges", "sw", "residents", "x").contains("dropped edge index"))
     assert(run("index", "drop", "sw", "Planet", "name").contains("dropped index"))
     assert(run("index", "list", "sw").trim.isEmpty)
 

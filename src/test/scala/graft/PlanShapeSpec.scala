@@ -348,6 +348,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pneq.contains("__idxn_n"), s"NEQ must not rewrite:\n$pneq")
   }
 
+  test("edge field index: randomized equivalence, pushed filter, traversal semantics intact") {
+    import graft.model.{Catalog, GraphFrame}
+    import graft.gripql.{Query, P}
+    import graft.compiler.Traversal
+    val rnd = new scala.util.Random(20260815L)
+    val root = java.nio.file.Files.createTempDirectory("graft-eidx").toString
+    val cat = new Catalog(spark, root)
+    val v = (0 until 200).map(i => (s"v$i", "node", "{}")).toDF("gid", "label", "data")
+    val e = (0 until 900).map { i =>
+      val l = if (i % 3 == 0) "x" else "y"
+      val d = rnd.nextInt(100) match {
+        case m if m < 15 => """{"other":1}"""
+        case _ => s"""{"w":${rnd.nextInt(50)},"tag":"t${rnd.nextInt(8)}"}"""
+      }
+      (s"e$i", l, s"v${rnd.nextInt(200)}", s"v${rnd.nextInt(200)}", d)
+    }.toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("eg", GraphFrame(v, e))
+    cat.addEdgeIndex("eg", "x", "w")
+    cat.addEdgeIndex("eg", "x", "tag")
+    assert(cat.listEdgeIndices("eg").toSet == Set(("x", "w"), ("x", "tag")))
+    assert(cat.listIndices("eg").isEmpty) // sides don't leak into each other
+    val plain = cat.graph("eg").copy(edgeFieldIndex = None)
+    val indexed = cat.graph("eg")
+    def rows(g: GraphFrame, q: Query): Seq[String] =
+      Traversal.run(spark, g, q).select("gid").collect().map(_.getString(0)).sorted.toSeq
+    val queries = Seq(
+      Query().E().hasLabel("x").has(P.eq_("tag", "t3")),
+      Query().E().hasLabel("x").has(P.between("w", 5, 20)),
+      Query().E().hasLabel("x").has(P.gt("w", 25)),
+      // uncovered label / NEQ — the rewrite must stay off yet agree
+      Query().E().hasLabel("y").has(P.eq_("tag", "t3")),
+      Query().E().hasLabel("x").has(P.neq("w", 7)),
+      // traversal semantics through an indexed seed: hop to vertices
+      Query().E().hasLabel("x").has(P.lt("w", 10)).out(),
+      Query().E().hasLabel("x").has(P.lt("w", 10)).in())
+    for (q <- queries)
+      assert(rows(indexed, q) == rows(plain, q), s"mismatch for $q")
+    // the covered numeric range pushed the float64 column to the scan
+    val pn = Traversal.run(spark, indexed,
+      Query().E().hasLabel("x").has(P.between("w", 5, 20)))
+      .queryExecution.executedPlan.toString
+    assert(pn.contains("PushedFilters") && pn.contains("__idxn_w"),
+      s"edge numeric range must push __idxn_w:\n$pn")
+    // the vertex-side index path is untouched by an edge registration
+    assert(indexed.fieldIndex.isEmpty && indexed.edgeFieldIndex.isDefined)
+    // deleteEdgeIndex drops only its entry
+    cat.deleteEdgeIndex("eg", "x", "tag")
+    assert(cat.listEdgeIndices("eg") == Seq(("x", "w")))
+  }
+
   test("field index: a pre-upgrade layout (string column only) never serves numeric rewrites") {
     // simulate an index directory built by the pre-r12 relayout: the
     // stored partition carries __idx_<f> but NOT __idxn_<f>. Coverage is
