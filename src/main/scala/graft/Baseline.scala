@@ -372,7 +372,9 @@ object Baseline {
       import org.apache.spark.sql.functions.{col, concat, lit, format_string,
         get_json_object, try_parse_json, try_variant_get}
       val root = java.nio.file.Files.createTempDirectory("graft-jsontax").toString
-      val base = spark.range(2000000L).select(
+      // 20M rows: the 2M form finished sub-second on idle runs and the
+      // parse-vs-column signal drowned in job overhead + box noise
+      val base = spark.range(20000000L).select(
         concat(lit("v"), col("id")).as("gid"),
         format_string(
           """{"num":%d,"name":"n%d","pad":"%08d","tags":["a","b"],"extra":{"x":%d}}""",
@@ -393,16 +395,16 @@ object Baseline {
       val jsonPred = get_json_object(col("data"), "$.num").try_cast("double") >= lit(50000.0)
       def cnt(df: org.apache.spark.sql.DataFrame,
               p: org.apache.spark.sql.Column): Unit =
-        assert(df.filter(p).count() == 1000000L)
+        assert(df.filter(p).count() == 10000000L)
       cnt(jdf, jsonPred) // warm
-      results("jsontax_json_parse_2m") = median3 { cnt(jdf, jsonPred) }
-      results("jsontax_shredded_2m") = median3 {
+      results("jsontax_json_parse_20m") = median3 { cnt(jdf, jsonPred) }
+      results("jsontax_shredded_20m") = median3 {
         cnt(sdf, col("num_shred") >= lit(50000.0)) }
       if (canVariant) {
         val vdf = spark.read.parquet(s"$root/variant")
         val vPred = try_variant_get(col("var"), "$.num", "double") >= lit(50000.0)
         cnt(vdf, vPred) // warm
-        results("jsontax_variant_2m") = median3 { cnt(vdf, vPred) }
+        results("jsontax_variant_20m") = median3 { cnt(vdf, vPred) }
       }
       // context row: the same predicate through the full traversal engine
       val jg = GraphFrame(jdf.select(col("gid"), lit("P").as("label"), col("data")),
@@ -410,8 +412,18 @@ object Baseline {
           GraphFrame.edgeSchema))
       val tq = Q.V().hasLabel("P").has(graft.gripql.P.gte("num", 50000))
       Traversal.run(spark, jg, tq).count() // warm
-      results("jsontax_traversal_2m") = median3 {
-        assert(Traversal.run(spark, jg, tq).count() == 1000000L) }
+      results("jsontax_traversal_20m") = median3 {
+        assert(Traversal.run(spark, jg, tq).count() == 10000000L) }
+      // the engine's own answer (r13): shredGraph materializes every
+      // sampled scalar field as a stored column — the same traversal
+      // then reads a pushed parquet filter instead of parsing JSON
+      val cat = new graft.model.Catalog(spark, s"$root/cat")
+      cat.createGraph("shred", jg)
+      results("jsontax_shred_build_20m") = timeIt { cat.shredGraph("shred") }
+      val sg = cat.graph("shred")
+      Traversal.run(spark, sg, tq).count() // warm
+      results("jsontax_shred_traversal_20m") = median3 {
+        assert(Traversal.run(spark, sg, tq).count() == 10000000L) }
     }
     } // sec("jsontax")
 

@@ -749,6 +749,26 @@ edges:
       g1(Traversal.run(s, cat.graph("q90"),
         Query().V().hasLabel("customer").has(P.between("c_acctbal", 1000, 3000))))
     }),
+    // q91: the shredded sidecar end-to-end — NO manual addIndex: shred
+    // samples the label's documents, materializes every scalar field as
+    // __idx/__idxn columns, and both predicates (string EQ + numeric GTE)
+    // answer from pushed parquet filters instead of per-row JSON parses.
+    "q91_shredded_scan" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q91").toString
+      val cat = new graft.model.Catalog(s, root)
+      val v = s.read.parquet(s"$d/customer.parquet").select(
+        concat(lit("c:"), col("c_custkey")).as("gid"),
+        lit("customer").as("label"),
+        to_json(struct(col("c_acctbal"), col("c_mktsegment"))).as("data"))
+      val e = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.GraphFrame.edgeSchema)
+      cat.createGraph("q91", graft.model.GraphFrame(v, e))
+      cat.shredGraph("q91")
+      g1(Traversal.run(s, cat.graph("q91"),
+        Query().V().hasLabel("customer")
+          .has(P.eq_("c_mktsegment", "BUILDING"))
+          .has(P.gte("c_acctbal", 5000))))
+    }),
     "q87_centrality_traversal" -> ((s, d) => {
       val g0 = dedupGraph(s, d)
       val scores = graft.model.GraphAlgos.pageRankWeighted(g0, "near_dup",
@@ -1478,6 +1498,9 @@ edges:
     // half merge-loaded through the incremental save before the seek
     "q90_merge_indexed_seek" ->
       "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 3000",
+    // q91: both shredded-column predicates against the original values
+    "q91_shredded_scan" ->
+      "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 5000",
     // q87: q79's scores re-read through the statement algebra — the max-
     // score vertices seed a numeric has() and a both() hop; e carries both
     // directions exactly like the engine's both("near_dup")

