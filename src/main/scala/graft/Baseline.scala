@@ -427,6 +427,49 @@ object Baseline {
     }
     } // sec("jsontax")
 
+    if (sec("ride")) {
+    // sidecar-riding probe (r13): post-hop predicates/aggregations used
+    // to pay get_json_object per JOINED row with nothing pushable to the
+    // far-side scan. With sidecar columns riding the traversal the same
+    // `out().has(...)` reads a materialized column that Catalyst pushes
+    // through the hop join into the parquet scan. Shape: 100k seeds
+    // fan out 20× to a 2M-row indexed label; the predicate passes 5%.
+    {
+      import org.apache.spark.sql.functions.{col, concat, lit, format_string, explode, sequence}
+      val root = java.nio.file.Files.createTempDirectory("graft-ride").toString
+      val cat = new graft.model.Catalog(spark, root)
+      val seeds = spark.range(100000L).select(
+        concat(lit("s"), col("id")).as("gid"), lit("S").as("label"), lit("{}").as("data"))
+      val pv = spark.range(2000000L).select(
+        concat(lit("v"), col("id")).as("gid"), lit("P").as("label"),
+        format_string("""{"num":%d,"name":"n%d","pad":"%08d"}""",
+          col("id") % 100000, col("id") % 10000, col("id")).as("data"))
+      val ev = spark.range(100000L)
+        .select(col("id"), explode(sequence(lit(0), lit(19))).as("j"))
+        .select(concat(lit("e"), col("id"), lit("_"), col("j")).as("gid"),
+          lit("e").as("label"), concat(lit("s"), col("id")).as("from"),
+          concat(lit("v"), col("id") * 20 + col("j")).as("to"), lit("{}").as("data"))
+      val topo = Some(Seq(graft.model.EdgeType("S", "e", "P")))
+      cat.createGraph("ride", GraphFrame(seeds.unionByName(pv), ev, topology = topo))
+      val plainG = cat.graph("ride").copy(fieldIndex = None, topology = topo)
+      val hopQ = Q.V().hasLabel("S").out().has(graft.gripql.P.gte("num", 95000))
+      val termQ = Q.V().hasLabel("S").out()
+        .aggregate(graft.gripql.Agg.Term("t", "name", 10))
+      Traversal.run(spark, plainG, hopQ).count() // warm
+      results("ride_hop_filter_plain_2m") = median3 {
+        assert(Traversal.run(spark, plainG, hopQ).count() == 100000L) }
+      results("ride_hop_term_plain_2m") = median3 {
+        assert(Traversal.run(spark, plainG, termQ).count() == 10L) }
+      results("ride_shred_build_2m") = timeIt { cat.shredGraph("ride") }
+      val sg = cat.graph("ride").copy(topology = topo)
+      Traversal.run(spark, sg, hopQ).count() // warm
+      results("ride_hop_filter_shred_2m") = median3 {
+        assert(Traversal.run(spark, sg, hopQ).count() == 100000L) }
+      results("ride_hop_term_shred_2m") = median3 {
+        assert(Traversal.run(spark, sg, termQ).count() == 10L) }
+    }
+    } // sec("ride")
+
     if (sec("streamidx")) {
     // index-maintenance-under-ingest probe (r13, VERDICT task 6):
     // Catalog.upsertGraph re-lays a touched INDEXED label out label-wide

@@ -769,6 +769,36 @@ edges:
           .has(P.eq_("c_mktsegment", "BUILDING"))
           .has(P.gte("c_acctbal", 5000))))
     }),
+    // q92: sidecar columns RIDE THE TRAVERSAL (r13) — both filters of a
+    // two-label hop query answer from materialized shredded columns: the
+    // seed predicate (o_totalprice) prunes the order scan, and the
+    // POST-HOP predicate (c_acctbal) compiles onto the customer-side
+    // sidecar column, which Catalyst pushes through the hop join into the
+    // customer scan. The declared topology supplies the landed label set
+    // that activates the rewrite; no per-row JSON parse anywhere.
+    "q92_sidecar_hop_filter" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q92").toString
+      val cat = new graft.model.Catalog(s, root)
+      val cust = s.read.parquet(s"$d/customer.parquet").select(
+        concat(lit("c:"), col("c_custkey")).as("gid"),
+        lit("customer").as("label"),
+        to_json(struct(col("c_acctbal"))).as("data"))
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      val ov = ord.select(concat(lit("o:"), col("o_orderkey")).as("gid"),
+        lit("order").as("label"),
+        to_json(struct(col("o_totalprice"))).as("data"))
+      val e = ord.select(concat(lit("pl:"), col("o_orderkey")).as("gid"),
+        lit("placed").as("label"),
+        concat(lit("c:"), col("o_custkey")).as("from"),
+        concat(lit("o:"), col("o_orderkey")).as("to"),
+        lit("{}").as("data"))
+      cat.createGraph("q92", graft.model.GraphFrame(cust.unionByName(ov), e,
+        topology = Some(Seq(graft.model.EdgeType("customer", "placed", "order")))))
+      cat.shredGraph("q92")
+      g1(Traversal.run(s, cat.graph("q92"),
+        Query().V().hasLabel("order").has(P.gt("o_totalprice", 100000))
+          .in().has(P.between("c_acctbal", 1000, 5000))))
+    }),
     "q87_centrality_traversal" -> ((s, d) => {
       val g0 = dedupGraph(s, d)
       val scores = graft.model.GraphAlgos.pageRankWeighted(g0, "near_dup",
@@ -1501,6 +1531,12 @@ edges:
     // q91: both shredded-column predicates against the original values
     "q91_shredded_scan" ->
       "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 5000",
+    // q92: one traveler per qualifying (order → customer) landing — the
+    // join multiplicity matches the traversal's edge-per-arrival exactly
+    // (each order has one placed edge); BETWEEN is [a,b)
+    "q92_sidecar_hop_filter" ->
+      ("SELECT 'c:' || c.c_custkey AS gid FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey " +
+       "WHERE o.o_totalprice > 100000 AND c.c_acctbal >= 1000 AND c.c_acctbal < 5000"),
     // q87: q79's scores re-read through the statement algebra — the max-
     // score vertices seed a numeric has() and a both() hop; e carries both
     // directions exactly like the engine's both("near_dup")

@@ -73,9 +73,15 @@ object Aggregations {
             Seq(p(i, "key") -> FieldRef.resolve(field), p(i, "skip") -> skip)
         }
       case (Agg.Histogram(_, field, _), i) =>
-        Seq(p(i, "x") -> pre.map(_.scalar).getOrElse(FieldRef.resolve(field)).try_cast("double"))
+        // the stored float64 sidecar column when the frame carries it —
+        // identical to try_cast(resolve) by construction, zero parse
+        Seq(p(i, "x") -> pre.map(_.scalar.try_cast("double"))
+          .orElse(FieldRef.resolveNumeric(field))
+          .getOrElse(FieldRef.resolve(field).try_cast("double")))
       case (Agg.Percentile(_, field, _, _), i) =>
-        Seq(p(i, "x") -> pre.map(_.scalar).getOrElse(FieldRef.resolve(field)).try_cast("double"))
+        Seq(p(i, "x") -> pre.map(_.scalar.try_cast("double"))
+          .orElse(FieldRef.resolveNumeric(field))
+          .getOrElse(FieldRef.resolve(field).try_cast("double")))
       case (Agg.FieldAgg(_, field), i) =>
         Seq(p(i, "keys") -> json_object_keys(FieldRef.resolve(field)))
       case (Agg.TypeAgg(_, field), i) =>

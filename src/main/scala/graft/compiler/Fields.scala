@@ -18,6 +18,19 @@ object FieldRef {
     * construction; plan building is single-threaded inside run(). */
   val hasVars = new scala.util.DynamicVariable[Boolean](false)
 
+  /** Materialized sidecar columns riding the traveler frame for the
+    * CURRENT element's data fields: field path → (string column name,
+    * numeric column name when the stored layout carries the float64
+    * sibling). Set by Traversal around each statement's compilation, and
+    * ONLY when the statically-known label state is fully covered by a
+    * physical field index whose `__idx_*` columns the frame carries —
+    * then a field read is a plain column reference instead of a per-row
+    * `get_json_object` parse, and (being a real scan column) the
+    * predicate built on it pushes through hop joins into the parquet
+    * scan. The string column is the stored `get_json_object` of the
+    * field (Catalog.relayout), so substitution is exact by construction. */
+  val sidecar = new scala.util.DynamicVariable[Map[String, (String, Option[String])]](Map.empty)
+
   /** vars map key for a (namespace, path) pair. */
   def varKey(ns: String, parts: Seq[String]): String = ns + "\u0000" + parts.mkString(".")
 
@@ -59,13 +72,39 @@ object FieldRef {
       case "_to" => e.getField("to")
       case "_data" | "" => dataWithVars(ns, e)
       case _ =>
-        val base = get_json_object(e.getField("data"), "$." + parts.mkString("."))
+        val path = parts.mkString(".")
+        val base = sidecar.value.get(path).filter(_ => ns.isEmpty) match {
+          // sidecar hit: the frame carries this field's materialized
+          // extraction (identical to the get_json_object below by
+          // construction) as a real column — no parse, pushdown-eligible
+          case Some((strCol, _)) => col(strCol)
+          case None => get_json_object(e.getField("data"), "$." + path)
+        }
         if (hasVars.value) {
           // entry-presence guard, not coalesce: set(field, null) must
           // OVERRIDE a stored value with null, not fall back to it
           val entry = try_element_at(col("vars"), lit(varKey(ns, parts)))
           when(entry.isNotNull, entry.getField("raw")).otherwise(base)
         } else base
+    }
+  }
+
+  /** The field's float64 reading straight from the stored `__idxn_*`
+    * sidecar column when the frame carries it — materialized as
+    * `try_cast(__idx_<f> AS double)` at build time (Catalog.relayout), so
+    * it equals `resolve(key).try_cast("double")` exactly while being a
+    * plain scan column that ordered predicates push into parquet. None
+    * when the field has no active numeric sidecar (callers fall back to
+    * casting [[resolve]]). */
+  def resolveNumeric(key: String): Option[Column] = {
+    val (ns, parts) = parse(key)
+    if (ns.nonEmpty || parts.headOption.forall(p => p.isEmpty || p.startsWith("_"))) None
+    else sidecar.value.get(parts.mkString(".")).flatMap(_._2).map { numName =>
+      val base = col(numName)
+      if (hasVars.value) {
+        val entry = try_element_at(col("vars"), lit(varKey(ns, parts)))
+        when(entry.isNotNull, entry.getField("raw").try_cast("double")).otherwise(base)
+      } else base
     }
   }
 
@@ -134,11 +173,13 @@ object Conditions {
     case _ => None
   }
 
-  /** Deep-equal leaf — null-safe, missing field never matches non-null. */
-  private def eqExpr(raw: Column, v: GValue): Column = v match {
+  /** Deep-equal leaf — null-safe, missing field never matches non-null.
+    * `rawNum` is the field's float64 reading (sidecar column when active,
+    * else try_cast of `raw` — identical values either way). */
+  private def eqExpr(raw: Column, rawNum: Column, v: GValue): Column = v match {
     case GString(s) => raw === lit(s)
-    case GNum(d) => num(raw) === lit(d)
-    case GInt(i) => num(raw) === lit(i.toDouble)
+    case GNum(d) => rawNum === lit(d)
+    case GInt(i) => rawNum === lit(i.toDouble)
     case GBool(b) => raw === lit(b.toString)
     case GNull => raw.isNull
     case arr: GArray => raw === lit(GValue.toJson(arr))
@@ -152,6 +193,9 @@ object Conditions {
 
   private def leaf(key: String, v: GValue, op: CondOp): Column = {
     val raw = FieldRef.resolve(key)
+    // stored float64 sidecar when active — same value as num(raw) by
+    // construction, but a plain column parquet pushes ordered predicates on
+    val rawNum = FieldRef.resolveNumeric(key).getOrElse(num(raw))
     // A non-castable CONSTANT is known false at compile time (reference:
     // match.go cast.ToFloat64E error → false). Encoding it as a NaN
     // literal would be wrong on the small side of a comparison: in
@@ -159,16 +203,16 @@ object Conditions {
     // row the reference drops (Java/Go float semantics make any NaN
     // comparison false; Spark's differ by design).
     def cmp(f: (Column, Column) => Column): Column = valueNum(v) match {
-      case Some(d) => f(num(raw), lit(d))
+      case Some(d) => f(rawNum, lit(d))
       case None => lit(false)
     }
     def range(f: (Column, Double, Double) => Column): Column = {
       val (a, b) = rangePair(v)
-      if (a.isNaN || b.isNaN) lit(false) else f(num(raw), a, b)
+      if (a.isNaN || b.isNaN) lit(false) else f(rawNum, a, b)
     }
     val c = op match {
-      case CondOp.EQ => eqExpr(raw, v)
-      case CondOp.NEQ => !coalesce(eqExpr(raw, v), lit(false))
+      case CondOp.EQ => eqExpr(raw, rawNum, v)
+      case CondOp.NEQ => !coalesce(eqExpr(raw, rawNum, v), lit(false))
       case CondOp.GT => cmp(_ > _)
       case CondOp.GTE => cmp(_ >= _)
       case CondOp.LT => cmp(_ < _)
@@ -177,11 +221,11 @@ object Conditions {
       case CondOp.OUTSIDE => range((x, a, b) => x < lit(a) || x > lit(b))
       case CondOp.BETWEEN => range((x, a, b) => x >= lit(a) && x < lit(b))
       case CondOp.WITHIN => v match {
-        case GArray(vs) if vs.nonEmpty => vs.map(x => coalesce(eqExpr(raw, x), lit(false))).reduce(_ || _)
+        case GArray(vs) if vs.nonEmpty => vs.map(x => coalesce(eqExpr(raw, rawNum, x), lit(false))).reduce(_ || _)
         case _ => lit(false)
       }
       case CondOp.WITHOUT => v match {
-        case GArray(vs) if vs.nonEmpty => !vs.map(x => coalesce(eqExpr(raw, x), lit(false))).reduce(_ || _)
+        case GArray(vs) if vs.nonEmpty => !vs.map(x => coalesce(eqExpr(raw, rawNum, x), lit(false))).reduce(_ || _)
         case _ => lit(true)
       }
       case CondOp.CONTAINS =>

@@ -93,6 +93,113 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
   private val needPath: Boolean = extensionMode ||
     stmts.exists { case _: Stmt.Path => true; case _ => false }
 
+  // ---- sidecar columns riding the traveler (r13): when a field the query
+  // reads is physically indexed/shredded, the seed scan and every hop's
+  // far side read the INDEX frame and carry the field's materialized
+  // `__idx_*`/`__idxn_*` columns alongside `cur`. Statements whose label
+  // state is fully covered then compile field reads as plain column
+  // references (FieldRef.sidecar) instead of per-row get_json_object —
+  // and because those are real scan columns, Catalyst pushes the
+  // predicates through the hop join into the parquet scan (row-group
+  // skip over the index-sorted layout). At 100 TB this turns
+  // `out().has(...)` from "join everything, parse JSON per joined row"
+  // into "join against a filter-pruned scan". OFF for mark/jump queries
+  // (loop frontier unions and forward-jump injections must keep one
+  // traveler schema across rounds/paths) and for extension runs (seed
+  // frames arrive from spooled storage without the columns).
+
+  /** Whether sidecar riding is available for this query at all. */
+  private val sidecarOn: Boolean = !extensionMode && !stmts.exists {
+    case _: Stmt.Mark | _: Stmt.Jump => true
+    case _ => false
+  }
+
+  /** Current-element data-field paths a statement reads through
+    * FieldRef.resolve (the sidecar-eligible reads). */
+  private def stmtRefFields(s: Stmt): Seq[String] = {
+    val keys = s match {
+      case Stmt.Has(e) => Traversal.condFields(e)
+      case Stmt.Jump(_, Some(e), _) => Traversal.condFields(e)
+      case Stmt.Distinct(fs) => fs
+      case Stmt.Increment(k, _) => Seq(k)
+      case Stmt.Aggregate(aggs) => aggs.collect {
+        case Agg.Term(_, f, _) => f
+        case Agg.Histogram(_, f, _) => f
+        case Agg.Percentile(_, f, _, _) => f
+        case Agg.FieldAgg(_, f) => f
+      }
+      case _ => Nil
+    }
+    keys.flatMap { k =>
+      val (ns, parts) = FieldRef.parse(k)
+      if (ns.isEmpty && parts.nonEmpty && parts.head.nonEmpty && !parts.head.startsWith("_"))
+        Some(parts.mkString("."))
+      else None
+    }
+  }
+
+  /** refsAfter(i) = fields read at or after statement i — a hop carries
+    * only the sidecar columns someone downstream will actually read, so
+    * unused columns never widen a shuffle. */
+  private val refsAfter: Array[Set[String]] = {
+    val a = new Array[Set[String]](stmts.length + 1)
+    a(stmts.length) = Set.empty
+    for (j <- stmts.length - 1 to 0 by -1) a(j) = a(j + 1) ++ stmtRefFields(stmts(j))
+    a
+  }
+  /** Downstream reads at the statement being compiled (stepped by exec). */
+  private var remainingRefs: Set[String] = Set.empty
+
+  /** Indexed fields (any label) on one side, restricted to query reads. */
+  private def sideIndexed(kind: Kind): Seq[String] = {
+    val fi = if (kind == VertexK) g.fieldIndex else g.edgeFieldIndex
+    if (!sidecarOn || fi.isEmpty) Nil
+    else refsAfter(0).filter(f => fi.get.entries.exists(_._2 == f)).toSeq.sorted
+  }
+  private lazy val vSideFields = sideIndexed(VertexK)
+  private lazy val eSideFields = sideIndexed(EdgeK)
+
+  /** Fields worth carrying onto a frame of `kind` landed right now. */
+  private def carriedFields(kind: Kind): Seq[String] =
+    (if (kind == VertexK) vSideFields else eSideFields).filter(remainingRefs.contains)
+
+  /** Field paths whose sidecar columns the CURRENT frame carries. */
+  private var sidecarLive: Seq[String] = Nil
+
+  private def sidecarColNames(fields: Seq[String]): Seq[String] =
+    fields.flatMap(f => Seq(graft.model.Catalog.idxCol(f), graft.model.Catalog.idxNumCol(f)))
+
+  /** Pass-through projection of the live sidecar columns (for statements
+    * that rebuild the frame but keep the current element). */
+  private def sidecarExtra: Seq[Column] = sidecarColNames(sidecarLive).map(col)
+
+  /** Source frame for a hop far side / seed carrying sidecar columns for
+    * `fields` — the index frame (same rows, imposed schema has the
+    * materialized columns) projected to the element shape + sidecar. */
+  private def sourceWith(kind: Kind, fields: Seq[String]): DataFrame = {
+    val fi = (if (kind == VertexK) g.fieldIndex else g.edgeFieldIndex).get
+    val shapeCols = if (kind == VertexK) Seq("gid", "label", "data")
+                    else Seq("gid", "label", "from", "to", "data")
+    fi.rows.select((shapeCols ++ sidecarColNames(fields)).map(col): _*)
+  }
+
+  /** FieldRef.sidecar binding for compiling one statement: the live
+    * fields whose (label, field) coverage holds for EVERY label the
+    * current element can carry — substituting under partial coverage
+    * would read null for uncovered labels whose real field is non-null. */
+  private def activeSidecar(kind: Kind, labels0: Labels): Map[String, (String, Option[String])] = {
+    val fiOpt = if (kind == VertexK) g.fieldIndex else g.edgeFieldIndex
+    (for {
+      fi <- fiOpt.toList
+      ls <- labels0.toList
+      if ls.nonEmpty
+      f <- sidecarLive
+      if ls.forall(l => fi.entries((l, f)))
+    } yield f -> (graft.model.Catalog.idxCol(f),
+      if (ls.forall(l => fi.numEntries((l, f)))) Some(graft.model.Catalog.idxNumCol(f))
+      else None)).toMap
+  }
+
   /** set()/increment() state rides in a typed `vars` column
     * (MAP<key, STRUCT<raw, json>>, key = "ns\u0000path") maintained by pure
     * map expressions — NO JSON rewrite inside iterated plans. Values merge
@@ -120,22 +227,26 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     df("gid").as("gid"), df("label").as("label"),
     df("from").as("from"), df("to").as("to"), df("data").as("data"))
 
-  /** Travelers' fixed column set. */
+  /** Travelers' fixed column set (+ any sidecar columns riding along). */
   private def shape(df: DataFrame, cur: Column, marks: Column, path: Column,
-                    vars: Column = if (needVars) col("vars") else lit(null)): DataFrame = {
+                    vars: Column = if (needVars) col("vars") else lit(null),
+                    extra: Seq[Column] = Nil): DataFrame = {
     val cols = Seq(cur.as("cur")) ++
       (if (needMarks) Seq(marks.as("marks")) else Nil) ++
       (if (needVars) Seq(vars.as("vars")) else Nil) ++
-      (if (needPath) Seq(path.as("path")) else Nil)
+      (if (needPath) Seq(path.as("path")) else Nil) ++
+      extra
     df.select(cols: _*)
   }
 
   private def keep(df: DataFrame, cur: Column, pathAppend: Option[Column],
-                   newVars: Option[Column] = None): DataFrame =
+                   newVars: Option[Column] = None,
+                   extra: Seq[Column] = Nil): DataFrame =
     shape(df, cur,
       if (needMarks) col("marks") else lit(null),
       if (needPath) pathAppend.map(p => concat(col("path"), array(p))).getOrElse(col("path")) else lit(null),
-      if (needVars) newVars.getOrElse(col("vars")) else lit(null))
+      if (needVars) newVars.getOrElse(col("vars")) else lit(null),
+      extra)
 
   /** Drop current-element vars when the current element CHANGES (hop,
     * select): the reference's set() mutates the then-current DataElement,
@@ -248,20 +359,28 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     * the same rewrite, the same exactly-equivalent-forms-only rule. */
   private def seed(ids: Seq[String], fromVerts: Boolean): DataFrame = {
     val fiOpt = if (fromVerts) g.fieldIndex else g.edgeFieldIndex
+    val kind0 = if (fromVerts) VertexK else EdgeK
     val shapeCols = if (fromVerts) Seq("gid", "label", "data")
                     else Seq("gid", "label", "from", "to", "data")
-    val base0 = indexSeedPredicate(fiOpt) match {
+    val carried = if (fiOpt.isDefined) carriedFields(kind0) else Nil
+    val scNames = sidecarColNames(carried)
+    val base0 = (indexSeedPredicate(fiOpt), carried) match {
       // filter on the index frame FIRST (real columns → pushed filters),
-      // then project back to the traveler shape
-      case Some(pred) => fiOpt.get.rows.filter(pred).select(shapeCols.map(col): _*)
-      case None => if (fromVerts) g.vertices else g.edges
+      // then project back to the traveler shape (+ sidecar columns any
+      // downstream statement will read)
+      case (Some(pred), _) =>
+        fiOpt.get.rows.filter(pred).select((shapeCols ++ scNames).map(col): _*)
+      case (None, c) if c.nonEmpty => sourceWith(kind0, carried)
+      case _ => if (fromVerts) g.vertices else g.edges
     }
     val base = if (ids.nonEmpty) base0.filter(col("gid").isin(ids: _*)) else base0
     val cur = if (fromVerts) vertexStruct(base) else edgeStruct(base)
+    sidecarLive = carried
     shape(base, cur,
       from_json(lit("{}"), MapType(StringType, elemType)),
       array(if (fromVerts) pathVertexEntry(base("gid")) else pathEdgeEntry(base("gid"))),
-      from_json(lit("{}"), varsType))
+      from_json(lit("{}"), varsType),
+      extra = scNames.map(base(_)))
   }
 
   // ---- topology-based hop pruning (the reference's schema-guided planning,
@@ -300,21 +419,32 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         // (reference: engine/core/processors.go:202-236, 281-315)
         val feas = g.topology.map(_.filter(t => srcLabels.forall(_.contains(t.label))))
         val farLabels: Labels = feas.map(_.map(t => if (dir) t.to else t.from).toSet)
-        val v = labelIsin(g.vertices.alias("__v"), "__v", farLabels)
+        val carried = if (g.fieldIndex.isDefined) carriedFields(VertexK) else Nil
+        val vSrc = if (carried.nonEmpty) sourceWith(VertexK, carried) else g.vertices
+        val v = labelIsin(vSrc.alias("__v"), "__v", farLabels)
         val key = if (dir) col("cur.to") else col("cur.from")
         val joined = df.join(v, key === col("__v.gid"), joinType)
         val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
           lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
           col("__v.data").as("data"))
-        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK, farLabels)
+        sidecarLive = carried
+        (keep(joined, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars,
+          extra = sidecarColNames(carried).map(n => col(s"__v.$n").as(n))), VertexK, farLabels)
       case _ =>
         val feas = feasibleTypes(labels, srcLabels, dir)
         // the feasible set can narrow an unlabeled hop too (out() from a
         // known label joins only that label's outgoing edge types)
         val edgeLabels: Labels = feas.map(_.map(_.label).toSet)
+        // landing ON an edge with downstream indexed-field reads: the edge
+        // side comes from the index frame carrying sidecar columns (worth
+        // more than the to-keyed bucketed copy — the pushed filter prunes
+        // the scan before any join layout matters)
+        val carriedE = if (toEdge && g.edgeFieldIndex.isDefined) carriedFields(EdgeK) else Nil
         // in-direction hops prefer the to-keyed edge copy when the graph
         // is bucketed storage (BucketedGraph) — same rows, join-key layout
-        val e0 = (if (dir) g.edges else g.edgesByTo.getOrElse(g.edges)).alias("__e")
+        val e0 = (if (carriedE.nonEmpty) sourceWith(EdgeK, carriedE)
+                  else if (dir) g.edges
+                  else g.edgesByTo.getOrElse(g.edges)).alias("__e")
         val e = edgeLabels match {
           case Some(s) => e0.filter(col("__e.label").isin(s.toSeq.sorted: _*))
           case None if labels.nonEmpty => e0.filter(col("__e.label").isin(labels: _*))
@@ -334,22 +464,34 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         if (toEdge) {
           val cur = struct(col("__e.gid").as("gid"), col("__e.label").as("label"),
             col("__e.from").as("from"), col("__e.to").as("to"), col("__e.data").as("data"))
-          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid"))), clearCurVars), EdgeK, edgeLabels)
+          sidecarLive = carriedE
+          (keep(joined, cur, Some(pathEdgeEntry(col("__e.gid"))), clearCurVars,
+            extra = sidecarColNames(carriedE).map(n => col(s"__e.$n").as(n))), EdgeK, edgeLabels)
         } else {
           val farLabels: Labels = feas.map(_.map(t => if (dir) t.to else t.from).toSet)
-          val v = labelIsin(g.vertices.alias("__v"), "__v", farLabels)
+          val carriedV = if (g.fieldIndex.isDefined) carriedFields(VertexK) else Nil
+          val vSrc = if (carriedV.nonEmpty) sourceWith(VertexK, carriedV) else g.vertices
+          val v = labelIsin(vSrc.alias("__v"), "__v", farLabels)
           val vKey = if (dir) col("__e.to") else col("__e.from")
           val j2 = joined.join(v, vKey === col("__v.gid"), joinType)
           val cur = struct(col("__v.gid").as("gid"), col("__v.label").as("label"),
             lit(null).cast(StringType).as("from"), lit(null).cast(StringType).as("to"),
             col("__v.data").as("data"))
-          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars), VertexK, farLabels)
+          sidecarLive = carriedV
+          (keep(j2, cur, Some(pathVertexEntry(col("__v.gid"))), clearCurVars,
+            extra = sidecarColNames(carriedV).map(n => col(s"__v.$n").as(n))), VertexK, farLabels)
         }
     }
   }
 
 
-  private def applySimple(df: DataFrame, kind: Kind, labels0: Labels, s: Stmt): (DataFrame, Kind, Labels) = s match {
+  /** Apply one statement with the sidecar binding for the CURRENT frame in
+    * scope: field reads compiled inside resolve to live sidecar columns
+    * when this element's label state is fully index-covered. */
+  private def applySimple(df: DataFrame, kind: Kind, labels0: Labels, s: Stmt): (DataFrame, Kind, Labels) =
+    FieldRef.sidecar.withValue(activeSidecar(kind, labels0)) { applySimple0(df, kind, labels0, s) }
+
+  private def applySimple0(df: DataFrame, kind: Kind, labels0: Labels, s: Stmt): (DataFrame, Kind, Labels) = s match {
     case Stmt.Out(labels, nul) => hop(df, kind, labels0, labels, dir = true, toEdge = false, emitNull = nul)
     case Stmt.In(labels, nul) => hop(df, kind, labels0, labels, dir = false, toEdge = false, emitNull = nul)
     case Stmt.OutE(labels, nul) => hop(df, kind, labels0, labels, dir = true, toEdge = true, emitNull = nul)
@@ -406,7 +548,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
           map_concat(map_filter(col("vars"), (k, _) => !k.startsWith(name + "\u0000")), rekeyed)
         }
       (shape(df, col("cur"), newMarks,
-        if (needPath) col("path") else lit(null), newVars), kind, labels0)
+        if (needPath) col("path") else lit(null), newVars,
+        extra = sidecarExtra), kind, labels0)
 
     case Stmt.SelectOne(name) =>
       val m = element_at(col("marks"), name)
@@ -419,6 +562,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         m.getField("from").as("from"), m.getField("to").as("to"), selData.as("data"))
       val entry = when(m.getField("from").isNull, pathVertexEntry(m.getField("gid")))
         .otherwise(pathEdgeEntry(m.getField("gid")))
+      sidecarLive = Nil // the mark's element has no sidecar columns here
       (keep(df, sel, Some(entry), clearCurVars), asKinds.getOrElse(name, kind),
         asLabels.getOrElse(name, None))
 
@@ -453,6 +597,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         if (excReserved.contains("_" + name)) lit(null).cast(StringType)
         else c.getField(name)
       val newDataFinal = if (excReserved.contains("_data")) lit("{}") else newData
+      sidecarLive = Nil // projection rewrote data; stored extractions are stale
       (keep(df, struct(res("gid").as("gid"), res("label").as("label"),
         res("from").as("from"), res("to").as("to"), newDataFinal.as("data")), None,
         clearCurVars), kind, labels0)
@@ -470,6 +615,9 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         col("cur.from").as("from"), col("cur.to").as("to"),
         GJson.json_set(col("cur.data"), lit(fieldPath), coalesce(col("__uw"), lit("null"))).as("data")))
         .drop("__uw")
+      // the frame still carries the column, but it no longer matches the
+      // rewritten field — stop resolving through it
+      sidecarLive = sidecarLive.filterNot(_ == fieldPath)
       (out, kind, labels0)
 
     case Stmt.SetField(key, value) =>
@@ -480,7 +628,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
       (shape(df, col("cur"),
         if (needMarks) col("marks") else lit(null),
         if (needPath) col("path") else lit(null),
-        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind, labels0)
+        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry),
+        extra = sidecarExtra), kind, labels0)
 
     case Stmt.Increment(key, delta) =>
       val (ns, parts) = FieldRef.parse(key)
@@ -494,7 +643,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
       (shape(df, col("cur"),
         if (needMarks) col("marks") else lit(null),
         if (needPath) col("path") else lit(null),
-        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry)), kind, labels0)
+        varUpsert(col("vars"), FieldRef.varKey(ns, parts), entry),
+        extra = sidecarExtra), kind, labels0)
 
     case Stmt.Render(template) => (df.select(Render.column(template).as("render")), kind, labels0)
     case Stmt.Path() => (df.select(col("path")), kind, labels0)
@@ -571,8 +721,12 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
         kind = k
         shape(sdf, col("cur"), col("marks"), col("path"), col("vars"))
       case None => stmts.head match {
-        case Stmt.V(ids) => kind = VertexK; pointIds = nextPoints(None, stmts.head); seed(ids, fromVerts = true)
-        case Stmt.E(ids) => kind = EdgeK; pointIds = nextPoints(None, stmts.head); seed(ids, fromVerts = false)
+        case Stmt.V(ids) =>
+          kind = VertexK; pointIds = nextPoints(None, stmts.head)
+          remainingRefs = refsAfter(1); seed(ids, fromVerts = true)
+        case Stmt.E(ids) =>
+          kind = EdgeK; pointIds = nextPoints(None, stmts.head)
+          remainingRefs = refsAfter(1); seed(ids, fromVerts = false)
         case other => throw new IllegalArgumentException(s"query must start with V() or E(), got $other")
       }
     }
@@ -585,6 +739,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     val markKinds = scala.collection.mutable.Map.empty[Int, Kind]
     var i = if (seedOpt.isDefined) 0 else 1
     while (i < stmts.length) {
+      // sidecar columns a hop at THIS statement should carry forward
+      remainingRefs = refsAfter(i + 1)
       stmts(i) match {
         case Stmt.Mark(_) =>
           markKinds(i) = kind
@@ -906,6 +1062,14 @@ object Traversal {
           case _ => false
         }
     case _ => false
+  }
+
+  /** All condition keys in a has-expression (for sidecar planning). */
+  private[compiler] def condFields(e: HasExpr): Seq[String] = e match {
+    case HasExpr.And(cs) => cs.flatMap(condFields)
+    case HasExpr.Or(cs) => cs.flatMap(condFields)
+    case HasExpr.Not(c) => condFields(c)
+    case HasExpr.Cond(k, _, _) => Seq(k)
   }
 
   private[compiler] def usesMarks(e: HasExpr): Boolean = e match {

@@ -341,11 +341,17 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(pn.contains("PushedFilters") && pn.contains("__idxn_n"),
       s"numeric range must push __idxn_n to the parquet scan:\n$pn")
-    // NEQ stays off the index
+    // NEQ must never reach the SCAN as a pushed filter (a pushed
+    // comparison would drop missing-field rows the engine keeps). The r13
+    // sidecar may still evaluate it as a row-level filter on the
+    // materialized column — `!coalesce(__idxn = x, false)` keeps nulls —
+    // which the randomized equivalence above already proved row-exact.
     val pneq = Traversal.run(spark, indexed,
       Query().V().hasLabel("A").has(P.neq("n", 7)))
       .queryExecution.executedPlan.toString
-    assert(!pneq.contains("__idxn_n"), s"NEQ must not rewrite:\n$pneq")
+    val pushedNeq = "PushedFilters: \\[[^\\]]*__idxn_n".r
+    assert(pushedNeq.findFirstIn(pneq).isEmpty,
+      s"NEQ must not reach the scan as a pushed filter:\n$pneq")
   }
 
   test("edge field index: randomized equivalence, pushed filter, traversal semantics intact") {
@@ -499,6 +505,97 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Catalog.idxCol("a.b") != Catalog.idxCol("a_b"))
     assert(Catalog.idxCol("a.b") != Catalog.idxCol("a-b"))
     assert(Catalog.idxNumCol("a.b") != Catalog.idxNumCol("a_b"))
+  }
+
+  test("sidecar riding: post-hop predicates read materialized columns and push into the far-side scan") {
+    import graft.model.{Catalog, EdgeType, GraphFrame}
+    import graft.gripql.{Query, P, Agg}
+    import graft.compiler.Traversal
+    val root = java.nio.file.Files.createTempDirectory("graft-ride").toString
+    val cat = new Catalog(spark, root)
+    val rnd = new scala.util.Random(20260815L)
+    // person --owns--> asset graph; asset fields indexed; ~15% of assets
+    // MISS the fields, some carry JSON null
+    val people = (0 until 300).map(i => (s"p$i", "person", s"""{"age":${i % 70}}"""))
+    val assets = (0 until 400).map { i =>
+      val d = rnd.nextInt(100) match {
+        case m if m < 15 => """{"other":1}"""
+        case m if m < 25 => s"""{"kind":null,"value":${rnd.nextInt(1000)}}"""
+        case _ => s"""{"kind":"k${rnd.nextInt(6)}","value":${rnd.nextInt(1000)}}"""
+      }
+      (s"a$i", "asset", d)
+    }
+    val v = (people ++ assets).toDF("gid", "label", "data")
+    val e = (0 until 900).map(i =>
+      (s"e$i", "owns", s"p${rnd.nextInt(300)}", s"a${rnd.nextInt(400)}", "{}"))
+      .toDF("gid", "label", "from", "to", "data")
+    val topo = Some(Seq(EdgeType("person", "owns", "asset")))
+    cat.createGraph("ride", GraphFrame(v, e, topology = topo))
+    cat.addIndex("ride", "asset", "kind")
+    cat.addIndex("ride", "asset", "value")
+    val g = cat.graph("ride").copy(topology = topo)
+    val plain = g.copy(fieldIndex = None)
+    def rows(gr: GraphFrame, q: Query): Seq[String] =
+      Traversal.run(spark, gr, q).select("gid").collect().map(_.getString(0)).sorted.toSeq
+    def agg(gr: GraphFrame, q: Query): Seq[(String, String, Double)] =
+      Traversal.run(spark, gr, q).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+
+    // topology supplies the landed label set: out().has(...) resolves
+    // through the sidecar and the predicate reaches the far-side scan
+    val qHop = Query().V().hasLabel("person").out().has(P.gt("value", 500))
+    assert(rows(g, qHop) == rows(plain, qHop))
+    val pHop = Traversal.run(spark, g, qHop).queryExecution.executedPlan.toString
+    assert(pHop.contains("PushedFilters") && pHop.contains("__idxn_value"),
+      s"post-hop numeric predicate must push the sidecar column into the scan:\n$pHop")
+    assert(!pHop.contains("get_json_object"),
+      s"covered post-hop predicate must not parse JSON:\n$pHop")
+
+    // explicit hasLabel after the hop works without topology too
+    val gNoTopo = g.copy(topology = None)
+    val plainNoTopo = gNoTopo.copy(fieldIndex = None)
+    val qHL = Query().V().hasLabel("person").out().hasLabel("asset").has(P.eq_("kind", "k3"))
+    assert(rows(gNoTopo, qHL) == rows(plainNoTopo, qHL))
+    val pHL = Traversal.run(spark, gNoTopo, qHL).queryExecution.executedPlan.toString
+    assert(pHL.contains("PushedFilters") && pHL.contains("__idx_kind"), pHL)
+
+    // randomized equivalence across the statements that resolve fields
+    val queries = Seq(
+      Query().V().hasLabel("person").out().has(P.eq_("kind", "k2")),
+      Query().V().hasLabel("person").out().has(P.within("kind", "k1", "k4")),
+      Query().V().hasLabel("person").out().has(P.between("value", 100, 600)),
+      Query().V().hasLabel("person").out().has(P.neq("kind", "k2")), // NEQ keeps missing-field rows
+      Query().V().hasLabel("person").outNull().has(P.gt("value", 500)), // left_outer: null-landed rows
+      Query().V().hasLabel("person").both().has(P.lt("value", 300)),
+      Query().V().hasLabel("person").out().distinct("kind"),
+      Query().V().hasLabel("person").out().as("x").has(P.gt("value", 700)).select("x"),
+      Query().V().hasLabel("person").outE().out().has(P.gt("value", 800)),
+      // uncovered field / label set: no rewrite yet identical rows
+      Query().V().hasLabel("person").out().has(P.eq_("other", 1)),
+      Query().V().out().has(P.gt("value", 500)), // label state unknown mid-hop
+      // set() overrides the stored value BEFORE the sidecar read
+      Query().V().hasLabel("person").out()
+        .set("value", graft.gripql.GValue.GInt(50)).has(P.lt("value", 100)))
+    for (q <- queries)
+      assert(rows(g, q) == rows(plain, q), s"mismatch for $q")
+
+    // aggregations resolve through the sidecar: term + histogram + percentile
+    val qAgg = Query().V().hasLabel("person").out().aggregate(
+      Agg.Term("t", "kind"), Agg.Histogram("h", "value", 100))
+    assert(agg(g, qAgg) == agg(plain, qAgg))
+    // plan pin on the pure key-count path (the mixed fan-out eagerly
+    // checkpoints, hiding its upstream plan)
+    val qTerm = Query().V().hasLabel("person").out().aggregate(Agg.Term("t", "kind"))
+    assert(agg(g, qTerm) == agg(plain, qTerm))
+    val pAgg = Traversal.run(spark, g, qTerm).queryExecution.executedPlan.toString
+    assert(pAgg.contains("__idx_kind"),
+      s"term key must read the sidecar column:\n$pAgg")
+
+    // jump loops keep the plain path (one traveler schema across rounds)
+    val qLoop = Query().V().hasLabel("person").mark("s")
+      .out().jump("s", Some(P.gt("value", 990)), emit = true).limit(5)
+    assert(Traversal.run(spark, g, qLoop).count() ==
+      Traversal.run(spark, plain, qLoop).count())
   }
 
   test("survivorsBy: losers return as a broadcast anti-join, corpus never shuffles for it") {
