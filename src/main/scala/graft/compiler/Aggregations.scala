@@ -63,12 +63,17 @@ object Aggregations {
           case None =>
             val (ns, pathParts) = FieldRef.parse(field)
             val isDataField = pathParts.headOption.exists(x => x.nonEmpty && !x.startsWith("_"))
+            // container test from the stored type tag when the sidecar is
+            // active (tag "MAP"/"ARRAY" ⟺ variant schema OBJECT/ARRAY by
+            // construction) — the LAST document parse a covered term paid
             val skip =
-              if (isDataField) {
-                val t = schema_of_variant(try_variant_get(
-                  try_parse_json(FieldRef.elem(ns).getField("data")),
-                  "$." + pathParts.mkString("."), "variant"))
-                t.startsWith("ARRAY") || t.startsWith("OBJECT")
+              if (isDataField) FieldRef.resolveTypeTag(field) match {
+                case Some(tag) => coalesce(tag.isin("MAP", "ARRAY"), lit(false))
+                case None =>
+                  val t = schema_of_variant(try_variant_get(
+                    try_parse_json(FieldRef.elem(ns).getField("data")),
+                    "$." + pathParts.mkString("."), "variant"))
+                  t.startsWith("ARRAY") || t.startsWith("OBJECT")
               } else lit(false)
             Seq(p(i, "key") -> FieldRef.resolve(field), p(i, "skip") -> skip)
         }
@@ -85,8 +90,15 @@ object Aggregations {
       case (Agg.FieldAgg(_, field), i) =>
         Seq(p(i, "keys") -> json_object_keys(FieldRef.resolve(field)))
       case (Agg.TypeAgg(_, field), i) =>
+        // stored tag when covered: fold missing (NULL) and JSON null
+        // ("VOID") to UNKNOWN exactly like GJson.json_type does
         val (ns, parts) = FieldRef.parse(field)
-        Seq(p(i, "t") -> GJson.json_type(FieldRef.elem(ns).getField("data"), parts.mkString(".")))
+        Seq(p(i, "t") -> (FieldRef.resolveTypeTag(field) match {
+          case Some(tag) =>
+            when(tag.isNull || tag === "VOID", lit("UNKNOWN")).otherwise(tag)
+          case None =>
+            GJson.json_type(FieldRef.elem(ns).getField("data"), parts.mkString("."))
+        }))
       case (Agg.CountAgg(_), _) => Nil
     }
     val narrow = df0.select(inputs.flatten.map { case (n, c) => c.as(n) }: _*)

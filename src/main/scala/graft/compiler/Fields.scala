@@ -21,7 +21,9 @@ object FieldRef {
   /** Materialized sidecar columns riding the traveler frame for the
     * CURRENT element's data fields: field path → (string column name,
     * numeric column name when the stored layout carries the float64
-    * sibling). Set by Traversal around each statement's compilation, and
+    * sibling, presence/type-tag column name when it carries the r13
+    * `__idxt_*` sibling). Set by Traversal around each statement's
+    * compilation, and
     * ONLY when the statically-known label state is fully covered by a
     * physical field index whose `__idx_*` columns the frame carries —
     * then a field read is a plain column reference instead of a per-row
@@ -29,7 +31,7 @@ object FieldRef {
     * predicate built on it pushes through hop joins into the parquet
     * scan. The string column is the stored `get_json_object` of the
     * field (Catalog.relayout), so substitution is exact by construction. */
-  val sidecar = new scala.util.DynamicVariable[Map[String, (String, Option[String])]](Map.empty)
+  val sidecar = new scala.util.DynamicVariable[Map[String, (String, Option[String], Option[String])]](Map.empty)
 
   /** vars map key for a (namespace, path) pair. */
   def varKey(ns: String, parts: Seq[String]): String = ns + "\u0000" + parts.mkString(".")
@@ -77,7 +79,7 @@ object FieldRef {
           // sidecar hit: the frame carries this field's materialized
           // extraction (identical to the get_json_object below by
           // construction) as a real column — no parse, pushdown-eligible
-          case Some((strCol, _)) => col(strCol)
+          case Some((strCol, _, _)) => col(strCol)
           case None => get_json_object(e.getField("data"), "$." + path)
         }
         if (hasVars.value) {
@@ -108,19 +110,35 @@ object FieldRef {
     }
   }
 
+  /** The field's stored presence/type tag column when the frame carries
+    * it — NULL = key missing, "VOID" = stored JSON null, else the
+    * FieldType name (Catalog.idxTypeCol). Raw (no vars folding): the
+    * consumers that need vars wrap it themselves. */
+  def resolveTypeTag(key: String): Option[Column] = {
+    val (ns, parts) = parse(key)
+    if (ns.nonEmpty || parts.headOption.forall(p => p.isEmpty || p.startsWith("_"))) None
+    else sidecar.value.get(parts.mkString(".")).flatMap(_._3).map(col)
+  }
+
   /** Does the field EXIST (a JSON-null value still exists; a missing key
     * does not) — needed by distinct's drop-missing rule
-    * (reference: engine/core/processors.go:737-750). */
+    * (reference: engine/core/processors.go:737-750). With an active
+    * type-tag sidecar this is `tag IS NOT NULL` — a plain (pushable)
+    * column test instead of a json_object_keys parse. */
   def exists(key: String): Column = {
     val (ns, parts) = parse(key)
     val e = elem(ns)
     parts.headOption.getOrElse("") match {
       case "_gid" | "_label" | "_from" | "_to" | "_data" | "" => e.getField("gid").isNotNull
       case _ =>
-        val parent =
-          if (parts.length == 1) e.getField("data")
-          else get_json_object(e.getField("data"), "$." + parts.dropRight(1).mkString("."))
-        val inData = coalesce(array_contains(json_object_keys(parent), parts.last), lit(false))
+        val inData = resolveTypeTag(key) match {
+          case Some(tag) => tag.isNotNull
+          case None =>
+            val parent =
+              if (parts.length == 1) e.getField("data")
+              else get_json_object(e.getField("data"), "$." + parts.dropRight(1).mkString("."))
+            coalesce(array_contains(json_object_keys(parent), parts.last), lit(false))
+        }
         // entry presence (a field set to JSON null still EXISTS)
         if (hasVars.value)
           try_element_at(col("vars"), lit(varKey(ns, parts))).isNotNull || inData

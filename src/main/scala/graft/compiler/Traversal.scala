@@ -121,12 +121,14 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
       case Stmt.Has(e) => Traversal.condFields(e)
       case Stmt.Jump(_, Some(e), _) => Traversal.condFields(e)
       case Stmt.Distinct(fs) => fs
+      case Stmt.HasKey(ks) => ks
       case Stmt.Increment(k, _) => Seq(k)
       case Stmt.Aggregate(aggs) => aggs.collect {
         case Agg.Term(_, f, _) => f
         case Agg.Histogram(_, f, _) => f
         case Agg.Percentile(_, f, _, _) => f
         case Agg.FieldAgg(_, f) => f
+        case Agg.TypeAgg(_, f) => f
       }
       case _ => Nil
     }
@@ -167,7 +169,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
   private var sidecarLive: Seq[String] = Nil
 
   private def sidecarColNames(fields: Seq[String]): Seq[String] =
-    fields.flatMap(f => Seq(graft.model.Catalog.idxCol(f), graft.model.Catalog.idxNumCol(f)))
+    fields.flatMap(f => Seq(graft.model.Catalog.idxCol(f),
+      graft.model.Catalog.idxNumCol(f), graft.model.Catalog.idxTypeCol(f)))
 
   /** Pass-through projection of the live sidecar columns (for statements
     * that rebuild the frame but keep the current element). */
@@ -187,7 +190,7 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
     * fields whose (label, field) coverage holds for EVERY label the
     * current element can carry — substituting under partial coverage
     * would read null for uncovered labels whose real field is non-null. */
-  private def activeSidecar(kind: Kind, labels0: Labels): Map[String, (String, Option[String])] = {
+  private def activeSidecar(kind: Kind, labels0: Labels): Map[String, (String, Option[String], Option[String])] = {
     val fiOpt = if (kind == VertexK) g.fieldIndex else g.edgeFieldIndex
     (for {
       fi <- fiOpt.toList
@@ -197,6 +200,8 @@ class Traversal(g: GraphFrame, stmts0: IndexedSeq[Stmt], spark: SparkSession,
       if ls.forall(l => fi.entries((l, f)))
     } yield f -> (graft.model.Catalog.idxCol(f),
       if (ls.forall(l => fi.numEntries((l, f)))) Some(graft.model.Catalog.idxNumCol(f))
+      else None,
+      if (ls.forall(l => fi.typeEntries((l, f)))) Some(graft.model.Catalog.idxTypeCol(f))
       else None)).toMap
   }
 

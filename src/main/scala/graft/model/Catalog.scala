@@ -113,6 +113,7 @@ class Catalog(spark: SparkSession, root: String) {
       }.toMap
       val strOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxCol(f)) }.toSet
       val numOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxNumCol(f)) }.toSet
+      val typeOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxTypeCol(f)) }.toSet
       if (strOk.isEmpty) None
       else {
         // re-read the side WITH the materialized index columns (absent in
@@ -122,11 +123,13 @@ class Catalog(spark: SparkSession, root: String) {
           org.apache.spark.sql.types.StructField(Catalog.idxCol(f),
             org.apache.spark.sql.types.StringType, nullable = true),
           org.apache.spark.sql.types.StructField(Catalog.idxNumCol(f),
-            org.apache.spark.sql.types.DoubleType, nullable = true)))
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          org.apache.spark.sql.types.StructField(Catalog.idxTypeCol(f),
+            org.apache.spark.sql.types.StringType, nullable = true)))
         val schema = org.apache.spark.sql.types.StructType(
           baseSchema.fields.toSeq ++ extra)
         val rows = spark.read.schema(schema).parquet(s"${dir(name)}/$side")
-        Some(FieldIndex(rows, strOk, numOk))
+        Some(FieldIndex(rows, strOk, numOk, typeOk))
       }
     }
   }
@@ -283,15 +286,13 @@ class Catalog(spark: SparkSession, root: String) {
       s"${dir(graph)}/$side/${Catalog.labelPartName(label)}")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(part)) return
-    import org.apache.spark.sql.functions.{col, get_json_object}
+    import org.apache.spark.sql.functions.col
     // partition files hold (gid[, from, to], data) — label is the
     // directory key; old __idx columns are recomputed rather than trusted
     val keyCols = if (side == "edges") Seq("gid", "from", "to") else Seq("gid")
     val base = spark.read.parquet(part.toString)
       .select((keyCols :+ "data").map(col): _*)
-    val withIdx = fields.foldLeft(base)((d, f) =>
-      d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f))
-        .withColumn(Catalog.idxNumCol(f), col(Catalog.idxCol(f)).try_cast("double")))
+    val withIdx = Catalog.withIdxColumns(base, fields)
     // side-specific stage roots so crash recovery knows where a backup
     // belongs (".reindex" stays the vertex spelling for back-compat)
     val stageRoot = new org.apache.hadoop.fs.Path(
@@ -382,6 +383,67 @@ object Catalog {
     * (engine/logic/match.go cast.ToFloat64E); stored so numeric range
     * predicates push down as plain double comparisons. */
   def idxNumCol(field: String): String = "__idxn_" + safe(field)
+
+  /** Third sibling: the field's presence/type tag — NULL when the key is
+    * MISSING (or the document is malformed / the parent path absent),
+    * "VOID" for a stored JSON null, else the reference's FieldType name
+    * (STRING/NUMERIC/BOOL/ARRAY/MAP — gripql/gripql.proto:282-289). This
+    * is what lets the parse-heavy non-resolve reads substitute too:
+    * `exists()` (hasKey, distinct's drop-missing rule) is exactly
+    * `tag IS NOT NULL` — a pushable IsNotNull scan filter — the term
+    * aggregation's container-skip test is `tag IN ('MAP','ARRAY')`, and
+    * a `type` aggregation reads the tag directly. */
+  def idxTypeCol(field: String): String = "__idxt_" + safe(field)
+
+  /** Add the materialized index columns for every field in `fields` to a
+    * frame carrying a `data` document column — each reading EXACTLY the
+    * expression the engine evaluates per row (compiler/Fields.scala
+    * resolve / exists, GJson.json_type), so substituting the stored
+    * column for the live expression is an identity. Shared by
+    * [[Catalog.relayout]] and the fused incremental staging
+    * ([[MutableGraph.saveIncremental]]) so the two writers can never
+    * drift.
+    *
+    * The document parse (`try_parse_json`) and the top-level key list are
+    * computed ONCE per row into temp columns all fields' tag expressions
+    * reference — CollapseProject keeps expensive multiply-referenced
+    * aliases in their own projection, so the build pays one parse per row
+    * regardless of the field count (a 16-field shred re-parsing per field
+    * measured ~2.5× the build cost). */
+  def withIdxColumns(df: org.apache.spark.sql.DataFrame,
+                     fields: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (fields.isEmpty) return df
+    val tmpVar = "__graft_tmp_var"
+    val tmpKeys = "__graft_tmp_keys"
+    var d = df.withColumn(tmpVar, try_parse_json(col("data")))
+              .withColumn(tmpKeys, json_object_keys(col("data")))
+    for (field <- fields) {
+      val data = col("data")
+      val str = get_json_object(data, "$." + field)
+      val parts = field.split('.').toSeq
+      val keys =
+        if (parts.length == 1) col(tmpKeys)
+        else json_object_keys(get_json_object(data, "$." + parts.dropRight(1).mkString(".")))
+      val present = coalesce(array_contains(keys, parts.last), lit(false))
+      // probed: schema_of_variant yields "VOID" for a stored JSON null and
+      // NULL for a missing key / malformed document — exactly the split
+      // the tag needs (the VOID row EXISTS, the NULL row does not)
+      val sch = schema_of_variant(
+        try_variant_get(col(tmpVar), "$." + field, "variant"))
+      val typed = when(sch.isNull || sch === "VOID", lit("VOID"))
+        .when(sch === "STRING", lit("STRING"))
+        .when(sch === "BOOLEAN", lit("BOOL"))
+        .when(sch.isin("BIGINT", "DOUBLE", "FLOAT") || sch.startsWith("DECIMAL"), lit("NUMERIC"))
+        .when(sch.startsWith("OBJECT"), lit("MAP"))
+        .when(sch.startsWith("ARRAY"), lit("ARRAY"))
+        .otherwise(lit("UNKNOWN"))
+      d = d.withColumn(idxCol(field), str)
+           .withColumn(idxNumCol(field), str.try_cast("double"))
+           .withColumn(idxTypeCol(field), when(present, typed))
+    }
+    d.drop(tmpVar, tmpKeys)
+  }
 
   /** Injective sanitization: distinct raw fields must never share a
     * column name ('a.b' and 'a_b' both sanitize to a_b — the collision

@@ -46,7 +46,15 @@ case class EdgeType(from: String, label: String, to: String)
   * `rows` is the SAME element rowset (vertices or, for an edge index,
   * edges) re-read with the materialized index columns. */
 case class FieldIndex(rows: DataFrame, entries: Set[(String, String)],
-                      numEntries: Set[(String, String)] = Set.empty)
+                      numEntries: Set[(String, String)] = Set.empty,
+                      /** (label, field) pairs whose stored files carry the
+                        * `__idxt_*` presence/type tag (r13 layout) — serves
+                        * exists()/hasKey, distinct's drop-missing rule, the
+                        * term aggregation's container skip, and `type`
+                        * aggregations without a document parse. Decided
+                        * from footers like [[numEntries]], so pre-r13
+                        * layouts simply never substitute these reads. */
+                      typeEntries: Set[(String, String)] = Set.empty)
 
 case class GraphFrame(vertices: DataFrame, edges: DataFrame,
                       topology: Option[Seq[EdgeType]] = None,

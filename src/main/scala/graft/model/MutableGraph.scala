@@ -374,9 +374,7 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
         // an emptied label must stage NOTHING so the swap below deletes
         // it, matching the plain partitionBy path (no dir written for it)
         if (!slice.isEmpty) {
-          val withIdx = fields.foldLeft(slice)((d, f) =>
-            d.withColumn(Catalog.idxCol(f), get_json_object(col("data"), "$." + f))
-              .withColumn(Catalog.idxNumCol(f), col(Catalog.idxCol(f)).try_cast("double")))
+          val withIdx = Catalog.withIdxColumns(slice, fields)
           withIdx.orderBy(fields.flatMap(f =>
               Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
             .write.mode("overwrite")

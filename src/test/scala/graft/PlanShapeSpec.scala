@@ -518,10 +518,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // MISS the fields, some carry JSON null
     val people = (0 until 300).map(i => (s"p$i", "person", s"""{"age":${i % 70}}"""))
     val assets = (0 until 400).map { i =>
+      // `mix` cycles through every FieldType incl. containers, JSON null,
+      // and plain absence — the type-tag surfaces must agree on all of them
+      val mix = i % 6 match {
+        case 0 => ""","mix":"s1""""
+        case 1 => s""","mix":${i % 50}"""
+        case 2 => ""","mix":[1,2]"""
+        case 3 => ""","mix":{"x":1}"""
+        case 4 => ""","mix":null"""
+        case _ => "" // absent
+      }
       val d = rnd.nextInt(100) match {
-        case m if m < 15 => """{"other":1}"""
-        case m if m < 25 => s"""{"kind":null,"value":${rnd.nextInt(1000)}}"""
-        case _ => s"""{"kind":"k${rnd.nextInt(6)}","value":${rnd.nextInt(1000)}}"""
+        case m if m < 15 => s"""{"other":1$mix}"""
+        case m if m < 25 => s"""{"kind":null,"value":${rnd.nextInt(1000)}$mix}"""
+        case _ => s"""{"kind":"k${rnd.nextInt(6)}","value":${rnd.nextInt(1000)}$mix}"""
       }
       (s"a$i", "asset", d)
     }
@@ -533,6 +543,7 @@ class PlanShapeSpec extends AnyFunSuite {
     cat.createGraph("ride", GraphFrame(v, e, topology = topo))
     cat.addIndex("ride", "asset", "kind")
     cat.addIndex("ride", "asset", "value")
+    cat.addIndex("ride", "asset", "mix")
     val g = cat.graph("ride").copy(topology = topo)
     val plain = g.copy(fieldIndex = None)
     def rows(gr: GraphFrame, q: Query): Seq[String] =
@@ -590,6 +601,35 @@ class PlanShapeSpec extends AnyFunSuite {
     val pAgg = Traversal.run(spark, g, qTerm).queryExecution.executedPlan.toString
     assert(pAgg.contains("__idx_kind"),
       s"term key must read the sidecar column:\n$pAgg")
+
+    // ---- type-tag surfaces (r13 __idxt sidecar) ----
+    // exists(): hasKey + distinct's drop-missing rule — JSON-null rows
+    // EXIST, absent rows don't; the covered form is a pushable IsNotNull
+    for (q <- Seq(
+        Query().V().hasLabel("person").out().hasKey("mix"),
+        Query().V().hasLabel("person").out().hasKey("kind"), // null-bearing
+        Query().V().hasLabel("person").out().distinct("mix"),
+        Query().V().hasLabel("person").out().distinct("kind")))
+      assert(rows(g, q) == rows(plain, q), s"mismatch for $q")
+    val pHK = Traversal.run(spark, g,
+      Query().V().hasLabel("person").out().hasKey("mix"))
+      .queryExecution.executedPlan.toString
+    assert(pHK.contains("IsNotNull(__idxt_mix"),
+      s"covered hasKey must push IsNotNull on the type tag:\n$pHK")
+    assert(!pHK.contains("json_object_keys"),
+      s"covered hasKey must not parse the document:\n$pHK")
+    // term over a mixed-type field: container values skipped, scalars
+    // counted as their raw text — and NO document parse when covered
+    val qMix = Query().V().hasLabel("person").out().aggregate(Agg.Term("t", "mix"))
+    assert(agg(g, qMix) == agg(plain, qMix))
+    val pMix = Traversal.run(spark, g, qMix).queryExecution.executedPlan.toString
+    assert(!pMix.contains("parse_json"),
+      s"covered term must take its container test from the type tag:\n$pMix")
+    // type aggregation reads the tag directly (missing/JSON null → UNKNOWN)
+    val qType = Query().V().hasLabel("person").out().aggregate(Agg.TypeAgg("ty", "mix"))
+    assert(agg(g, qType) == agg(plain, qType))
+    assert(agg(g, qType).map(_._2).toSet ==
+      Set("STRING", "NUMERIC", "ARRAY", "MAP", "UNKNOWN"))
 
     // jump loops keep the plain path (one traveler schema across rounds)
     val qLoop = Query().V().hasLabel("person").mark("s")
