@@ -23,6 +23,7 @@ import graft.compiler.Traversal
   *   graft query <graph> "V().hasLabel('x').count()"   → ND-JSON on stdout
   *   graft schema <graph> [--sample-n N]               → sampled schema JSON
   *   graft index add|drop <graph> <label> <field> | list <graph>
+  *   graft manifest enable <graph>
   *   graft mapping <graph> <config.yaml> <sourcesDir> [--id coll=col ...]
   *   graft job submit <graph> <query> | list <graph> | view <graph> <id>
   *             | resume <graph> <id> <extension> | drop <graph> <id>
@@ -31,7 +32,7 @@ import graft.compiler.Traversal
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
-      """usage: graft <create|drop|list|info|load|dump|query|schema|index|mapping|gripper-serve|gripper-plugin|job|server> ...
+      """usage: graft <create|drop|list|info|load|dump|query|schema|index|manifest|mapping|gripper-serve|gripper-plugin|job|server> ...
         |see Cli.scala scaladoc for per-command arguments""".stripMargin)
     sys.exit(2)
   }
@@ -155,6 +156,12 @@ object Cli {
     case "index" :: "list" :: g :: Nil =>
       catalog.listIndices(g).foreach { case (l, f) => println(s"V\t$l\t$f") }
       catalog.listEdgeIndices(g).foreach { case (l, f) => println(s"E\t$l\t$f") }
+    // pointer-commit storage mode: incremental saves / index builds commit
+    // by replacing one manifest file instead of renaming live directories
+    // — the safe protocol for object stores (see graft.model.Manifest)
+    case "manifest" :: "enable" :: g :: Nil =>
+      catalog.enableManifestCommit(g)
+      println(s"pointer-commit enabled on $g")
 
     case "mapping" :: g :: conf :: sources :: rest =>
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(conf)), "UTF-8")

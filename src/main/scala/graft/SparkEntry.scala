@@ -769,6 +769,34 @@ edges:
           .has(P.eq_("c_mktsegment", "BUILDING"))
           .has(P.gte("c_acctbal", 5000))))
     }),
+    // q93: the POINTER-COMMIT protocol end-to-end (r13) — q90's DDL
+    // composition re-run under manifest mode: create an indexed graph
+    // from half the customers, switch it to pointer commits
+    // (enableManifestCommit — object-store-safe: no live rename, the
+    // commit is one atomic manifest replacement), merge-load the other
+    // half through the fused incremental save (which now commits via the
+    // manifest), and answer the indexed range seek over the merged truth.
+    "q93_manifest_merge_seek" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q93").toString
+      val cat = new graft.model.Catalog(s, root)
+      val cust = s.read.parquet(s"$d/customer.parquet").select(
+        concat(lit("c:"), col("c_custkey")).as("gid"),
+        lit("customer").as("label"),
+        to_json(struct(col("c_acctbal"))).as("data"),
+        col("c_custkey"))
+      val e = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.GraphFrame.edgeSchema)
+      cat.createGraph("q93", graft.model.GraphFrame(
+        cust.filter(col("c_custkey") % 2 === 0).drop("c_custkey"), e))
+      cat.addIndex("q93", "customer", "c_acctbal")
+      cat.enableManifestCommit("q93")
+      val mg = graft.model.MutableGraph(s, cat.graph("q93"))
+      mg.bulkAddFrames(vertices = cust.filter(col("c_custkey") % 2 =!= 0)
+        .drop("c_custkey"))
+      cat.upsertGraph("q93", mg)
+      g1(Traversal.run(s, cat.graph("q93"),
+        Query().V().hasLabel("customer").has(P.between("c_acctbal", 1000, 3000))))
+    }),
     // q92: sidecar columns RIDE THE TRAVERSAL (r13) — both filters of a
     // two-label hop query answer from materialized shredded columns: the
     // seed predicate (o_totalprice) prunes the order scan, and the
@@ -1531,6 +1559,10 @@ edges:
     // q91: both shredded-column predicates against the original values
     "q91_shredded_scan" ->
       "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 5000",
+    // q93: the merged truth is ALL customers, exactly like q90 — the
+    // manifest changes the commit protocol, never the rows
+    "q93_manifest_merge_seek" ->
+      "SELECT 'c:' || c_custkey AS gid FROM customer WHERE c_acctbal >= 1000 AND c_acctbal < 3000",
     // q92: one traveler per qualifying (order → customer) landing — the
     // join multiplicity matches the traversal's edge-per-arrival exactly
     // (each order has one placed edge); BETWEEN is [a,b)

@@ -106,9 +106,22 @@ class Catalog(spark: SparkSession, root: String) {
                           baseSchema: org.apache.spark.sql.types.StructType): Option[FieldIndex] = {
     if (idx.isEmpty) None
     else {
+      val sidePath = new org.apache.hadoop.fs.Path(s"${dir(name)}/$side")
+      val fs = sidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // pointer-commit mode: the committed data dirs live behind the
+      // manifest (see Manifest); both the footer probe and the rows
+      // frame must resolve through it
+      val manifest = Manifest.read(fs, sidePath)
+      def labelData(l: String): Option[String] = {
+        val part = Catalog.labelPartName(l)
+        manifest match {
+          case Some(m) => m.partitions.get(part).map(rel => s"${dir(name)}/$side/$rel")
+          case None => Some(s"${dir(name)}/$side/$part")
+        }
+      }
       val storedCols: Map[String, Set[String]] = idx.map(_._1).distinct.map { l =>
-        val p = s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
-        l -> (try spark.read.parquet(p).schema.fieldNames.toSet
+        l -> (try labelData(l).map(p => spark.read.parquet(p).schema.fieldNames.toSet)
+                .getOrElse(Set.empty[String])
               catch { case scala.util.control.NonFatal(_) => Set.empty[String] })
       }.toMap
       val strOk = idx.filter { case (l, f) => storedCols(l).contains(Catalog.idxCol(f)) }.toSet
@@ -128,7 +141,10 @@ class Catalog(spark: SparkSession, root: String) {
             org.apache.spark.sql.types.StringType, nullable = true)))
         val schema = org.apache.spark.sql.types.StructType(
           baseSchema.fields.toSeq ++ extra)
-        val rows = spark.read.schema(schema).parquet(s"${dir(name)}/$side")
+        val rows = manifest match {
+          case Some(m) => GraphFrame.manifestSide(spark, sidePath, m, schema)
+          case None => spark.read.schema(schema).parquet(s"${dir(name)}/$side")
+        }
         Some(FieldIndex(rows, strOk, numOk, typeOk))
       }
     }
@@ -213,10 +229,18 @@ class Catalog(spark: SparkSession, root: String) {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("label="))
           .map(st => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(st.getPath.getName.stripPrefix("label=")))
+        // pointer-commit mode: sample from the committed data dirs
+        val sideManifest = Manifest.read(fs, sideDir)
         for (l <- labels) {
-          val part = s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
-          val docs = spark.read.parquet(part).select("data").limit(sampleN)
-            .collect().map(_.getString(0)).filter(d => d != null && d.nonEmpty)
+          val part = sideManifest match {
+            case Some(m) => m.partitions.get(Catalog.labelPartName(l))
+              .map(rel => s"${dir(name)}/$side/$rel").orNull
+            case None => s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
+          }
+          val docs =
+            if (part == null) Array.empty[String]
+            else spark.read.parquet(part).select("data").limit(sampleN)
+              .collect().map(_.getString(0)).filter(d => d != null && d.nonEmpty)
           val freq = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
           for (d <- docs) {
             val node = try mapper.readTree(d) catch { case _: Exception => null }
@@ -282,14 +306,35 @@ class Catalog(spark: SparkSession, root: String) {
                        side: String = "vertices"): Unit = {
     // self-heal a crashed previous relayout before probing the partition
     GraphFrame.recoverInterruptedSwaps(spark, dir(graph))
-    val part = new org.apache.hadoop.fs.Path(
-      s"${dir(graph)}/$side/${Catalog.labelPartName(label)}")
-    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(part)) return
+    val sidePath = new org.apache.hadoop.fs.Path(s"${dir(graph)}/$side")
+    val fs = sidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val labelDirName = Catalog.labelPartName(label)
     import org.apache.spark.sql.functions.col
+    val keyCols = if (side == "edges") Seq("gid", "from", "to") else Seq("gid")
+    // pointer-commit mode: write a fresh commit dir from the committed
+    // one, replace the manifest (THE commit), then GC what it replaced —
+    // no live rename anywhere (see Manifest)
+    Manifest.read(fs, sidePath) match {
+      case Some(m) =>
+        val relOld = m.partitions.getOrElse(labelDirName, return)
+        val base = spark.read.parquet(new org.apache.hadoop.fs.Path(sidePath, relOld).toString)
+          .select((keyCols :+ "data").map(col): _*)
+        val relNew = labelDirName + "/" + Manifest.newCommitDir()
+        Catalog.withIdxColumns(base, fields)
+          .orderBy(fields.flatMap(f =>
+            Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
+          .write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(sidePath, relNew).toString)
+        Manifest.write(fs, sidePath,
+          Manifest.SideManifest(m.partitions + (labelDirName -> relNew)))
+        Manifest.gcLabel(fs, sidePath, labelDirName, Some(relNew))
+        return
+      case None => ()
+    }
+    val part = new org.apache.hadoop.fs.Path(sidePath, labelDirName)
+    if (!fs.exists(part)) return
     // partition files hold (gid[, from, to], data) — label is the
     // directory key; old __idx columns are recomputed rather than trusted
-    val keyCols = if (side == "edges") Seq("gid", "from", "to") else Seq("gid")
     val base = spark.read.parquet(part.toString)
       .select((keyCols :+ "data").map(col): _*)
     val withIdx = Catalog.withIdxColumns(base, fields)
@@ -316,6 +361,69 @@ class Catalog(spark: SparkSession, root: String) {
     }
     fs.delete(backup, true)
     fs.delete(stageRoot, true) // scratch only ever holds this swap's dirs
+  }
+
+  /** Switch a saved graph to the pointer-commit (manifest) protocol —
+    * the object-store-safe alternative to the rename-swap commit (see
+    * [[Manifest]]): after this, `upsertGraph` / `addIndex` /
+    * `shredGraph` / streaming ingest commit each change by writing NEW
+    * `c-<uuid>` data directories and atomically replacing one small
+    * manifest file per side, with no live rename anywhere — safe on
+    * S3-class stores where directory rename is copy+delete.
+    *
+    * The migration itself MOVES the existing files into commit dirs
+    * (renames), so run it where rename is trustworthy — at graph
+    * creation time, or on HDFS/local before uploading. Idempotent and
+    * crash-resumable: files already moved into `c-*` dirs are folded
+    * into the fresh commit on re-run (nothing is referenced until the
+    * manifest is written, and the manifest is written last).
+    *
+    * A FULL re-save ([[createGraph]] / GraphFrame.save) rewrites the
+    * side with Spark's own output committer in the plain layout and
+    * thereby drops the manifest — re-run this after a full rebuild.
+    * Loaded frames from before the switch hold stale file listings
+    * (the usual DDL-vs-open-reader contract): re-load via [[graph]]. */
+  def enableManifestCommit(name: String): Unit = {
+    for (side <- Seq("vertices", "edges")) {
+      val sidePath = new org.apache.hadoop.fs.Path(s"${dir(name)}/$side")
+      val fs = sidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(sidePath) && !Manifest.exists(fs, sidePath)) {
+        // settle any half-done rename swap before freezing the layout
+        GraphFrame.recoverInterruptedSwaps(spark, dir(name))
+        val parts = for {
+          st <- fs.listStatus(sidePath).toSeq.sortBy(_.getPath.getName)
+          if st.isDirectory && st.getPath.getName.startsWith("label=")
+        } yield {
+          val labelDir = st.getPath
+          val rel = labelDir.getName + "/" + Manifest.newCommitDir()
+          val cdir = new org.apache.hadoop.fs.Path(sidePath, rel)
+          fs.mkdirs(cdir)
+          // fold in top-level files AND any c-* leftovers from a crashed
+          // previous migration; ordinal prefixes keep names collision-free.
+          // Marker files (_SUCCESS and other _/. prefixed names Spark's
+          // readers skip by convention) are dropped — the ordinal prefix
+          // would otherwise un-hide them and break footer reads
+          def dataFile(p: org.apache.hadoop.fs.Path): Boolean =
+            !p.getName.startsWith("_") && !p.getName.startsWith(".")
+          val sources = fs.listStatus(labelDir).toSeq.flatMap { f =>
+            if (f.isFile) Seq(f.getPath).filter(dataFile)
+            else if (f.getPath.getName.startsWith("c-"))
+              fs.listStatus(f.getPath).toSeq.filter(_.isFile).map(_.getPath).filter(dataFile)
+            else Nil
+          }
+          sources.zipWithIndex.foreach { case (src, i) =>
+            if (!fs.rename(src, new org.apache.hadoop.fs.Path(cdir, s"m$i-${src.getName}")))
+              throw new java.io.IOException(s"manifest migration: rename $src failed")
+          }
+          for (f <- fs.listStatus(labelDir)
+               if f.isDirectory && f.getPath.getName.startsWith("c-")
+               if f.getPath.getName != cdir.getName)
+            fs.delete(f.getPath, true)
+          labelDir.getName -> rel
+        }
+        Manifest.write(fs, sidePath, Manifest.SideManifest(parts.toMap))
+      }
+    }
   }
 
   def deleteIndex(graph: String, label: String, field: String): Unit =

@@ -140,10 +140,13 @@ object GraphFrame {
     * stores rename is copy+delete and NOT atomic: a crash mid-copy can
     * leave a partial partition that this rollback cannot detect. Do not
     * run the incremental-save/relayout paths against such a store without
-    * an atomic-rename layer (HDFS, a committer service, or a lakehouse
-    * table format whose manifest commit replaces the swap entirely —
-    * the full [[GraphFrame.save]] path is safe everywhere since Spark's
-    * own output committer handles it).
+    * an atomic-rename layer (HDFS, a committer service) — or switch the
+    * graph to the built-in pointer-commit protocol
+    * ([[graft.model.Catalog.enableManifestCommit]] / [[Manifest]]), which
+    * replaces every swap with write-new-dirs + one atomic manifest
+    * replacement and needs no rename at all. (The full
+    * [[GraphFrame.save]] path is safe everywhere since Spark's own
+    * output committer handles it.)
     *
     * Single-writer: recovery deletes the stage directories, so it must
     * not run concurrently with a live save/relayout on the same `dir`
@@ -188,11 +191,50 @@ object GraphFrame {
     // explicit schemas: an empty side (a vertex-only graph has no edge
     // part-files at all) would otherwise fail parquet schema inference
     GraphFrame(
-      spark.read.schema(vertexSchema).parquet(s"$dir/vertices")
+      loadSide(spark, dir, "vertices", vertexSchema)
         .select("gid", "label", "data"),
-      spark.read.schema(edgeSchema).parquet(s"$dir/edges")
+      loadSide(spark, dir, "edges", edgeSchema)
         .select("gid", "label", "from", "to", "data"),
       topo)
+  }
+
+  /** One side's rows: the pointer-commit manifest when present (union of
+    * the committed per-label directories, label injected from the
+    * manifest key — see [[Manifest]]), else the plain
+    * label-partitioned-directory read. */
+  private[model] def loadSide(spark: SparkSession, dir: String, side: String,
+                              schema: StructType): DataFrame = {
+    val sidePath = new org.apache.hadoop.fs.Path(s"$dir/$side")
+    val fs = sidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Manifest.read(fs, sidePath) match {
+      case Some(m) => manifestSide(spark, sidePath, m, schema)
+      case None => spark.read.schema(schema).parquet(s"$dir/$side")
+    }
+  }
+
+  /** Union of a manifest's committed per-label directories, projected to
+    * `schema`'s column order. Committed files carry no partition column,
+    * so `label` is injected from the manifest key (unescaping Spark's
+    * partition-value spelling). Each label stays its own scan branch —
+    * exactly the plan shape the plain partitioned read produces, so
+    * label-pruning (`label isin ...` → dropped union branches) and
+    * pushed data filters behave identically. */
+  private[model] def manifestSide(spark: SparkSession,
+                                  sidePath: org.apache.hadoop.fs.Path,
+                                  m: Manifest.SideManifest,
+                                  schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fileSchema = StructType(schema.fields.filterNot(_.name == "label"))
+    val order = schema.fieldNames.map(col).toSeq
+    val perLabel = m.partitions.toSeq.sortBy(_._1).map { case (labelDir, rel) =>
+      val labelValue = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(labelDir.stripPrefix("label="))
+      spark.read.schema(fileSchema).parquet(new org.apache.hadoop.fs.Path(sidePath, rel).toString)
+        .withColumn("label", lit(labelValue))
+        .select(order: _*)
+    }
+    perLabel.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   /** Load from JSON-lines vertex/edge files (the reference's bulk-load

@@ -346,6 +346,43 @@ class MutableGraph(spark: SparkSession, v0: DataFrame, e0: DataFrame,
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(live)
+    // pointer-commit mode (Catalog.enableManifestCommit): write fresh
+    // commit dirs for every touched label, then replace the ONE manifest
+    // file — the only commit point, atomic on object stores too — then
+    // GC the replaced/orphaned dirs. No live rename, no crash window
+    // that loses a partition (an interrupted run leaves unreferenced
+    // dirs the next commit sweeps). See graft.model.Manifest.
+    Manifest.read(fs, live) match {
+      case Some(m0) =>
+        var parts = m0.partitions
+        for (l <- labels.toSeq.sorted) {
+          val labelDirName = Catalog.labelPartName(l)
+          val fields = idxFields.getOrElse(l, Nil)
+          // one materialization of the merge slice (same rationale as the
+          // fused staging below: emptiness probe + write (+ sort passes))
+          val slice = df.filter(col("label") === l).drop("label").localCheckpoint(true)
+          try {
+            if (slice.isEmpty) parts -= labelDirName
+            else {
+              val out =
+                if (fields.nonEmpty)
+                  Catalog.withIdxColumns(slice, fields).orderBy(fields.flatMap(f =>
+                    Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
+                else slice
+              val rel = labelDirName + "/" + Manifest.newCommitDir()
+              out.write.mode("overwrite")
+                .parquet(new org.apache.hadoop.fs.Path(live, rel).toString)
+              parts += labelDirName -> rel
+            }
+          } finally slice.unpersist()
+        }
+        Manifest.write(fs, live, Manifest.SideManifest(parts))
+        for (l <- labels)
+          Manifest.gcLabel(fs, live, Catalog.labelPartName(l),
+            parts.get(Catalog.labelPartName(l)))
+        return
+      case None => ()
+    }
     // self-heal any swap a crashed previous save left half-done BEFORE
     // clearing the stage (the stage may hold the only copy of a partition)
     GraphFrame.recoverInterruptedSwaps(spark, live.getParent.toString)
