@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r13 optimization round): split the one-shot DDL entries
+  * (q88–q93) into their phases — save, index build, catalog re-load,
+  * seek — so the optimization targets the real term, not the headline.
+  * Usage: tools/runmain.sh graft.ProbeR13 [q89|q92|p51] [sfDir]
+  */
+object ProbeR13 {
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("q89")
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    var last = System.nanoTime()
+    def lap(tag: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[probe] $tag%-28s ${(now - last) / 1e9}%6.2f s")
+      last = now
+    }
+    val reps = 2
+    for (rep <- 1 to reps) {
+      println(s"== $which rep $rep ==")
+      last = System.nanoTime()
+      which match {
+        case "q89" =>
+          val root = java.nio.file.Files.createTempDirectory("graft-probe89").toString
+          val cat = new graft.model.Catalog(spark, root)
+          val cust = spark.read.parquet(s"$d/customer.parquet").select(
+            concat(lit("c:"), col("c_custkey")).as("gid"),
+            lit("customer").as("label"), lit("{}").as("data"))
+          val ord = spark.read.parquet(s"$d/orders.parquet")
+          val ov = ord.select(concat(lit("o:"), col("o_orderkey")).as("gid"),
+            lit("order").as("label"), lit("{}").as("data"))
+          val e = ord.select(concat(lit("pl:"), col("o_orderkey")).as("gid"),
+            lit("placed").as("label"),
+            concat(lit("c:"), col("o_custkey")).as("from"),
+            concat(lit("o:"), col("o_orderkey")).as("to"),
+            to_json(struct(col("o_totalprice"))).as("data"))
+          lap("frames")
+          cat.createGraph("q89", graft.model.GraphFrame(cust.unionByName(ov), e))
+          lap("createGraph(save)")
+          cat.addEdgeIndex("q89", "placed", "o_totalprice")
+          lap("addEdgeIndex(relayout)")
+          val g = cat.graph("q89")
+          lap("cat.graph(load)")
+          val n = graft.compiler.Traversal.run(spark, g,
+            gripql.Query().E().hasLabel("placed")
+              .has(gripql.P.between("o_totalprice", 1000, 20000))).count()
+          lap(s"seek count=$n")
+        case "q92" =>
+          val root = java.nio.file.Files.createTempDirectory("graft-probe92").toString
+          val cat = new graft.model.Catalog(spark, root)
+          val cust = spark.read.parquet(s"$d/customer.parquet").select(
+            concat(lit("c:"), col("c_custkey")).as("gid"),
+            lit("customer").as("label"),
+            to_json(struct(col("c_acctbal"))).as("data"))
+          val ord = spark.read.parquet(s"$d/orders.parquet")
+          val ov = ord.select(concat(lit("o:"), col("o_orderkey")).as("gid"),
+            lit("order").as("label"),
+            to_json(struct(col("o_totalprice"))).as("data"))
+          val e = ord.select(concat(lit("pl:"), col("o_orderkey")).as("gid"),
+            lit("placed").as("label"),
+            concat(lit("c:"), col("o_custkey")).as("from"),
+            concat(lit("o:"), col("o_orderkey")).as("to"),
+            lit("{}").as("data"))
+          lap("frames")
+          cat.createGraph("q92", graft.model.GraphFrame(cust.unionByName(ov), e,
+            topology = Some(Seq(graft.model.EdgeType("customer", "placed", "order")))))
+          lap("createGraph(save)")
+          cat.shredGraph("q92")
+          lap("shredGraph")
+          val g = cat.graph("q92")
+          lap("cat.graph(load)")
+          val n = graft.compiler.Traversal.run(spark, g,
+            gripql.Query().V().hasLabel("order")
+              .has(gripql.P.gt("o_totalprice", 100000))
+              .in().has(gripql.P.between("c_acctbal", 1000, 5000))).count()
+          lap(s"seek count=$n")
+        case "relayout" =>
+          // fine-grained: the exact work Catalog.relayout does for q89's
+          // 150k-row edge label, step by step
+          val root = java.nio.file.Files.createTempDirectory("graft-probeRl").toString
+          val ord = spark.read.parquet(s"$d/orders.parquet")
+          val e = ord.select(concat(lit("pl:"), col("o_orderkey")).as("gid"),
+            lit("placed").as("label"),
+            concat(lit("c:"), col("o_custkey")).as("from"),
+            concat(lit("o:"), col("o_orderkey")).as("to"),
+            to_json(struct(col("o_totalprice"))).as("data"))
+          e.write.partitionBy("label").mode("overwrite").parquet(s"$root/edges")
+          lap("write plain")
+          val part = s"$root/edges/label=placed"
+          val base = spark.read.parquet(part)
+            .select(Seq("gid", "from", "to", "data").map(col): _*)
+          base.write.format("noop").mode("overwrite").save()
+          lap("base scan (noop)")
+          val withIdx = graft.model.Catalog.withIdxColumns(base, Seq("o_totalprice"))
+          withIdx.write.format("noop").mode("overwrite").save()
+          lap("withIdx (noop)")
+          withIdx.orderBy(col("__idxn_o_totalprice"), col("__idx_o_totalprice"))
+            .write.format("noop").mode("overwrite").save()
+          lap("withIdx+orderBy (noop)")
+          withIdx.orderBy(col("__idxn_o_totalprice"), col("__idx_o_totalprice"))
+            .write.mode("overwrite").parquet(s"$root/stage")
+          lap("withIdx+orderBy+write")
+          val cached = withIdx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.orderBy(col("__idxn_o_totalprice"), col("__idx_o_totalprice"))
+            .write.mode("overwrite").parquet(s"$root/stage2")
+          cached.unpersist(false)
+          lap("persist+orderBy+write")
+        case "exprcost" =>
+          // which withIdxColumns term dominates per-row? single-task scan
+          // over the 150k-row orders-as-edges label
+          import org.apache.spark.sql.functions._
+          val ord = spark.read.parquet(s"$d/orders.parquet")
+            .select(to_json(struct(col("o_totalprice"))).as("data"))
+          ord.write.mode("overwrite").parquet("/dev/shm/graft-probe-docs")
+          val base = spark.read.parquet("/dev/shm/graft-probe-docs")
+          def t(tag: String)(c: org.apache.spark.sql.Column): Unit = {
+            val t0 = System.nanoTime()
+            base.select(c.as("x")).write.format("noop").mode("overwrite").save()
+            println(f"[probe] $tag%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          }
+          t("baseline col")(col("data"))
+          t("get_json_object")(get_json_object(col("data"), "$.o_totalprice"))
+          t("gjo+try_cast")(get_json_object(col("data"), "$.o_totalprice").try_cast("double"))
+          t("try_parse_json")(try_parse_json(col("data")).cast("string"))
+          t("variant_get(parse)")(try_variant_get(try_parse_json(col("data")), "$.o_totalprice", "variant").cast("string"))
+          t("schema_of_variant(get(parse))")(schema_of_variant(try_variant_get(try_parse_json(col("data")), "$.o_totalprice", "variant")))
+          t("json_object_keys")(json_object_keys(col("data")))
+          t("full withIdx trio")(struct(
+            get_json_object(col("data"), "$.o_totalprice"),
+            get_json_object(col("data"), "$.o_totalprice").try_cast("double"),
+            schema_of_variant(try_variant_get(try_parse_json(col("data")), "$.o_totalprice", "variant"))))
+        case "tageq" =>
+          // Is when(present, typed) identical to when(sch.isNotNull, typed)?
+          // i.e. does schema_of_variant(try_variant_get(...)) return NULL
+          // exactly when the key is missing / doc malformed / parent absent,
+          // and non-null (VOID for json null) whenever the key is present?
+          import org.apache.spark.sql.functions._
+          val docs = Seq(
+            """{"a": 1}""", """{"a": null}""", """{"b": 2}""", """{}""",
+            "", "not json", """[1,2]""", """"str"""", "null", "3",
+            """{"a": {"b": 1}}""", """{"a": {"b": null}}""", """{"a": []}""",
+            """{"a": {"c": 1}}""", """{"a": [1]}""", """{"a": "x"}""",
+            """{"a": true}""", """{"a": 1.50}""", """{"a": {}}""",
+            """{"a": {"b": {"c": null}}}""")
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(docs.map(org.apache.spark.sql.Row(_)), 2),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("data",
+                org.apache.spark.sql.types.StringType))))
+          for (field <- Seq("a", "a.b")) {
+            val tmpVar = try_parse_json(col("data"))
+            val parts = field.split('.').toSeq
+            val keys =
+              if (parts.length == 1) json_object_keys(col("data"))
+              else json_object_keys(get_json_object(col("data"),
+                "$." + parts.dropRight(1).mkString(".")))
+            val present = coalesce(array_contains(keys, parts.last), lit(false))
+            val sch = schema_of_variant(try_variant_get(tmpVar, "$." + field, "variant"))
+            val out = df.select(col("data"), present.as("present"), sch.as("sch"))
+              .collect()
+            println(s"--- field=$field")
+            out.foreach(r => println(f"${r.get(0).toString.take(26)}%-28s present=${r.get(1)}%-6s sch=${r.get(2)}"))
+            val mism = out.filter(r => r.getBoolean(1) != (r.get(2) != null))
+            println(s"MISMATCHES: ${mism.length}")
+          }
+        case other =>
+          val fn = SparkEntry.queries(other)
+          val n = fn(spark, d).count()
+          lap(s"$other count=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -218,51 +218,73 @@ class Catalog(spark: SparkSession, root: String) {
     * Returns the (label → fields) map it built. */
   def shredGraph(name: String, sampleN: Int = 200, maxFields: Int = 16,
                  sides: Seq[String] = Seq("vertices", "edges")): Map[(String, String), Seq[String]] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fsRoot = new org.apache.hadoop.fs.Path(dir(name))
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val built = scala.collection.mutable.Map.empty[(String, String), Seq[String]]
-    for (side <- sides) {
-      val sideDir = new org.apache.hadoop.fs.Path(s"${dir(name)}/$side")
-      if (fs.exists(sideDir)) {
-        val labels = fs.listStatus(sideDir).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("label="))
-          .map(st => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(st.getPath.getName.stripPrefix("label=")))
-        // pointer-commit mode: sample from the committed data dirs
-        val sideManifest = Manifest.read(fs, sideDir)
-        for (l <- labels) {
-          val part = sideManifest match {
-            case Some(m) => m.partitions.get(Catalog.labelPartName(l))
-              .map(rel => s"${dir(name)}/$side/$rel").orNull
-            case None => s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
-          }
-          val docs =
-            if (part == null) Array.empty[String]
-            else spark.read.parquet(part).select("data").limit(sampleN)
-              .collect().map(_.getString(0)).filter(d => d != null && d.nonEmpty)
-          val freq = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-          for (d <- docs) {
-            val node = try mapper.readTree(d) catch { case _: Exception => null }
-            if (node != null && node.isObject) {
-              val it = node.properties().iterator()
-              while (it.hasNext) {
-                val e = it.next()
-                if (e.getKey.matches("[A-Za-z0-9_]+") && e.getValue.isValueNode
-                    && !e.getValue.isNull)
-                  freq(e.getKey) += 1
-              }
-            }
-          }
-          val fields = freq.toSeq.sortBy { case (k, n) => (-n, k) }
-            .take(maxFields).map(_._1).sorted
-          if (fields.nonEmpty) {
-            relayout(name, l, fields, side)
-            built((side, l)) = fields
+    // recover ONCE before any concurrent build: recovery deletes whole
+    // stage roots, so it must never run inside a parallel relayout
+    GraphFrame.recoverInterruptedSwaps(spark, dir(name))
+    // per-label work items: (side, label, committed data dir)
+    val items = for {
+      side <- sides
+      sideDir = new org.apache.hadoop.fs.Path(s"${dir(name)}/$side")
+      if fs.exists(sideDir)
+      sideManifest = Manifest.read(fs, sideDir)
+      st <- fs.listStatus(sideDir).toSeq
+      if st.isDirectory && st.getPath.getName.startsWith("label=")
+      l = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getName.stripPrefix("label="))
+      part = sideManifest match {
+        case Some(m) => m.partitions.get(Catalog.labelPartName(l))
+          .map(rel => s"${dir(name)}/$side/$rel").orNull
+        case None => s"${dir(name)}/$side/${Catalog.labelPartName(l)}"
+      }
+    } yield (side, l, part)
+    // sample + build each label CONCURRENTLY (guide §2.6 — overlap
+    // independent jobs): labels are disjoint directories and disjoint
+    // Spark jobs, so a small pool lets one label's sort backfill the
+    // executors another label's sampling or commit leaves idle; the
+    // manifest/rename commits serialize on [[commitLock]]. Results are
+    // identical to the serial loop — each label's build touches only its
+    // own partition, and registration happens once below.
+    def sampleFields(part: String): Seq[String] = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val docs =
+        if (part == null) Array.empty[String]
+        else spark.read.parquet(part).select("data").limit(sampleN)
+          .collect().map(_.getString(0)).filter(d => d != null && d.nonEmpty)
+      val freq = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      for (d <- docs) {
+        val node = try mapper.readTree(d) catch { case _: Exception => null }
+        if (node != null && node.isObject) {
+          val it = node.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey.matches("[A-Za-z0-9_]+") && e.getValue.isValueNode
+                && !e.getValue.isNull)
+              freq(e.getKey) += 1
           }
         }
       }
+      freq.toSeq.sortBy { case (k, n) => (-n, k) }.take(maxFields).map(_._1).sorted
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, items.size)))
+    val built = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = items.map { case (side, l, part) =>
+        scala.concurrent.Future {
+          val fields = sampleFields(part)
+          if (fields.nonEmpty) {
+            relayout(name, l, fields, side, recover = false)
+            Some(((side, l), fields))
+          } else None
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).flatten.toMap
+    } finally pool.shutdown()
     // register AFTER every build succeeded (the addIndex discipline:
     // registration must imply materialized columns)
     val vNew = built.collect { case (("vertices", l), fs2) => fs2.map(f => (l, f)) }.flatten
@@ -270,7 +292,7 @@ class Catalog(spark: SparkSession, root: String) {
     writeIndices(name,
       (listIndices(name) ++ vNew).distinct.map { case (l, f) => ("V", l, f) } ++
       (listEdgeIndices(name) ++ eNew).distinct.map { case (l, f) => ("E", l, f) })
-    built.toMap
+    built
   }
 
   /** Edge-side field index (value-add: the reference's AddIndex is
@@ -302,15 +324,50 @@ class Catalog(spark: SparkSession, root: String) {
     * The atomic-rename requirement this rests on (HDFS/local yes,
     * S3-class object stores NO) is the documented contract in
     * [[GraphFrame.recoverInterruptedSwaps]]. */
+  /** Serializes relayout COMMITS (manifest read-modify-write / live
+    * renames) when label builds run concurrently ([[shredGraph]]); the
+    * expensive sort+write stays outside it. */
+  private val commitLock = new Object
+
   private def relayout(graph: String, label: String, fields: Seq[String],
-                       side: String = "vertices"): Unit = {
-    // self-heal a crashed previous relayout before probing the partition
-    GraphFrame.recoverInterruptedSwaps(spark, dir(graph))
+                       side: String = "vertices", recover: Boolean = true): Unit = {
+    // self-heal a crashed previous relayout before probing the partition.
+    // Callers running several label builds concurrently recover ONCE up
+    // front instead (recovery deletes whole stage roots — it must never
+    // race a sibling build's staged dirs).
+    if (recover) GraphFrame.recoverInterruptedSwaps(spark, dir(graph))
     val sidePath = new org.apache.hadoop.fs.Path(s"${dir(graph)}/$side")
     val fs = sidePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val labelDirName = Catalog.labelPartName(label)
     import org.apache.spark.sql.functions.col
     val keyCols = if (side == "edges") Seq("gid", "from", "to") else Seq("gid")
+    // one-pass build (guide §1.2/§2.4): orderBy's range partitioner
+    // SAMPLES its child before the real shuffle pass, so an uncached
+    // child evaluates the whole JSON-extraction projection twice — the
+    // dominant relayout cost. Caching the extracted frame makes the
+    // sample pass populate the cache and the shuffle pass read it: one
+    // document parse per row total. MEMORY_AND_DISK bounds the cost at
+    // scale (a 100 TB label spills the cache to local disk — the same
+    // 1× scratch the sort's shuffle files already cost).
+    def sortedByIdx(base0: org.apache.spark.sql.DataFrame)
+                   (write: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      // scale-adaptive parallelism floor (guide §2.5 input skew / §6): a
+      // label stored as one or two single-row-group files scans as one
+      // task, so the whole JSON extraction runs on one core. Spreading
+      // the RAW rows first costs a trivial shuffle exactly when the
+      // label is small (< ~256 MB by scan stats) and under-partitioned;
+      // at scale the condition never fires and no extra shuffle is paid.
+      val target = spark.sparkContext.defaultParallelism
+      val nParts = base0.rdd.getNumPartitions
+      val small = base0.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(256L << 20)
+      val base = if (nParts < target && small) base0.repartition(target) else base0
+      val withIdx = Catalog.withIdxColumns(base, fields)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try write(withIdx.orderBy(fields.flatMap(f =>
+        Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*))
+      finally withIdx.unpersist(false)
+    }
     // pointer-commit mode: write a fresh commit dir from the committed
     // one, replace the manifest (THE commit), then GC what it replaced —
     // no live rename anywhere (see Manifest)
@@ -320,13 +377,15 @@ class Catalog(spark: SparkSession, root: String) {
         val base = spark.read.parquet(new org.apache.hadoop.fs.Path(sidePath, relOld).toString)
           .select((keyCols :+ "data").map(col): _*)
         val relNew = labelDirName + "/" + Manifest.newCommitDir()
-        Catalog.withIdxColumns(base, fields)
-          .orderBy(fields.flatMap(f =>
-            Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
-          .write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(sidePath, relNew).toString)
-        Manifest.write(fs, sidePath,
-          Manifest.SideManifest(m.partitions + (labelDirName -> relNew)))
+        sortedByIdx(base)(_.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(sidePath, relNew).toString))
+        // re-read + replace under the lock: concurrent label builds each
+        // fold their own entry into the manifest without losing siblings'
+        commitLock.synchronized {
+          val mNow = Manifest.read(fs, sidePath).getOrElse(m)
+          Manifest.write(fs, sidePath,
+            Manifest.SideManifest(mNow.partitions + (labelDirName -> relNew)))
+        }
         Manifest.gcLabel(fs, sidePath, labelDirName, Some(relNew))
         return
       case None => ()
@@ -337,7 +396,6 @@ class Catalog(spark: SparkSession, root: String) {
     // directory key; old __idx columns are recomputed rather than trusted
     val base = spark.read.parquet(part.toString)
       .select((keyCols :+ "data").map(col): _*)
-    val withIdx = Catalog.withIdxColumns(base, fields)
     // side-specific stage roots so crash recovery knows where a backup
     // belongs (".reindex" stays the vertex spelling for back-compat)
     val stageRoot = new org.apache.hadoop.fs.Path(
@@ -347,20 +405,24 @@ class Catalog(spark: SparkSession, root: String) {
     // file (and row group) gets a tight min/max band of the leading index
     // field in BOTH the float64 and the string reading (equal strings have
     // equal casts, so they stay adjacent under the numeric-first sort)
-    withIdx.orderBy(fields.flatMap(f =>
-        Seq(col(Catalog.idxNumCol(f)), col(Catalog.idxCol(f)))): _*)
-      .write.mode("overwrite").parquet(stage.toString)
+    sortedByIdx(base)(_.write.mode("overwrite").parquet(stage.toString))
     val backup = new org.apache.hadoop.fs.Path(stageRoot,
       Catalog.labelPartName(label) + ".__old")
-    fs.delete(backup, true)
-    if (!fs.rename(part, backup))
-      throw new java.io.IOException(s"index re-layout: rename $part -> $backup failed")
-    if (!fs.rename(stage, part)) {
-      fs.rename(backup, part) // restore the live partition before raising
-      throw new java.io.IOException(s"index re-layout: rename $stage -> $part failed")
+    commitLock.synchronized {
+      fs.delete(backup, true)
+      if (!fs.rename(part, backup))
+        throw new java.io.IOException(s"index re-layout: rename $part -> $backup failed")
+      if (!fs.rename(stage, part)) {
+        fs.rename(backup, part) // restore the live partition before raising
+        throw new java.io.IOException(s"index re-layout: rename $stage -> $part failed")
+      }
+      fs.delete(backup, true)
+      // scratch holds only THIS swap's dirs — but under concurrent label
+      // builds a sibling's staged dir may live beside ours, so only an
+      // empty stage root is removed
+      if (fs.exists(stageRoot) && fs.listStatus(stageRoot).isEmpty)
+        fs.delete(stageRoot, true)
     }
-    fs.delete(backup, true)
-    fs.delete(stageRoot, true) // scratch only ever holds this swap's dirs
   }
 
   /** Switch a saved graph to the pointer-commit (manifest) protocol —
@@ -523,23 +585,24 @@ object Catalog {
     import org.apache.spark.sql.functions._
     if (fields.isEmpty) return df
     val tmpVar = "__graft_tmp_var"
-    val tmpKeys = "__graft_tmp_keys"
     var d = df.withColumn(tmpVar, try_parse_json(col("data")))
-              .withColumn(tmpKeys, json_object_keys(col("data")))
     for (field <- fields) {
       val data = col("data")
       val str = get_json_object(data, "$." + field)
-      val parts = field.split('.').toSeq
-      val keys =
-        if (parts.length == 1) col(tmpKeys)
-        else json_object_keys(get_json_object(data, "$." + parts.dropRight(1).mkString(".")))
-      val present = coalesce(array_contains(keys, parts.last), lit(false))
-      // probed: schema_of_variant yields "VOID" for a stored JSON null and
-      // NULL for a missing key / malformed document — exactly the split
-      // the tag needs (the VOID row EXISTS, the NULL row does not)
+      // probed (r13, both top-level and nested paths over adversarial
+      // docs — missing key, stored null, malformed doc, non-object doc,
+      // absent/array parent): schema_of_variant yields "VOID" for a
+      // stored JSON null and NULL for a missing key / malformed document
+      // — exactly the presence split the tag needs (the VOID row EXISTS,
+      // the NULL row does not). The previous json_object_keys presence
+      // guard was therefore one full document parse per row buying
+      // nothing; the schema probe alone decides NULL (missing) vs the
+      // type tag (present). A mismatch is impossible by construction:
+      // try_variant_get returns a variant iff the key resolves, and
+      // schema_of_variant of a resolved variant is never NULL.
       val sch = schema_of_variant(
         try_variant_get(col(tmpVar), "$." + field, "variant"))
-      val typed = when(sch.isNull || sch === "VOID", lit("VOID"))
+      val typed = when(sch === "VOID", lit("VOID"))
         .when(sch === "STRING", lit("STRING"))
         .when(sch === "BOOLEAN", lit("BOOL"))
         .when(sch.isin("BIGINT", "DOUBLE", "FLOAT") || sch.startsWith("DECIMAL"), lit("NUMERIC"))
@@ -548,9 +611,9 @@ object Catalog {
         .otherwise(lit("UNKNOWN"))
       d = d.withColumn(idxCol(field), str)
            .withColumn(idxNumCol(field), str.try_cast("double"))
-           .withColumn(idxTypeCol(field), when(present, typed))
+           .withColumn(idxTypeCol(field), when(sch.isNotNull, typed))
     }
-    d.drop(tmpVar, tmpKeys)
+    d.drop(tmpVar)
   }
 
   /** Injective sanitization: distinct raw fields must never share a

@@ -79,8 +79,23 @@ case class GraphFrame(vertices: DataFrame, edges: DataFrame,
     * contract round-trips as a tiny JSON dataset so a saved+loaded graph
     * plans identically to the original. */
   def save(dir: String): Unit = {
-    vertices.write.mode("overwrite").partitionBy("label").parquet(s"$dir/vertices")
-    edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
+    // the two sides are independent jobs into disjoint directories —
+    // submitting them concurrently lets the smaller side's write ride the
+    // executor slots the larger side's task tail leaves idle (guide §2.6);
+    // Spark's scheduler interleaves the jobs, output is identical
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fv = scala.concurrent.Future {
+        vertices.write.mode("overwrite").partitionBy("label").parquet(s"$dir/vertices")
+      }
+      val fe = scala.concurrent.Future {
+        edges.write.mode("overwrite").partitionBy("label").parquet(s"$dir/edges")
+      }
+      scala.concurrent.Await.result(fv.zip(fe),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     val spark = vertices.sparkSession
     val tPath = new org.apache.hadoop.fs.Path(s"$dir/topology")
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
