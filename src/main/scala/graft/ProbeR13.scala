@@ -118,6 +118,24 @@ object ProbeR13 {
             .write.mode("overwrite").parquet(s"$root/stage2")
           cached.unpersist(false)
           lap("persist+orderBy+write")
+        case "p51" =>
+          import graft.pipeline.Similarity
+          val e = spark.read.parquet(s"$d/embeddings.parquet")
+          val qs = e.filter(col("vec_id") < 10).select(
+            (col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast("double") +
+                (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.02
+            ).as("embedding"))
+          lap("frames")
+          val ivf = Similarity.buildIvf(e, "vec_id", "embedding", 16, 42L)
+          ivf.assigned.write.format("noop").mode("overwrite").save()
+          lap("buildIvf+materialize")
+          val cb = Similarity.buildPqCodebook(e, "embedding", 64, 4, 16, 42L, 3)
+          lap("buildPqCodebook")
+          val n = Similarity.annIvfPq(e, "vec_id", "embedding", qs, "vec_id", "embedding",
+            k = 1, dim = 64).count()
+          lap(s"full annIvfPq count=$n")
         case "exprcost" =>
           // which withIdxColumns term dominates per-row? single-task scan
           // over the 150k-row orders-as-edges label

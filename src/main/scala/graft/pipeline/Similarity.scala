@@ -78,22 +78,89 @@ object Similarity {
     * [[loadIvf]] round-trip it through parquet). */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__v"))
-      .withColumn("__feat", array_to_vector(col("__v")))
-    // random init, not k-means||: the parallel init runs its own
-    // multi-pass sampling jobs, and IVF recall depends on nprobe covering
-    // the query's neighborhood, not on near-optimal centroids — measured
-    // identical recall here at half the fit cost
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setInitMode("random")
-      .setFeaturesCol("__feat").setPredictionCol("__bucket")
-    val fitted = model.fit(c)
-    val assigned = fitted.transform(c).select(col("neighbor_id"), col("__v"), col("__bucket"))
-    val centroids = fitted.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    // Sample-trained coarse quantizer (the production IVF shape — Faiss
+    // trains quantizers on a bounded sample and assigns the full corpus
+    // in one scan): a deterministic hash-thresholded sample collects to
+    // the driver (the whole corpus when it is under the cap), Lloyd's
+    // iterations run locally over kilobyte-scale state, and only the
+    // ASSIGNMENT touches the corpus — as a pure argmin expression over
+    // centroid literals, no fit jobs at all. The previous MLlib KMeans
+    // fit ran ~a dozen driver-synchronous jobs whose fixed latency
+    // dominated every IVF entry at bench scale and bought nothing:
+    // IVF recall depends on nprobe covering the query's neighborhood,
+    // not on near-optimal centroids (the planted-probe constructions
+    // and the clustered-recall spec hold for any reasonable fit).
+    // Deterministic: hash-thresholded sample, farthest-point init with
+    // lexicographic tie-breaks, fixed iteration count.
+    val cap = 1L << 16
+    val n = math.max(1L, c.count())
+    val p = math.min(997L, math.max(1L, 997L * cap / n))
+    val sample = c.filter(
+        pmod(abs(xxhash64(col("__v"), lit(seed))), lit(997L)) < lit(p) || lit(n <= cap))
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "IVF init sample is empty")
+    // farthest-point init (deterministic k-means++ flavor): start from
+    // the lexicographically-least vector, then greedily add the sample
+    // point farthest from its nearest chosen centroid (ties lexicographic)
+    implicit val ord: Ordering[Seq[Double]] = Ordering.Implicits.seqOrdering
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val distinct = sample.map(_.toSeq).distinct.sorted.map(_.toArray)
+    val chosen = scala.collection.mutable.ArrayBuffer(distinct.head)
+    val nearest = Array.fill(distinct.length)(Double.MaxValue)
+    while (chosen.length < math.min(nlist, distinct.length)) {
+      var i = 0
+      while (i < distinct.length) {
+        val d = sq(distinct(i), chosen.last)
+        if (d < nearest(i)) nearest(i) = d
+        i += 1
+      }
+      val far = distinct.indices.minBy(i => (-nearest(i), distinct(i).toSeq))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, ord))
+      chosen += distinct(far)
+    }
+    // pad to nlist with the first centroid: assignment ties break to the
+    // lower bucket id, so padded cells stay empty and probe order is
+    // stable
+    var cents = (chosen ++ Seq.fill(nlist - chosen.length)(chosen.head)).toArray
+    // local Lloyd over the sample: assign (tie -> lower index), mean
+    // update, empty cluster keeps its centroid — the same rules the
+    // distributed fit used
+    val iters = 10
+    var it = 0
+    while (it < iters) {
+      val k = cents.length
+      val dim0 = sample.head.length
+      val sums = Array.fill(k)(new Array[Double](dim0))
+      val cnts = new Array[Long](k)
+      for (pt <- sample) {
+        var best = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < k) {
+          val d = sq(pt, cents(ci)); if (d < bd) { bd = d; best = ci }; ci += 1
+        }
+        cnts(best) += 1
+        var i = 0; while (i < dim0) { sums(best)(i) += pt(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(ci =>
+        if (cnts(ci) == 0) cents(ci) else sums(ci).map(_ / cnts(ci)))
+      it += 1
+    }
+    // assignment: one scan, argmin over centroid literals (ties -> lower
+    // bucket via the (dist, bucket) struct order), no shuffle
+    val dists = cents.zipWithIndex.map { case (ct, i) =>
+      struct(fsum(zip_with(col("__v"), typedLit(ct.toSeq), (a, b) => (a - b) * (a - b))).as("d"),
+        lit(i).as("c"))
+    }
+    val assigned = c.withColumn("__bucket", least(dists.toSeq: _*).getField("c"))
+      .select(col("neighbor_id"), col("__v"), col("__bucket"))
     IvfIndex(assigned,
-      corpus.sparkSession.createDataFrame(centroids.toSeq).toDF("__bucket", "__cent"))
+      corpus.sparkSession.createDataFrame(
+        cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq)
+        .toDF("__bucket", "__cent"))
   }
 
   def saveIvf(index: IvfIndex, dir: String): Unit = {
@@ -332,54 +399,60 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val baseV = corpus.select(toDouble(col(vecCol)).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = math.max(1L, baseV.count())
-      // hash-thresholded sample targeting ~20·ksub candidate vectors —
-      // bounded driver collect (the codebook itself is driver-sized)
-      val p = math.min(997L, math.max(1L, 997L * 20L * ksub / n))
-      val sample = baseV.filter(
-          pmod(abs(xxhash64(col("__v"), lit(seed))), lit(997L)) < lit(p) ||
-            lit(n <= 20L * ksub))
-        .collect().map(_.getSeq[Double](0).toArray)
-      require(sample.nonEmpty, "PQ init sample is empty")
-      var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-        sample.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).distinct
-          .sortBy(_.mkString(","))
-          .take(ksub).map(_.toArray)
-      }
-      // pad short subspaces (tiny/dup-heavy corpora) to a UNIFORM code
-      // count by repeating the first centroid — a duplicate can only tie,
-      // and ties break to the lower code, so assignments are unchanged
-      val ks = cents.map(_.length).max
-      cents = cents.map(a => a ++ Array.fill(ks - a.length)(a(0)))
-      var it = 0
-      while (it < iters) {
-        val cb = PqCodebook(cents, dim)
-        // per subspace: code = argmin distance (the encodePq expression),
-        // paired with the slice so one explode yields (sub, code, slice)
-        val entries = (0 until m).map { j =>
-          val ds = subDists(col("__v"), cb, j)
-          val code = least(ds.zipWithIndex.map { case (d, c) =>
-            struct(d.as("d"), lit(c).as("c")) }: _*).getField("c")
-          struct(lit(j).as("s"), code.as("c"),
-            slice(col("__v"), j * dsub + 1, dsub).as("x"))
+    val n = math.max(1L, baseV.count())
+    // Sample-trained fit, entirely on the driver (the production PQ
+    // shape — Faiss trains codebooks on a bounded sample): one
+    // hash-thresholded collect (the whole corpus when under the cap),
+    // then Lloyd's iterations over driver arrays. The previous
+    // distributed fit ran one explode→aggregate→collect job per
+    // iteration whose planning latency (m·ksub HOF distance trees
+    // re-optimized per round) dominated the entry at bench scale; the
+    // codebook is kilobytes either way, and its job is coverage, not
+    // optimality (recall comes from the shortlist+rerank). Deterministic:
+    // fixed sample threshold, lexicographic init, fixed tie-breaks.
+    val cap = 1L << 16
+    val p = math.min(997L, math.max(1L, 997L * cap / n))
+    val sample = baseV.filter(
+        pmod(abs(xxhash64(col("__v"), lit(seed))), lit(997L)) < lit(p) ||
+          lit(n <= cap))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ init sample is empty")
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      sample.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq).distinct
+        .sortBy(_.mkString(","))
+        .take(ksub).map(_.toArray)
+    }
+    // pad short subspaces (tiny/dup-heavy corpora) to a UNIFORM code
+    // count by repeating the first centroid — a duplicate can only tie,
+    // and ties break to the lower code, so assignments are unchanged
+    val ks = cents.map(_.length).max
+    cents = cents.map(a => a ++ Array.fill(ks - a.length)(a(0)))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      // per subspace: assign each sample slice to its argmin centroid
+      // (ties -> lower code, matching encodePq's least-of-structs), mean
+      // update, empty cluster keeps its centroid
+      cents = Array.tabulate(m) { j =>
+        val k = cents(j).length
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val cnts = new Array[Long](k)
+        for (v <- sample) {
+          val sl = v.slice(j * dsub, (j + 1) * dsub)
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) { val d = sq(sl, cents(j)(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+          cnts(best) += 1
+          var i = 0; while (i < dsub) { sums(best)(i) += sl(i); i += 1 }
         }
-        val upd = baseV.select(explode(array(entries: _*)).as("__e"))
-          .select(col("__e.s").as("__sub"), col("__e.c").as("__c"), posexplode(col("__e.x")))
-          .toDF("__sub", "__c", "__i", "__val")
-          .groupBy("__sub", "__c", "__i").agg(avg(col("__val")).as("__m"))
-          .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
-          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2).toArray).toMap
-        cents = Array.tabulate(m) { j =>
-          Array.tabulate(cents(j).length) { c =>
-            upd.getOrElse((j, c), cents(j)(c)) // empty cluster keeps its centroid
-          }
-        }
-        it += 1
+        Array.tabulate(k)(c => if (cnts(c) == 0) cents(j)(c) else sums(c).map(_ / cnts(c)))
       }
-      PqCodebook(cents, dim)
-    } finally baseV.unpersist(false)
+      it += 1
+    }
+    PqCodebook(cents, dim)
   }
 
   /** Per-subspace squared distances of a vector slice to every centroid
