@@ -136,6 +136,11 @@ object ProbeR13 {
           val n = Similarity.annIvfPq(e, "vec_id", "embedding", qs, "vec_id", "embedding",
             k = 1, dim = 64).count()
           lap(s"full annIvfPq count=$n")
+        case "explain" =>
+          // print formatted plan for a named bench entry (plans/r13 deliverables)
+          val qname = args(2)
+          SparkEntry.queries(qname)(spark, d).explain("formatted")
+          return
         case "exprcost" =>
           // which withIdxColumns term dominates per-row? single-task scan
           // over the 150k-row orders-as-edges label

@@ -72,7 +72,10 @@ object GraphAlgos {
         .join(dist.select("gid"), Seq("gid"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+      // the visited set is a lazy union of the (checkpointed) frontiers:
+      // every leaf is already materialized, so re-checkpointing the union
+      // each round was an O(|visited|) copy per round for nothing
+      dist = dist.unionByName(next)
       frontier = next
       hop += 1
     }
@@ -129,7 +132,8 @@ object GraphAlgos {
         .join(dist.select("seed", "gid"), Seq("seed", "gid"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
+      // lazy union of checkpointed frontiers — see [[bfs]]
+      dist = dist.unionByName(next)
       frontier = next
       hop += 1
     }
@@ -280,7 +284,12 @@ object GraphAlgos {
         .select(col("gid"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dang") / lit(n))).as("rank"))
-        .localCheckpoint(true)
+      // bound lineage every third round only (katz's cadence): an eager
+      // materialization per round is pure scheduler overhead on short
+      // horizons, and the round's double-read of the previous rank frame
+      // (dangling + contribution branches) dedups via exchange reuse
+      // inside the one composed plan exactly as it did per round
+      if ((i + 1) % 3 == 0 && i + 1 < iters) ranks = ranks.localCheckpoint(true)
       i += 1
     }
     ranks
@@ -368,7 +377,8 @@ object GraphAlgos {
         .select(col("gid"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dang") / lit(n))).as("rank"))
-        .localCheckpoint(true)
+      // lineage cadence, not per-round eager checkpoints — see [[pageRank]]
+      if ((i + 1) % 3 == 0 && i + 1 < iters) ranks = ranks.localCheckpoint(true)
       i += 1
     }
     ranks
@@ -401,6 +411,13 @@ object GraphAlgos {
       val aRaw = e.join(hub, col("u") === col("gid"))
         .groupBy(col("v")).agg(sum("h").as("__s"))
       val an = aRaw.agg(sqrt(coalesce(sum(col("__s") * col("__s")), lit(0.0))).as("__n"))
+      // auth stays eagerly checkpointed: it is read twice (the next half
+      // step AND the norm/final branches), and a fully-lazy alternating
+      // chain measured SLOWER — each half step adds a crossJoin+broadcast
+      // layer and the composed plan's optimizer time outgrew the saved
+      // jobs. hub is read ONCE per subsequent round and its chain depth
+      // stays ≤ 1 round with auth materialized, so it skips the per-round
+      // checkpoint (cadence-bounded like [[pageRank]]).
       auth = verts.join(aRaw, col("gid") === col("v"), "left")
         .crossJoin(broadcast(an))
         .select(col("gid"),
@@ -415,7 +432,7 @@ object GraphAlgos {
         .select(col("gid"),
           when(col("__n") > 0, coalesce(col("__s"), lit(0.0)) / col("__n"))
             .otherwise(lit(0.0)).as("h"))
-        .localCheckpoint(true)
+      if ((i + 1) % 3 == 0 && i + 1 < iters) hub = hub.localCheckpoint(true)
       i += 1
     }
     hub.join(auth, "gid").select(col("gid"), col("h").as("hub"), col("a").as("authority"))
@@ -468,7 +485,8 @@ object GraphAlgos {
           (lit(1.0 - damping) * col("__p") +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dang") * col("__p"))).as("rank"))
-        .localCheckpoint(true)
+      // lineage cadence, not per-round eager checkpoints — see [[pageRank]]
+      if ((i + 1) % 3 == 0 && i + 1 < iters) ranks = ranks.localCheckpoint(true)
       i += 1
     }
     ranks
@@ -506,7 +524,10 @@ object GraphAlgos {
         .select(col("gid"), col("__b.c").as("__new"))
       labels = labels.join(best, Seq("gid"), "left")
         .select(col("gid"), coalesce(col("__new"), col("community")).as("community"))
-        .localCheckpoint(true)
+      // lineage cadence, not per-round eager checkpoints — see [[pageRank]]
+      // (the round's two reads of the previous labels frame hash-exchange
+      // on the same gid key, so exchange reuse dedups them in-plan)
+      if ((i + 1) % 3 == 0 && i + 1 < maxIters) labels = labels.localCheckpoint(true)
       i += 1
     }
     labels

@@ -282,9 +282,19 @@ object Similarity {
     // expression — see VectorExprs for why neither a higher-order fold
     // (interpreted) nor an unrolled element_at sum (too big to JIT) can
     // sit in a 12.5M-pair join condition.
+    // materialize the normed vectors ONCE: both join sides read this
+    // frame, and when it arrives as a lazy plan (e.g. p45's hashed-TFIDF
+    // aggregation pipeline) the optimizer would otherwise duplicate the
+    // whole upstream subtree into each side AND lose its size estimate —
+    // the planner then falls back to CartesianProduct, which runs outside
+    // whole-stage codegen (measured 55 CPU-s for 12.5M pairs vs the
+    // codegen'd nested-loop's ~4). The quadratic exact form is documented
+    // for corpora up to ~1e5 vectors, so the checkpointed frame is
+    // megabytes and the bench sweep releases it per query.
     val withNorm = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .filter(col("__n") > 0)
+      .localCheckpoint(true)
     // the nested-loop stream side inherits the scan's partitioning — a
     // single local file means ONE task; spread it when the source has
     // fewer splits than cores (at scale the scan is already wide and this
@@ -296,8 +306,10 @@ object Similarity {
     val b = withNorm.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
     // cheap ordered-pair test FIRST so the dot short-circuits on the
     // lower triangle (condition conjunct order is preserved into the
-    // nested-loop join)
-    a.join(b, col("a_id") < col("b_id") &&
+    // nested-loop join); the build side is explicitly broadcast so the
+    // pair join is a codegen'd BroadcastNestedLoopJoin, never a
+    // CartesianProduct (right-sized by the same ~1e5-vector bound)
+    a.join(broadcast(b), col("a_id") < col("b_id") &&
         dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
       .select(col("a_id"), col("b_id"))
   }
