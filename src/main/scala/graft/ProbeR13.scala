@@ -136,6 +136,49 @@ object ProbeR13 {
           val n = Similarity.annIvfPq(e, "vec_id", "embedding", qs, "vec_id", "embedding",
             k = 1, dim = 64).count()
           lap(s"full annIvfPq count=$n")
+        case "q90" =>
+          val root = java.nio.file.Files.createTempDirectory("graft-probe90").toString
+          val cat = new graft.model.Catalog(spark, root)
+          val cust = spark.read.parquet(s"$d/customer.parquet").select(
+            concat(lit("c:"), col("c_custkey")).as("gid"),
+            lit("customer").as("label"),
+            to_json(struct(col("c_acctbal"))).as("data"),
+            col("c_custkey"))
+          val e = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            graft.model.GraphFrame.edgeSchema)
+          lap("frames")
+          cat.createGraph("q90", graft.model.GraphFrame(
+            cust.filter(col("c_custkey") % 2 === 0).drop("c_custkey"), e))
+          lap("createGraph")
+          cat.addIndex("q90", "customer", "c_acctbal")
+          lap("addIndex")
+          val mg = graft.model.MutableGraph(spark, cat.graph("q90"))
+          mg.bulkAddFrames(vertices = cust.filter(col("c_custkey") % 2 =!= 0)
+            .drop("c_custkey"))
+          lap("bulkAddFrames")
+          cat.upsertGraph("q90", mg)
+          lap("upsertGraph")
+          val n = graft.compiler.Traversal.run(spark, cat.graph("q90"),
+            gripql.Query().V().hasLabel("customer")
+              .has(gripql.P.between("c_acctbal", 1000, 3000))).count()
+          lap(s"seek count=$n")
+        case "minhash" =>
+          import graft.pipeline.Dedup
+          val dd = spark.read.parquet(s"$d/documents.parquet")
+          lap("read")
+          val sh = dd.select(col("doc_id").as("__id"),
+            Dedup.shingles(col("text"), 3).as("__sh"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sh.count()
+          lap("shingles materialize")
+          val sig = Dedup.minhashSignatures(sh, "__id", "__sh", 64)
+          sig.write.format("noop").mode("overwrite").save()
+          lap("signatures (noop)")
+          val pairs = Dedup.nearDupMinhashScored(dd, "doc_id", "text")
+          lap("nearDupMinhashScored full")
+          println(s"[probe] pairs=${pairs.count()}")
+          lap("count")
+          sh.unpersist()
         case "explain" =>
           // print formatted plan for a named bench entry (plans/r13 deliverables)
           val qname = args(2)
