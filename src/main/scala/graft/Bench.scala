@@ -115,6 +115,14 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
+    // hypervisor steal ticks (/proc/stat col 8): this guest runs on an
+    // oversubscribed host, and steal — invisible to loadavg — is the
+    // mechanism behind the mid-run throttles calib_end catches. Recording
+    // the run's steal share makes the cause readable from the artifact.
+    def stealTicks: Long =
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().trim.split("\\s+")(8).toLong).getOrElse(-1L)
     def heapMb: Long = {
       val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
       m.getUsed >> 20
@@ -127,13 +135,15 @@ object Bench {
     // same binary 53.0 s one evening, 89.5 s the next morning, idle both
     // times), so absolute totals are only comparable after dividing by
     // the same run's calib_sec — the artifact carries its own yardstick.
-    val calibSec = {
+    def measureCalib(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       spark.range(0L, 256L * 1000000L, 1L, cpus.toInt)
         .select(bit_xor(xxhash64(col("id")))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibSec = measureCalib()
+    val steal0 = stealTicks
     System.err.println(f"[bench] calib $calibSec%.3f s (256M xxhash64 across $cpus cores)")
     val loadBefore = loadavg
     // a memoized cross-query frame's localCheckpoint blocks are its only
@@ -207,7 +217,18 @@ object Bench {
     // measured 107 vs 129 s purely on this) — the flag makes a poisoned
     // artifact machine-detectable instead of requiring a human to read
     // the loadavg fields
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_presession":${f3(settledLoad)},"load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)},"settled":$settled}""")
+    // second calibration AFTER the suite: this box is a VM whose host can
+    // throttle sustained load mid-run (observed: a settled:true full suite
+    // at 2× the per-entry wall AND 2× the per-entry cpu-seconds of the
+    // same binary minutes later — guest cpu-time inflates when the host
+    // lowers the effective clock, so not even cpu/wall catches it). The
+    // start-of-run calib can't see a throttle that engages mid-suite;
+    // start+end together make a throttled artifact machine-detectable
+    // (calib_end >> calib_sec → don't trust the absolute totals).
+    val calibEnd = measureCalib()
+    val stealSec = (stealTicks - steal0) / 100.0
+    System.err.println(f"[bench] calib_end $calibEnd%.3f s (start was $calibSec%.3f s), host steal $stealSec%.1f s")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load_presession":${f3(settledLoad)},"load_before":"$loadBefore","load_after":"$loadavg","calib_sec":${f3(calibSec)},"calib_end":${f3(calibEnd)},"steal_sec":${f3(stealSec)},"settled":$settled}""")
     spark.stop()
   }
 }
