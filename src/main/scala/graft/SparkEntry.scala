@@ -829,10 +829,17 @@ edges:
     }),
     "q87_centrality_traversal" -> ((s, d) => {
       val g0 = dedupGraph(s, d)
+      // q87 is the one loop consumer that runs TWO actions over the
+      // power-iteration result (the max-rank scalar, then the traversal
+      // join) — with the r13 lazy checkpoint cadence the 2-round lineage
+      // would recompute per action (measured: q87 1.54 → 2.80 s while
+      // single-action q79 improved), so materialize ONCE here before
+      // fanning out. Within-query materialization, not a cross-run cache.
       val scores = graft.model.GraphAlgos.pageRankWeighted(g0, "near_dup",
         lit(1.0) / (lit(1.0) + get_json_object(col("data"), "$.w").cast("double")),
         iters = 2, undirected = true)
         .select(col("gid"), round(col("rank"), 7).as("prw"))
+        .localCheckpoint(true)
       val maxVal = scores.agg(max(col("prw"))).head().getDouble(0)
       val verts = g0.vertices.select("gid", "label")
         .join(scores, Seq("gid"))

@@ -24,8 +24,26 @@ if [ -z "$LAST" ]; then
   exit 1
 fi
 if echo "$LAST" | grep -q '"settled":true'; then
+  # calib drift gate: the host can throttle sustained load MID-run, which
+  # the pre-run settled verdict cannot see (observed: settled:true at 2×
+  # the same binary's totals — plans/r13/bench_throttled_example.json).
+  # Bench measures its calibration job at start AND end; a >1.6× drift in
+  # either direction means part of the suite ran on a different-speed box
+  # and the totals are not comparable to anything.
+  DRIFT=$(echo "$LAST" | python3 -c '
+import json, sys
+d = json.loads(sys.stdin.readline())
+a, b = d.get("calib_sec"), d.get("calib_end")
+print("ok" if not a or not b or (max(a, b) / min(a, b)) <= 1.6 else "drift %.3f -> %.3f" % (a, b))
+' 2>/dev/null || echo ok)
+  if [ "$DRIFT" != "ok" ]; then
+    echo "[benchgate] FAIL: settled:true but calibration drifted mid-run ($DRIFT)" >&2
+    echo "[benchgate] — host throttled during the suite; re-run. Artifact (do NOT ship):" >&2
+    cat "$OUT" >&2
+    exit 1
+  fi
   cat "$OUT"
-  echo "[benchgate] OK — settled:true" >&2
+  echo "[benchgate] OK — settled:true, calib stable" >&2
 else
   echo "[benchgate] FAIL: bench completed but settled:false — box under foreign" >&2
   echo "[benchgate] load; idle the machine and re-run. Artifact (do NOT ship):" >&2
