@@ -179,6 +179,39 @@ object ProbeR13 {
           println(s"[probe] pairs=${pairs.count()}")
           lap("count")
           sh.unpersist()
+        case "minhash2" =>
+          // finer split of nearDupMinhashScored: candidates vs the verify
+          // join's two halves (per-doc hash+sort projection, pair join)
+          import graft.pipeline.Dedup
+          val dd = spark.read.parquet(s"$d/documents.parquet")
+          val sh = dd.select(col("doc_id").as("__id"),
+            Dedup.shingles(col("text"), 3).as("__sh"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sh.count()
+          lap("shingles materialize")
+          val sig = Dedup.minhashSignatures(sh, "__id", "__sh", 64)
+          sig.write.format("noop").mode("overwrite").save()
+          lap("signatures (noop)")
+          val cands = Dedup.lshCandidates(sig, "__id", "__sig", 32, 2)
+          lap("lshCandidates (eager)")
+          val hashed = sh.select(col("__id"),
+            sort_array(array_distinct(
+              graft.functions.VectorExprs.hashArray(col("__sh")))).as("__shh"))
+          hashed.write.format("noop").mode("overwrite").save()
+          lap("hashed projection (noop)")
+          val hp = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          hp.count()
+          lap("hashed persist+count")
+          val sa = hp.select(col("__id").as("a_id"), col("__shh").as("__sha"))
+          val sb = hp.select(col("__id").as("b_id"), col("__shh").as("__shb"))
+          val verified = cands.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("__i", graft.functions.VectorExprs
+              .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
+            .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("a_id"), col("b_id")).localCheckpoint(true)
+          lap(s"verify join (pairs=${verified.count()})")
+          hp.unpersist(false); sh.unpersist(false)
         case "explain" =>
           // print formatted plan for a named bench entry (plans/r13 deliverables)
           val qname = args(2)

@@ -130,39 +130,86 @@ object Dedup {
     } finally banded.unpersist(false)
   }
 
-  /** Exact Jaccard over distinct-shingle arrays for candidate pairs.
-    * Shingles are hashed to longs once per document before the candidate
-    * join: at high candidate volume the verify join dominates, and moving
-    * 8-byte elements (with primitive intersection) instead of ~30-byte
-    * shingle strings cut the measured verify time ~30%. An xxhash64
-    * collision inside one pair's union (~10² shingles over a 2⁶⁴ domain,
-    * p ≈ 10⁻¹⁵) is the only way this diverges from string Jaccard. */
-  private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double,
-                            keepScores: Boolean = false): DataFrame = {
-    // sort + dedup once per DOCUMENT so the per-PAIR intersection is a
-    // native allocation-free merge scan (graft_sorted_intersect) instead
-    // of a hash set built per candidate pair — the verify join runs over
-    // the full candidate ball (millions of pairs under a wide radius).
-    // Materialized ONCE: the hash+sort projection is per-row lambda work
-    // (interpreted) and the two join sides would each recompute it.
-    val hashed = shingleDf.select(col("__id"),
+  /** (__id, sorted distinct xxhash64 shingle hashes) — the per-document
+    * projection the exact-Jaccard verify merge-scans. Sorted + deduped
+    * once per DOCUMENT so the per-PAIR intersection is a native
+    * allocation-free merge scan (graft_sorted_intersect) instead of a
+    * hash set built per candidate pair. */
+  private def hashedSets(shingleDf: DataFrame): DataFrame =
+    shingleDf.select(col("__id"),
       sort_array(array_distinct(
         graft.functions.VectorExprs.hashArray(col("__sh")))).as("__shh"))
+
+  /** Exact Jaccard over a PRE-BUILT [[hashedSets]] frame (the caller owns
+    * its persist/unpersist bracket) — the verify core behind
+    * [[verifyJaccard]] and [[verifyOverlapped]]. Shingles are hashed to
+    * longs once per document before the candidate join: at high candidate
+    * volume the verify join dominates, and moving 8-byte elements (with
+    * primitive intersection) instead of ~30-byte shingle strings cut the
+    * measured verify time ~30%. An xxhash64 collision inside one pair's
+    * union (~10² shingles over a 2⁶⁴ domain, p ≈ 10⁻¹⁵) is the only way
+    * this diverges from string Jaccard. */
+  private def verifyJaccardHashed(pairs: DataFrame, hashed: DataFrame, threshold: Double,
+                                  keepScores: Boolean): DataFrame = {
+    val sa = hashed.select(col("__id").as("a_id"), col("__shh").as("__sha"))
+    val sb = hashed.select(col("__id").as("b_id"), col("__shh").as("__shb"))
+    pairs.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("__i", graft.functions.VectorExprs
+        .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
+      .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select((Seq(col("a_id"), col("b_id")) ++ (if (keepScores) Seq(
+        col("__i").cast("long").as("n_common"),
+        size(col("__sha")).cast("long").as("n_a"),
+        size(col("__shb")).cast("long").as("n_b")) else Nil)): _*)
+      .localCheckpoint(true)
+  }
+
+  private def verifyJaccard(pairs: DataFrame, shingleDf: DataFrame, threshold: Double,
+                            keepScores: Boolean = false): DataFrame = {
+    // Materialized ONCE: the hash+sort projection is per-row lambda work
+    // (interpreted) and the two join sides would each recompute it.
+    val hashed = hashedSets(shingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try verifyJaccardHashed(pairs, hashed, threshold, keepScores)
+    finally hashed.unpersist(false)
+  }
+
+  /** One side thread for overlapping an independent Spark job with the
+    * driver's own synchronous job sequence (guide §2.6): the side job's
+    * tasks back-fill executor slots the foreground stages' tails leave
+    * idle. One thread — there is never more than one side job in flight. */
+  private lazy val overlapEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(1, (r: Runnable) => {
+      val t = new Thread(r, "dedup-overlap"); t.setDaemon(true); t
+    }))
+
+  /** [[verifyJaccard]] overlapped with candidate generation (guide §2.6):
+    * the verify join's per-document hash+sort projection is independent of
+    * the candidate pairs, so when `mkPairs` runs driver-synchronous jobs
+    * of its own (the banded/chunked histogram collect, an eager candidate
+    * checkpoint), the projection is materialized CONCURRENTLY on a side
+    * thread instead of serially inside the verify job. Failures on either
+    * side propagate (Await rethrows); the cache is released on all paths,
+    * never before the side job has finished with it. */
+  private def verifyOverlapped(shingleDf: DataFrame, threshold: Double,
+                               keepScores: Boolean = false)
+                              (mkPairs: => DataFrame): DataFrame = {
+    val hashed = hashedSets(shingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val side = scala.concurrent.Future(hashed.count())(overlapEc)
     try {
-      val sa = hashed.select(col("__id").as("a_id"), col("__shh").as("__sha"))
-      val sb = hashed.select(col("__id").as("b_id"), col("__shh").as("__shb"))
-      pairs.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("__i", graft.functions.VectorExprs
-          .sortedIntersectCount(col("__sha"), col("__shb")).cast("double"))
-        .withColumn("jaccard", col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")))
-        .filter(col("jaccard") >= threshold)
-        .select((Seq(col("a_id"), col("b_id")) ++ (if (keepScores) Seq(
-          col("__i").cast("long").as("n_common"),
-          size(col("__sha")).cast("long").as("n_a"),
-          size(col("__shb")).cast("long").as("n_b")) else Nil)): _*)
-        .localCheckpoint(true)
-    } finally hashed.unpersist(false)
+      val pairs = mkPairs
+      scala.concurrent.Await.result(side, scala.concurrent.duration.Duration.Inf)
+      verifyJaccardHashed(pairs, hashed, threshold, keepScores)
+    } finally {
+      // mkPairs may have thrown with the side job still running: wait it
+      // out (result already awaited on the success path) before dropping
+      // the blocks it is writing
+      scala.util.Try(scala.concurrent.Await.ready(
+        side, scala.concurrent.duration.Duration.Inf))
+      hashed.unpersist(false)
+    }
   }
 
   /** Near-dup pairs via MinHash-LSH candidates + exact Jaccard verification.
@@ -184,7 +231,7 @@ object Dedup {
     val rows = numHashes / bands
     withShingles(df, idCol, textCol, shingleN) { sh =>
       val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
-      verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold)
+      verifyOverlapped(sh, threshold)(lshCandidates(sig, "__id", "__sig", bands, rows))
     }
   }
 
@@ -201,8 +248,8 @@ object Dedup {
     val rows = numHashes / bands
     withShingles(df, idCol, textCol, shingleN) { sh =>
       val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
-      verifyJaccard(lshCandidates(sig, "__id", "__sig", bands, rows), sh, threshold,
-        keepScores = true)
+      verifyOverlapped(sh, threshold, keepScores = true)(
+        lshCandidates(sig, "__id", "__sig", bands, rows))
     }
   }
 
@@ -490,10 +537,10 @@ object Dedup {
     val sims = simhashes(df.select(col(idCol).as("__id"), col(textCol).as("__text")), "__id", "__text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = simhashCandidates(sims, maxHamming)
       val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-      // small pair result materialized, fingerprint cache released
-      verifyJaccard(cand, sh, threshold).localCheckpoint(true)
+      // small pair result materialized, fingerprint cache released; the
+      // hash+sort projection overlaps the fingerprint/histogram jobs
+      verifyOverlapped(sh, threshold)(simhashCandidates(sims, maxHamming))
     } finally sims.unpersist(false)
   }
 
@@ -917,6 +964,14 @@ object Dedup {
     try {
       val bA = bandedKeys(minhashSignatures(shA, "__id", "__sh", index.numHashes),
         "__id", "__sig", "a_id", index.bands, index.numHashes / index.bands).persist(lvl)
+      // the probe side's hash+sort projection is independent of candidate
+      // generation — materialize it on the side thread while the histogram
+      // collect and the candidate checkpoint run (guide §2.6, the same
+      // overlap as verifyOverlapped)
+      val hashedA = shA.select(col("__id").as("a_id"),
+        sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__sha"))
+        .persist(lvl)
+      val side = scala.concurrent.Future(hashedA.count())(overlapEc)
       try {
         // the index side's degenerate buckets were precomputed at build
         // time (loop-invariant for a persisted index) — only the probe
@@ -935,8 +990,7 @@ object Dedup {
           else b.join(broadcast(big), Seq("__band", "__bh"), "left_anti")
         val cand = kept(bA).join(kept(index.banded), Seq("__band", "__bh"))
           .select("a_id", "b_id").distinct().localCheckpoint(true)
-        val hashedA = shA.select(col("__id").as("a_id"),
-          sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__sha"))
+        scala.concurrent.Await.result(side, scala.concurrent.duration.Duration.Inf)
         cand.join(hashedA, "a_id")
           .join(index.shingleHashes, "b_id")
           .withColumn("__i", graft.functions.VectorExprs
@@ -945,7 +999,12 @@ object Dedup {
           .filter(col("jaccard") >= index.threshold)
           .select(col("a_id"), col("b_id"))
           .localCheckpoint(true)
-      } finally bA.unpersist(false)
+      } finally {
+        scala.util.Try(scala.concurrent.Await.ready(
+          side, scala.concurrent.duration.Duration.Inf))
+        hashedA.unpersist(false)
+        bA.unpersist(false)
+      }
     } finally shA.unpersist(false)
   }
 
