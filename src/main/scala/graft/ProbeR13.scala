@@ -212,6 +212,53 @@ object ProbeR13 {
             .select(col("a_id"), col("b_id")).localCheckpoint(true)
           lap(s"verify join (pairs=${verified.count()})")
           hp.unpersist(false); sh.unpersist(false)
+        case "q58x" =>
+          // is q58's cost the single-task JSON serialize+parse pass?
+          val g = graft.model.TpchGraph(spark, d)
+          val ord = g.vertices.filter(col("label") === "orders")
+          println(s"[probe] scan partitions = ${ord.rdd.getNumPartitions}")
+          val narrow = ord.select(
+            get_json_object(col("data"), "$.o_totalprice").try_cast("double").as("x"))
+          narrow.write.format("noop").mode("overwrite").save()
+          lap("narrow (1-task?) noop")
+          ord.repartition(32).select(
+            get_json_object(col("data"), "$.o_totalprice").try_cast("double").as("x"))
+            .write.format("noop").mode("overwrite").save()
+          lap("narrow spread(32) noop")
+          val n = SparkEntry.queries("q58_multi_agg_mixed")(spark, d).count()
+          lap(s"full q58 count=$n")
+        case "q58y" =>
+          // decompose q58's aggregation: persist materialize, histogram
+          // subtree, exact percentile, union+checkpoint
+          val g = graft.model.TpchGraph(spark, d)
+          val ord = g.vertices.filter(col("label") === "orders")
+          val narrow = ord.select(
+            get_json_object(col("data"), "$.o_totalprice").try_cast("double").as("x0"),
+            get_json_object(col("data"), "$.o_totalprice").try_cast("double").as("x1"))
+          val cached = narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.count()
+          lap("persist+count")
+          val interval = 100000.0
+          val bucketed = cached.select((floor(col("x0") / interval) * interval).as("bucket"))
+            .filter(col("bucket").isNotNull)
+            .groupBy("bucket").agg(count(lit(1)).cast("double").as("value"))
+          val bounds = bucketed.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+          val dense = bounds.select(col("lo"),
+              explode(sequence(lit(0L), ((col("hi") - col("lo")) / interval).cast("long"))).as("i"))
+            .select((col("lo") + col("i") * interval).as("bucket"))
+          val hist = dense.join(bucketed, Seq("bucket"), "left_outer")
+            .select(lit("h").as("name"), col("bucket").cast("string").as("key"),
+              coalesce(col("value"), lit(0d)).as("value"))
+          hist.write.format("noop").mode("overwrite").save()
+          lap("histogram noop")
+          val vals = cached.select(col("x1").as("x")).filter(col("x").isNotNull)
+          val pct = vals.agg(percentile(col("x"), lit(0.5)).as("q0"))
+            .select(lit("p").as("name"), lit("50").as("key"), col("q0").as("value"))
+          pct.write.format("noop").mode("overwrite").save()
+          lap("percentile noop")
+          val out = hist.unionByName(pct).localCheckpoint(true)
+          lap(s"union+checkpoint rows=${out.count()}")
+          cached.unpersist(false)
         case "explain" =>
           // print formatted plan for a named bench entry (plans/r13 deliverables)
           val qname = args(2)

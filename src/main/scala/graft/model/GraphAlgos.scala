@@ -987,7 +987,14 @@ object GraphAlgos {
       .select(col("from").as("u"), col("to").as("v"))
     val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
              else base).repartition(col("v")).localCheckpoint(true)
+    // materialize the feature frame once: each round reads h TWICE (the
+    // neighbor aggregation and the coalesce join) on DIFFERENT keys, so
+    // exchange reuse cannot dedup the reads and an expensive features
+    // subtree (a corpus scan + tokenize) would be re-evaluated up to
+    // 2×rounds times inside the composed plan. The frame is (gid, double)
+    // — tiny — and this is a within-query materialization, not a cache.
     var h = features.select(col("gid"), col("f").cast("double").as("h"))
+      .localCheckpoint(true)
     var r = 0
     while (r < rounds) {
       val nb = e.join(h.withColumnRenamed("gid", "v"), "v")
