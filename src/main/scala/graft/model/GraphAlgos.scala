@@ -79,7 +79,10 @@ object GraphAlgos {
       frontier = next
       hop += 1
     }
-    dist.withColumn("dist", col("dist").cast("long"))
+    // exit materialization when the loop ran — the union's arity is
+    // data-dependent, see [[labeledBfs]]'s SF-invariant-plan rationale
+    val out = dist.withColumn("dist", col("dist").cast("long"))
+    if (hop > 1) out.localCheckpoint(true) else out
   }
 
   /** PageRank over one edge label with damping `d`: fixed `iters` rounds of
@@ -137,7 +140,16 @@ object GraphAlgos {
       frontier = next
       hop += 1
     }
-    (dist, seedCol)
+    // Materialize the final union ONCE whenever the loop ran: the union's
+    // ARITY is data-dependent (one arm per non-empty round), so a lazy
+    // return hands every consumer a plan whose shape differs between
+    // scale factors — which defeats the bench's small-SF codegen warm
+    // pass and lands a fresh whole-stage compile inside the timed run
+    // (the r13 q82 regression, +0.38 s settled: probed cold 1.70 s lazy
+    // vs 0.96 s materialized, warm-equal). The copy pass is
+    // frontier-state-sized — trivially cheap next to one Janino compile —
+    // and buys each consumer the SAME single-leaf plan at every SF.
+    (if (hop > 1) dist.localCheckpoint(true) else dist, seedCol)
   }
 
   /** Per-seed eccentricity within the `maxHops` horizon: the greatest
@@ -253,7 +265,12 @@ object GraphAlgos {
         .localCheckpoint(true)
       lev -= 1
     }
-    (1 to maxL).map(deltas(_)).reduce(_ unionByName _)
+    // materialize the delta union once when its arity is > 1: maxL is
+    // data-dependent (deepest non-empty layer), so the lazy union's shape
+    // differs between scale factors and defeats the small-SF codegen warm
+    // pass — same SF-invariant-consumer-plan rationale as [[labeledBfs]]
+    val allDeltas = (1 to maxL).map(deltas(_)).reduce(_ unionByName _)
+    (if (maxL > 1) allDeltas.localCheckpoint(true) else allDeltas)
       .groupBy("gid").agg(round(sum("delta"), 6).as("betweenness"))
   }
 
@@ -743,7 +760,11 @@ object GraphAlgos {
       cur = next
       t += 1
     }
-    out
+    // materialize the per-step union once when the walk advanced: its
+    // arity is data-dependent (walks can end early on empty frontiers),
+    // so a lazy return's plan shape differs between scale factors — same
+    // SF-invariant-consumer-plan rationale as [[labeledBfs]]
+    if (t > 1) out.localCheckpoint(true) else out
   }
 
   def clusteringCoefficient(g: GraphFrame, edgeLabel: String): DataFrame = {

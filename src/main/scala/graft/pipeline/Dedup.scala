@@ -175,14 +175,44 @@ object Dedup {
     finally hashed.unpersist(false)
   }
 
-  /** One side thread for overlapping an independent Spark job with the
+  /** Side threads for overlapping an independent Spark job with the
     * driver's own synchronous job sequence (guide §2.6): the side job's
     * tasks back-fill executor slots the foreground stages' tails leave
-    * idle. One thread — there is never more than one side job in flight. */
+    * idle. A CACHED pool, not a single thread: each concurrent caller
+    * gets its own side job (the one-side-job invariant is per CALL), so
+    * one caller's Await never queues behind another caller's side count.
+    * Threads idle out after 60 s; side jobs are rare and short. */
   private lazy val overlapEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(1, (r: Runnable) => {
+    java.util.concurrent.Executors.newCachedThreadPool((r: Runnable) => {
       val t = new Thread(r, "dedup-overlap"); t.setDaemon(true); t
     }))
+
+  /** Submit `body` as an overlapped side job with the inherited Spark
+    * local properties CLEARED: pool threads are created (and reused)
+    * under whichever caller thread first triggers them and would
+    * otherwise replay that caller's job group / scheduler pool / SQL
+    * execution id into every later side job — a cancelJobGroup or
+    * FAIR-pool assignment from a different caller could then hit or miss
+    * the wrong side job. */
+  private def sideJob[T](sc: org.apache.spark.SparkContext)(body: => T)
+      : scala.concurrent.Future[T] =
+    scala.concurrent.Future {
+      for (k <- Seq("spark.jobGroup.id", "spark.job.description",
+                    "spark.job.interruptOnCancel", "spark.scheduler.pool",
+                    "spark.sql.execution.id"))
+        sc.setLocalProperty(k, null)
+      body
+    }(overlapEc)
+
+  /** Bounded drain of a side job on the owner's exit path: on success the
+    * future is already complete and this returns instantly; on the
+    * FAILURE path it refuses to let a slow side count delay the real
+    * exception forever (10 min is far beyond any side job's honest
+    * runtime). If the bound trips, the caches the side job reads are
+    * unpersisted under it — safe, its tasks just recompute from lineage. */
+  private def drainSide(side: scala.concurrent.Future[_]): Unit =
+    scala.util.Try(scala.concurrent.Await.ready(
+      side, scala.concurrent.duration.Duration(600, "s")))
 
   /** [[verifyJaccard]] overlapped with candidate generation (guide §2.6):
     * the verify join's per-document hash+sort projection is independent of
@@ -192,22 +222,28 @@ object Dedup {
     * thread instead of serially inside the verify job. Failures on either
     * side propagate (Await rethrows); the cache is released on all paths,
     * never before the side job has finished with it. */
+  /** Storage-residency note (scale): while the side count runs, the
+    * shingle cache, the banded-keys cache (inside mkPairs) and this
+    * hashed projection are resident TOGETHER — three MEMORY_AND_DISK
+    * frames where the pre-overlap code held two. On memory-tight
+    * executors the eviction/spill of the shingle cache can erode the
+    * overlap win; watch storage metrics before assuming the overlap
+    * helps at a new scale. */
   private def verifyOverlapped(shingleDf: DataFrame, threshold: Double,
                                keepScores: Boolean = false)
                               (mkPairs: => DataFrame): DataFrame = {
     val hashed = hashedSets(shingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val side = scala.concurrent.Future(hashed.count())(overlapEc)
+    val side = sideJob(shingleDf.sparkSession.sparkContext)(hashed.count())
     try {
       val pairs = mkPairs
       scala.concurrent.Await.result(side, scala.concurrent.duration.Duration.Inf)
       verifyJaccardHashed(pairs, hashed, threshold, keepScores)
     } finally {
-      // mkPairs may have thrown with the side job still running: wait it
-      // out (result already awaited on the success path) before dropping
+      // mkPairs may have thrown with the side job still running: drain it
+      // (bounded; already complete on the success path) before dropping
       // the blocks it is writing
-      scala.util.Try(scala.concurrent.Await.ready(
-        side, scala.concurrent.duration.Duration.Inf))
+      drainSide(side)
       hashed.unpersist(false)
     }
   }
@@ -216,12 +252,21 @@ object Dedup {
     * Returns (a_id, b_id) with a < b and shingle-Jaccard >= threshold. */
   /** Share the (big) shingle table across consumers, then materialize the
     * (small) pair result and RELEASE the shingle cache — no storage leak
-    * per call in long-lived sessions. */
-  private def withShingles(df: DataFrame, idCol: String, textCol: String, shingleN: Int)
+    * per call in long-lived sessions.
+    *
+    * `checkpoint = false` for bodies that already RETURN an eagerly
+    * checkpointed frame (the verify-join paths): re-checkpointing a
+    * materialized frame is a full copy pass + one more driver-blocking
+    * job per call for nothing (guide §1.2 — the per-call fixed cost is
+    * the algorithm cost on these small-output ops). Bodies that return a
+    * LAZY plan must keep the default: the checkpoint is what makes the
+    * result independent of the shingle cache released in `finally`. */
+  private def withShingles(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+                           checkpoint: Boolean = true)
                           (body: DataFrame => DataFrame): DataFrame = {
     val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try body(sh).localCheckpoint(true)
+    try { val out = body(sh); if (checkpoint) out.localCheckpoint(true) else out }
     finally sh.unpersist(false)
   }
 
@@ -229,7 +274,7 @@ object Dedup {
                      shingleN: Int = 3, numHashes: Int = 64,
                      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    withShingles(df, idCol, textCol, shingleN) { sh =>
+    withShingles(df, idCol, textCol, shingleN, checkpoint = false) { sh =>
       val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
       verifyOverlapped(sh, threshold)(lshCandidates(sig, "__id", "__sig", bands, rows))
     }
@@ -246,7 +291,7 @@ object Dedup {
                            shingleN: Int = 3, numHashes: Int = 64,
                            bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    withShingles(df, idCol, textCol, shingleN) { sh =>
+    withShingles(df, idCol, textCol, shingleN, checkpoint = false) { sh =>
       val sig = minhashSignatures(sh, "__id", "__sh", numHashes)
       verifyOverlapped(sh, threshold, keepScores = true)(
         lshCandidates(sig, "__id", "__sig", bands, rows))
@@ -282,6 +327,11 @@ object Dedup {
     * rare shared shingle: (a_id, b_id, __i, __na, __nb) with a < b —
     * the exact-intersection core behind [[nearDupNgram]] and
     * [[containmentPairs]] (df-cap skew guard documented there). */
+  /** Audit-only accessor for the lazy kernel plan (the public consumers
+    * return checkpointed frames whose executed plans hide it). */
+  private[graft] def sharedShingleCountsForAudit(sh: DataFrame, maxDf: Long): DataFrame =
+    sharedShingleCounts(sh, maxDf, "audit")
+
   private def sharedShingleCounts(sh: DataFrame, maxDf: Long, opName: String): DataFrame = {
     // the index carries xxhash64(shingle), not the ~30-byte string: the
     // self-join shuffles 8-byte keys and compares longs (same collision
@@ -387,7 +437,7 @@ object Dedup {
     * join for free. */
   def nearDupPrefix(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
-    withShingles(df, idCol, textCol, shingleN) { sh =>
+    withShingles(df, idCol, textCol, shingleN, checkpoint = false) { sh =>
       val hashed = sh.select(col("__id"),
         array_distinct(graft.functions.VectorExprs.hashArray(col("__sh"))).as("__hs"))
       val inv = hashed.select(col("__id"), explode(col("__hs")).as("__s"))
@@ -886,8 +936,22 @@ object Dedup {
     try {
       val idx = indexFromShingles(shB, shingleN, numHashes, bands, threshold, maxBucket)
       idx.banded.persist(lvl); idx.shingleHashes.persist(lvl)
+      // Warm the REFERENCE side's two caches on the side thread (guide
+      // §2.6): the probe's own driver-synchronous chain (probe-side
+      // signatures → histogram collect → candidate checkpoint) otherwise
+      // pays the ref-side signature scan inside its histogram job and the
+      // ref-side shingle hashing inside the verify join, serially. Both
+      // sides' corpus scans are independent, so they back-fill each
+      // other's stage tails. banded first — the histogram needs it
+      // earlier than the verify needs the hashed sets.
+      val warm = sideJob(shB.sparkSession.sparkContext) {
+        idx.banded.count(); idx.shingleHashes.count()
+      }
       try probeMinhashIndex(idx, newDf, newId, newText)
-      finally { idx.banded.unpersist(false); idx.shingleHashes.unpersist(false) }
+      finally {
+        drainSide(warm)
+        idx.banded.unpersist(false); idx.shingleHashes.unpersist(false)
+      }
     } finally shB.unpersist(false)
   }
 
@@ -971,7 +1035,7 @@ object Dedup {
       val hashedA = shA.select(col("__id").as("a_id"),
         sort_array(array_distinct(graft.functions.VectorExprs.hashArray(col("__sh")))).as("__sha"))
         .persist(lvl)
-      val side = scala.concurrent.Future(hashedA.count())(overlapEc)
+      val side = sideJob(newDf.sparkSession.sparkContext)(hashedA.count())
       try {
         // the index side's degenerate buckets were precomputed at build
         // time (loop-invariant for a persisted index) — only the probe
@@ -1000,8 +1064,7 @@ object Dedup {
           .select(col("a_id"), col("b_id"))
           .localCheckpoint(true)
       } finally {
-        scala.util.Try(scala.concurrent.Await.ready(
-          side, scala.concurrent.duration.Duration.Inf))
+        drainSide(side)
         hashedA.unpersist(false)
         bA.unpersist(false)
       }

@@ -291,25 +291,48 @@ object Similarity {
     // codegen'd nested-loop's ~4). The quadratic exact form is documented
     // for corpora up to ~1e5 vectors, so the checkpointed frame is
     // megabytes and the bench sweep releases it per query.
+    val spark = corpus.sparkSession
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
     val withNorm = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .filter(col("__n") > 0)
       .localCheckpoint(true)
+    // broadcast-size guard: the ~1e5-vector bound above is documentation,
+    // not enforcement, and at that bound with wide embeddings the build
+    // side is hundreds of MB — enough to OOM the driver that collects it.
+    // The checkpoint blocks' actual byte size is already known (the frame
+    // just materialized), so the bound self-enforces: under
+    // `graft.embed.broadcastBytes` (default 512 MB, well inside the 8 GB
+    // broadcast cap) the build side broadcasts; above it the join runs as
+    // the partitioned nested loop over the SAME checkpointed frame — no
+    // re-derived subtree, no duplicated upstream pipeline on either path.
+    val ckptIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    val ckptBytes = spark.sparkContext.getRDDStorageInfo
+      .filter(i => ckptIds.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+    val guardBytes = spark.conf.getOption("graft.embed.broadcastBytes")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(512L << 20)
     // the nested-loop stream side inherits the scan's partitioning — a
     // single local file means ONE task; spread it when the source has
     // fewer splits than cores (at scale the scan is already wide and this
     // is a no-op — never coalesce a big corpus here)
-    val spark = corpus.sparkSession
     val want = spark.sparkContext.defaultParallelism
     val spread = if (withNorm.rdd.getNumPartitions < want) withNorm.repartition(want) else withNorm
     val a = spread.select(col("__id").as("a_id"), col("__v").as("__va"), col("__n").as("__na"))
     val b = withNorm.select(col("__id").as("b_id"), col("__v").as("__vb"), col("__n").as("__nb"))
     // cheap ordered-pair test FIRST so the dot short-circuits on the
     // lower triangle (condition conjunct order is preserved into the
-    // nested-loop join); the build side is explicitly broadcast so the
-    // pair join is a codegen'd BroadcastNestedLoopJoin, never a
-    // CartesianProduct (right-sized by the same ~1e5-vector bound)
-    a.join(broadcast(b), col("a_id") < col("b_id") &&
+    // nested-loop join); the build side is explicitly broadcast — while
+    // the guard allows — so the pair join is a codegen'd
+    // BroadcastNestedLoopJoin, never a CartesianProduct of re-derived
+    // subtrees (right-sized by the same ~1e5-vector bound). Above the
+    // guard the opposite hint is just as explicit: SHUFFLE_REPLICATE_NL
+    // forces the partitioned nested loop over the same checkpointed
+    // leaves — merely OMITTING the broadcast hint is not enough, because
+    // the planner's own size estimate can still pick a driver-collected
+    // broadcast for a frame the guard has already measured as over-budget
+    val build = if (ckptBytes <= guardBytes) broadcast(b)
+                else b.hint("shuffle_replicate_nl")
+    a.join(build, col("a_id") < col("b_id") &&
         dot(col("__va"), col("__vb")) >= lit(tau) * col("__na") * col("__nb"))
       .select(col("a_id"), col("b_id"))
   }

@@ -202,6 +202,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate join must project codes and tables, not vectors:\n$j"))
   }
 
+  test("nearDupEmbed: broadcast under the size guard, partitioned nested loop above it") {
+    val dim = 8
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => (if (i % 2 == 0) 1.0f else -1.0f) + 0.01f * ((i + j) % 3)))
+    }.toDF("vec_id", "embedding")
+    // small corpus, default guard: the build side must broadcast so the
+    // pair join is a codegen'd BroadcastNestedLoopJoin
+    val small = Similarity.nearDupEmbed(vecs, "vec_id", "embedding", 0.99)
+    val pSmall = plan(small)
+    assert(pSmall.contains("BroadcastNestedLoopJoin"),
+      s"under the guard the pair join must broadcast:\n$pSmall")
+    val rows = small.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // guard forced to 0 bytes: the hint must NOT fire (no driver-side
+    // collect of an over-budget build side); the join runs partitioned
+    // over the same checkpointed frame and the pairs are identical
+    spark.conf.set("graft.embed.broadcastBytes", "0")
+    try {
+      val big = Similarity.nearDupEmbed(vecs, "vec_id", "embedding", 0.99)
+      val pBig = plan(big)
+      assert(!pBig.contains("BroadcastNestedLoopJoin"),
+        s"above the guard the build side must not broadcast:\n$pBig")
+      assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.sameElements(rows))
+    } finally spark.conf.unset("graft.embed.broadcastBytes")
+    assert(rows.nonEmpty)
+  }
+
   test("field index: indexed has() pushes a real parquet filter; results unchanged") {
     import graft.model.{Catalog, GraphFrame}
     import graft.gripql.{Query, P}
