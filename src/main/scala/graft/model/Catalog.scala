@@ -358,7 +358,13 @@ class Catalog(spark: SparkSession, root: String) {
       // label is small (< ~256 MB by scan stats) and under-partitioned;
       // at scale the condition never fires and no extra shuffle is paid.
       val target = spark.sparkContext.defaultParallelism
-      val nParts = base0.rdd.getNumPartitions
+      // file count, not rdd.getNumPartitions: the RDD accessor forces a
+      // full plan-to-RDD conversion per relayout just to read a number;
+      // the leaf file list is already computed by the scan relation. For
+      // the small-label case this guards (single-digit files under
+      // 256 MB) files ≈ scan splits; non-file sources fall back.
+      val inFiles = base0.inputFiles.length
+      val nParts = if (inFiles > 0) inFiles else base0.rdd.getNumPartitions
       val small = base0.queryExecution.optimizedPlan.stats.sizeInBytes <
         BigInt(256L << 20)
       val base = if (nParts < target && small) base0.repartition(target) else base0
