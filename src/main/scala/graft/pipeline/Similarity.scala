@@ -541,8 +541,21 @@ object Similarity {
                k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
                m: Int = 4, ksub: Int = 16, shortlist: Int = 32,
                seed: Long = 42L): DataFrame = {
-    val ivf = buildIvf(corpus, idCol, vecCol, nlist, seed)
-    val cb = buildPqCodebook(corpus, vecCol, dim, m, ksub, seed)
+    // The two quantizer fits are independent reads of the same corpus,
+    // and each is a serial pair of driver-blocking jobs (count + sample
+    // collect) before a driver-local Lloyd's. Run the IVF fit on the
+    // overlap side thread while the PQ fit's jobs run from this thread
+    // (guide §2.6 — the same bracket as Dedup.verifyOverlapped): the
+    // four fixed-latency jobs collapse to two serial rounds. Identical
+    // fits, identical centroids — concurrency changes when the jobs run,
+    // never what they compute.
+    val sideIvf = graft.pipeline.Dedup.sideJob(corpus.sparkSession.sparkContext)(
+      buildIvf(corpus, idCol, vecCol, nlist, seed))
+    val cb =
+      try buildPqCodebook(corpus, vecCol, dim, m, ksub, seed)
+      catch { case t: Throwable => graft.pipeline.Dedup.drainSide(sideIvf); throw t }
+    val ivf = scala.concurrent.Await.result(
+      sideIvf, scala.concurrent.duration.Duration.Inf)
     // assigned cells + codes, one narrow frame: (neighbor_id, __bucket,
     // code) — deliberately WITHOUT the raw vector, so every candidate row
     // that shuffles through the probe join and the shortlist window
