@@ -1006,16 +1006,25 @@ object GraphAlgos {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val base = g.edges.filter(col("label") === edgeLabel)
       .select(col("from").as("u"), col("to").as("v"))
-    val e = (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
-             else base).repartition(col("v")).localCheckpoint(true)
-    // materialize the feature frame once: each round reads h TWICE (the
-    // neighbor aggregation and the coalesce join) on DIFFERENT keys, so
-    // exchange reuse cannot dedup the reads and an expensive features
-    // subtree (a corpus scan + tokenize) would be re-evaluated up to
-    // 2×rounds times inside the composed plan. The frame is (gid, double)
-    // — tiny — and this is a within-query materialization, not a cache.
-    var h = features.select(col("gid"), col("f").cast("double").as("h"))
-      .localCheckpoint(true)
+    // The feature frame and the edge frame materialize ONCE each (each
+    // round reads h TWICE — the neighbor aggregation and the coalesce
+    // join — on DIFFERENT keys, so exchange reuse cannot dedup the reads
+    // and an expensive features subtree, e.g. a corpus scan + tokenize,
+    // would be re-evaluated up to 2×rounds times inside the composed
+    // plan; both frames are tiny and these are within-query
+    // materializations, not caches). The two are INDEPENDENT blocking
+    // jobs — an edge scan+repartition vs a feature scan — so the feature
+    // side runs on the overlap thread while the edge checkpoint runs
+    // here (guide §2.6, the Dedup.verifyOverlapped bracket).
+    val sideH = graft.pipeline.Dedup.sideJob(g.edges.sparkSession.sparkContext)(
+      features.select(col("gid"), col("f").cast("double").as("h"))
+        .localCheckpoint(true))
+    val e =
+      try (if (undirected) base.union(base.select(col("v").as("u"), col("u").as("v")))
+           else base).repartition(col("v")).localCheckpoint(true)
+      catch { case t: Throwable => graft.pipeline.Dedup.drainSide(sideH); throw t }
+    var h = scala.concurrent.Await.result(
+      sideH, scala.concurrent.duration.Duration.Inf)
     var r = 0
     while (r < rounds) {
       val nb = e.join(h.withColumnRenamed("gid", "v"), "v")

@@ -194,7 +194,7 @@ object Dedup {
     * execution id into every later side job — a cancelJobGroup or
     * FAIR-pool assignment from a different caller could then hit or miss
     * the wrong side job. */
-  private[pipeline] def sideJob[T](sc: org.apache.spark.SparkContext)(body: => T)
+  private[graft] def sideJob[T](sc: org.apache.spark.SparkContext)(body: => T)
       : scala.concurrent.Future[T] =
     scala.concurrent.Future {
       for (k <- Seq("spark.jobGroup.id", "spark.job.description",
@@ -210,7 +210,7 @@ object Dedup {
     * exception forever (10 min is far beyond any side job's honest
     * runtime). If the bound trips, the caches the side job reads are
     * unpersisted under it — safe, its tasks just recompute from lineage. */
-  private[pipeline] def drainSide(side: scala.concurrent.Future[_]): Unit =
+  private[graft] def drainSide(side: scala.concurrent.Future[_]): Unit =
     scala.util.Try(scala.concurrent.Await.ready(
       side, scala.concurrent.duration.Duration(600, "s")))
 
